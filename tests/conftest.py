@@ -1,0 +1,51 @@
+"""Test config: force CPU jax with 8 virtual devices so sharding tests run
+anywhere (the real-TPU paths are exercised by bench.py / the driver)."""
+
+import os
+
+# Must be set before jax initializes.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib  # noqa: E402
+
+import pytest  # noqa: E402
+
+ASSETS = pathlib.Path(__file__).parent / "assets"
+
+# Ground truth for tests/assets/test.mp4 (848x464, 96 frames, H.264,
+# BT.709/MPEG, 30 fps) — same anchor constants the reference pins in
+# tests/test_PyNvDecoder.py:51-63.
+GT = dict(
+    width=848,
+    height=464,
+    num_frames=96,
+    framerate=30,
+    timebase=8.1380e-5,
+    is_vfr=False,
+)
+
+
+@pytest.fixture(scope="session")
+def test_mp4() -> str:
+    p = ASSETS / "test.mp4"
+    if not p.exists():
+        pytest.skip("tests/assets/test.mp4 missing")
+    return str(p)
+
+
+@pytest.fixture(scope="session")
+def test_res_change() -> str:
+    p = ASSETS / "test_res_change.h264"
+    if not p.exists():
+        pytest.skip("tests/assets/test_res_change.h264 missing")
+    return str(p)
+
+
+@pytest.fixture(scope="session")
+def gt() -> dict:
+    return dict(GT)
