@@ -1,0 +1,107 @@
+"""Demuxer tests — mirrors the reference's tests/test_PyFfmpegDemuxer.py:
+stream props, packet count == frame count, dts monotonicity, seek by frame
+and timestamp, SEI extraction, byte-reader input."""
+
+import numpy as np
+import pytest
+
+from videoprocessingframework_tpu.core.enums import (
+    CodecId,
+    ColorRange,
+    ColorSpace,
+    PixelFormat,
+    SeekMode,
+)
+from videoprocessingframework_tpu.core.packet import SeekContext
+from videoprocessingframework_tpu.io import FFmpegDemuxer
+
+
+def test_props(test_mp4, gt):
+    d = FFmpegDemuxer(test_mp4)
+    assert d.width == gt["width"]
+    assert d.height == gt["height"]
+    assert d.framerate == gt["framerate"]
+    assert d.avg_framerate == gt["framerate"]
+    assert not d.is_vfr
+    assert d.num_frames == gt["num_frames"]
+    assert d.codec == CodecId.H264
+    assert d.format == PixelFormat.NV12
+    assert d.color_space == ColorSpace.BT_709
+    assert d.color_range == ColorRange.MPEG
+    # libav 59 reports mp4 tbn 1/15360 (the reference-era ffmpeg recorded
+    # 1/12288 for the same file); both are self-consistent with pts values.
+    assert d.timebase == pytest.approx(1.0 / 15360)
+
+
+def test_all_packets_count_and_annexb(test_mp4, gt):
+    d = FFmpegDemuxer(test_mp4)
+    count = 0
+    last_dts = None
+    for res in d:
+        assert res.packet.dtype == np.uint8
+        assert res.pkt_data.bsl == res.packet.nbytes > 0
+        # Annex.B start code
+        assert bytes(res.packet[:3]) in (b"\x00\x00\x00", b"\x00\x00\x01")
+        if last_dts is not None:
+            assert res.pkt_data.dts > last_dts  # dts strictly monotonic
+        last_dts = res.pkt_data.dts
+        count += 1
+    assert count == gt["num_frames"]
+
+
+def test_sei_extraction(test_mp4):
+    d = FFmpegDemuxer(test_mp4)
+    res = d.demux(need_sei=True)
+    assert res.sei is not None and res.sei.nbytes > 0
+
+
+def test_seek_by_frame_exact(test_mp4):
+    d = FFmpegDemuxer(test_mp4)
+    # advance a bit first
+    for _ in range(5):
+        d.demux()
+    ctx = SeekContext(seek_frame=32, mode=SeekMode.EXACT_FRAME)
+    res = d.seek(ctx)
+    assert res is not None
+    target = d.ts_from_frame_number(32)
+    assert res.pkt_data.dts == target
+    assert ctx.out_frame_pts >= 0
+
+
+def test_seek_by_timestamp(test_mp4, gt):
+    d = FFmpegDemuxer(test_mp4)
+    ctx = SeekContext(seek_tssec=1.0, mode=SeekMode.PREV_KEY_FRAME)
+    res = d.seek(ctx)
+    assert res is not None
+    assert res.pkt_data.key == 1  # landed on a key frame
+    # key frame at or before 1.0s
+    assert res.pkt_data.pts <= d.ts_from_time(1.0)
+
+
+def test_seek_prev_key_frame(test_mp4):
+    d = FFmpegDemuxer(test_mp4)
+    ctx = SeekContext(seek_frame=42, mode=SeekMode.PREV_KEY_FRAME)
+    res = d.seek(ctx)
+    assert res is not None
+    assert res.pkt_data.key == 1
+
+
+def test_reader_input(test_mp4, gt):
+    with open(test_mp4, "rb") as f:
+        d = FFmpegDemuxer(f)
+        assert d.width == gt["width"]
+        count = sum(1 for _ in d)
+        assert count == gt["num_frames"]
+
+
+def test_raw_h264_input(test_res_change):
+    d = FFmpegDemuxer(test_res_change)
+    assert d.codec == CodecId.H264
+    n = sum(1 for _ in d)
+    assert n > 0
+
+
+def test_extradata(test_mp4):
+    d = FFmpegDemuxer(test_mp4)
+    extra = d.extradata
+    assert len(extra) > 0  # avcC box present in mp4

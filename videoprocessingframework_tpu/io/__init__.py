@@ -1,0 +1,3 @@
+from .demuxer import FFmpegDemuxer, DemuxResult  # noqa: F401
+from .decoder import VideoDecoder, VideoReader, DecodedFrame  # noqa: F401
+from .encoder import VideoEncoder, get_encoder_params, ENCODER_OPTIONS  # noqa: F401
