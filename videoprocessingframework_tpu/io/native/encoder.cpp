@@ -229,7 +229,10 @@ struct Encoder {
     } else if (strcmp(codec->name, "libx265") == 0) {
       const char* p = x264_preset_for(opt("preset", "P4"));
       av_opt_set(avctx->priv_data, "preset", p, 0);
-      if (zero_latency) av_opt_set(avctx->priv_data, "tune", "zerolatency", 0);
+      if (zero_latency) {
+        av_opt_set(avctx->priv_data, "tune", "zerolatency", 0);
+        avctx->max_b_frames = 0;  // zerolatency forbids B-frames
+      }
       av_opt_set_int(avctx->priv_data, "udu_sei", 1, 0);
     }
 
