@@ -1,0 +1,2 @@
+from . import colorspace, golden  # noqa: F401
+from .convert import SurfaceConverter  # noqa: F401

@@ -20,16 +20,19 @@ _DISABLED = os.environ.get("VPF_TPU_DISABLE_TRACING", "0") not in ("0", "")
 @contextlib.contextmanager
 def trace_range(name: str) -> Iterator[None]:
     """Named trace scope (NVTX_PUSH/POP analog)."""
-    if _DISABLED:
-        yield
-        return
-    try:
-        import jax.profiler
+    ann = None
+    if not _DISABLED:
+        try:
+            import jax.profiler
 
-        with jax.profiler.TraceAnnotation(name):
-            yield
-    except Exception:
+            ann = jax.profiler.TraceAnnotation(name)
+        except Exception:
+            ann = None
+    if ann is None:
         yield
+    else:
+        with ann:
+            yield
 
 
 class StageTimer:
