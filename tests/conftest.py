@@ -3,13 +3,19 @@ anywhere (the real-TPU paths are exercised by bench.py / the driver)."""
 
 import os
 
-# Must be set before jax initializes.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment pins JAX_PLATFORMS to a TPU plugin
+# (the axon sitecustomize imports jax at interpreter startup, so a plain
+# setdefault is too late — override both the env and the live config).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib  # noqa: E402
 
