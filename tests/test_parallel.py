@@ -1,0 +1,103 @@
+"""Parallel layer tests: multi-stream pipeline, mesh sharding, dp×tp train
+step on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import optax
+
+from videoprocessingframework_tpu.core.enums import (
+    ColorRange,
+    ColorSpace,
+    PixelFormat,
+)
+from videoprocessingframework_tpu.models import init_params, resnet18_like
+from videoprocessingframework_tpu.ops.fused import FusedPipeline
+from videoprocessingframework_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    shard_batch,
+)
+from videoprocessingframework_tpu.parallel.streams import MultiStreamPipeline
+from videoprocessingframework_tpu.parallel.train import (
+    make_infer_step,
+    make_train_step,
+    shard_variables,
+)
+
+
+def test_multistream_pipeline_counts(test_mp4, gt):
+    pipe = MultiStreamPipeline(
+        [test_mp4, test_mp4], batch_size=8,
+        postproc=FusedPipeline(
+            PixelFormat.NV12, ColorSpace.BT_709, ColorRange.MPEG,
+            out_size=(112, 64),
+        ),
+    )
+    total = 0
+    for batch in pipe.batches():
+        arr = np.asarray(batch)
+        assert arr.shape[1:] == (64, 112, 3)
+        assert arr.dtype == np.uint8
+        total += arr.shape[0]
+    assert total == 2 * gt["num_frames"]
+    assert pipe.stats.frames_decoded == total
+    assert pipe.stats.fps > 0
+
+
+def test_multistream_max_frames(test_mp4):
+    pipe = MultiStreamPipeline(
+        [test_mp4], batch_size=4, max_frames_per_stream=10,
+    )
+    total = sum(np.asarray(b[0]).shape[0] for b in pipe.batches())
+    assert total == 10
+
+
+def test_mesh_and_batch_sharding():
+    mesh = make_mesh(8, ("data", "model"), shape=(4, 2))
+    assert mesh.shape == {"data": 4, "model": 2}
+    x = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+    sharded = shard_batch({"x": x}, mesh)["x"]
+    assert sharded.sharding == batch_sharding(mesh)
+    np.testing.assert_array_equal(np.asarray(sharded), x)
+
+
+def test_dp_tp_train_step_runs_and_improves():
+    mesh = make_mesh(8, ("data", "model"), shape=(4, 2))
+    model = resnet18_like(num_classes=4)
+    variables = shard_variables(mesh, init_params(model, (2, 32, 32, 3)))
+    opt = optax.sgd(0.05, momentum=0.9)
+    opt_state = opt.init(variables["params"])
+    step = make_train_step(model, mesh, opt)
+
+    rng = np.random.default_rng(0)
+    # learnable toy task: label = quadrant brightness
+    images = rng.random((16, 32, 32, 3)).astype(np.float32)
+    labels = rng.integers(0, 4, (16,))
+    batch = shard_batch(
+        {"image": images[:8], "label": labels[:8].astype(np.int32)}, mesh
+    )
+    losses = []
+    for _ in range(3):
+        variables, opt_state, metrics = step(variables, opt_state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # optimizer is actually stepping
+
+    infer = make_infer_step(model, mesh)
+    logits = infer(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        batch["image"],
+    )
+    assert logits.shape == (8, 4)
+
+
+def test_tp_sharding_applied():
+    mesh = make_mesh(8, ("data", "model"), shape=(4, 2))
+    model = resnet18_like(num_classes=8)
+    variables = shard_variables(mesh, init_params(model, (1, 32, 32, 3)))
+    kernel = variables["params"]["classifier"]["kernel"]
+    # classifier kernel (cin, num_classes) is sharded over 'model'
+    spec = kernel.sharding.spec
+    assert tuple(spec)[-1] == "model"

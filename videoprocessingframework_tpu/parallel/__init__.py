@@ -1,0 +1,3 @@
+from .mesh import make_mesh, batch_sharding, shard_batch, device_round_robin  # noqa: F401
+from .streams import MultiStreamPipeline, StreamStats  # noqa: F401
+from . import train  # noqa: F401
