@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Headline benchmark: aggregate 1080p decode → NV12→RGB CSC → resize fps
+on one chip (BASELINE.md: ≥4000 aggregate fps on a v5e-8 ⇒ 500 fps/chip).
+
+Pipeline measured end-to-end: multi-threaded host software decode (native
+libav runtime) → batched async upload → ONE fused XLA kernel per batch
+(chroma upsample + BT.709 CSC + Lanczos resize to 224×224).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N, "extra": {...}}
+
+vs_baseline = fps / 500 (the per-chip share of the 4000-fps north star).
+
+Flags: --quick (small clip, CPU-friendly), --streams N, --frames N.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).parent
+BENCH_DIR = REPO / ".bench"
+
+
+def make_clip(path: pathlib.Path, width: int, height: int, frames: int) -> None:
+    """Encode a synthetic moving-gradient clip with the framework encoder."""
+    from videoprocessingframework_tpu.io import VideoEncoder
+
+    enc = VideoEncoder(
+        {
+            "codec": "h264",
+            "preset": "P1",
+            "s": f"{width}x{height}",
+            "bitrate": "8M",
+            "fps": "30",
+            "gop": "30",
+        }
+    )
+    ys = np.arange(height, dtype=np.uint16)[:, None]
+    xs = np.arange(width, dtype=np.uint16)[None, :]
+    stream = bytearray()
+    for i in range(frames):
+        y = ((ys * 2 + xs + i * 7) % 256).astype(np.uint8)
+        uv = np.full((height // 2, width), 110 + (i % 40), np.uint8)
+        frame = np.concatenate([y.ravel(), uv.ravel()])
+        out = enc.encode(frame)
+        if out is not None:
+            stream += out[0].tobytes()
+    for pkt, _ in enc.flush():
+        stream += pkt.tobytes()
+    path.parent.mkdir(exist_ok=True)
+    path.write_bytes(bytes(stream))
+
+
+def device_kernel_fps(y, uv, out_h, out_w, iters: int = 20):
+    """Kernel-only throughput with inputs resident in HBM."""
+    import jax
+
+    from videoprocessingframework_tpu.core.enums import (
+        ColorRange,
+        ColorSpace,
+        PixelFormat,
+    )
+    from videoprocessingframework_tpu.ops.fused import decode_postproc
+
+    dev = jax.devices()[0]
+    yd = jax.device_put(y, dev)
+    uvd = jax.device_put(uv, dev)
+
+    def run():
+        return decode_postproc(
+            yd,
+            uvd,
+            src_format=PixelFormat.NV12,
+            space=ColorSpace.BT_709,
+            rng=ColorRange.MPEG,
+            out_h=out_h,
+            out_w=out_w,
+            output="rgb_u8",
+        )
+
+    run().block_until_ready()  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run()
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    n = y.shape[0] * iters
+    in_bytes = (y.nbytes + uv.nbytes) * iters
+    return n / dt, in_bytes / dt / 1e9
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small CPU-friendly run")
+    ap.add_argument("--streams", type=int, default=0)
+    ap.add_argument("--frames", type=int, default=0, help="frames per stream")
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args()
+
+    if args.quick:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.quick:
+        jax.config.update("jax_platforms", "cpu")
+
+    from videoprocessingframework_tpu.core.enums import (
+        ColorRange,
+        ColorSpace,
+        PixelFormat,
+    )
+    from videoprocessingframework_tpu.ops.fused import FusedPipeline
+    from videoprocessingframework_tpu.parallel.streams import MultiStreamPipeline
+
+    width, height = (640, 360) if args.quick else (1920, 1080)
+    clip_frames = 60 if args.quick else 150
+    clip = BENCH_DIR / f"bench_{width}x{height}_{clip_frames}.h264"
+    if not clip.exists():
+        make_clip(clip, width, height, clip_frames)
+
+    ncpu = os.cpu_count() or 1
+    streams = args.streams or max(2, min(16, ncpu))
+    frames_per_stream = args.frames or (clip_frames if args.quick else 300)
+
+    pipe = MultiStreamPipeline(
+        [str(clip)] * streams,
+        batch_size=args.batch,
+        postproc=FusedPipeline(
+            PixelFormat.NV12,
+            ColorSpace.BT_709,
+            ColorRange.MPEG,
+            out_size=(224, 224),
+            method="lanczos",
+            output="rgb_u8",
+        ),
+        max_frames_per_stream=frames_per_stream,
+        loop_streams=True,
+        decode_threads=1,
+    )
+    # warm up the fused kernel for the packed batch shape before timing
+    dummy_packed = np.zeros((args.batch, height * 3 // 2, width), np.uint8)
+    jax.block_until_ready(pipe.postproc(dummy_packed))
+    dummy_y = np.zeros((args.batch, height, width), np.uint8)
+    dummy_uv = np.zeros((args.batch, height // 2, width), np.uint8)
+
+    stats = pipe.run()
+
+    kfps, kgbs = device_kernel_fps(dummy_y, dummy_uv, 224, 224)
+
+    result = {
+        "metric": "1080p decode→NV12→RGB→resize aggregate fps (1 chip)"
+        if not args.quick
+        else f"{width}x{height} decode→NV12→RGB→resize aggregate fps (quick)",
+        "value": round(stats.fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(stats.fps / 500.0, 4),
+        "extra": {
+            "streams": streams,
+            "frames": stats.frames_decoded,
+            "wall_s": round(stats.wall_s, 3),
+            "host_cpus": ncpu,
+            "kernel_only_fps": round(kfps, 1),
+            "kernel_input_gbps": round(kgbs, 3),
+            "stage_ms": {
+                k: round(v["mean_ms"], 3) for k, v in pipe.timer.summary().items()
+            },
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

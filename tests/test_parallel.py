@@ -50,7 +50,8 @@ def test_multistream_max_frames(test_mp4):
     pipe = MultiStreamPipeline(
         [test_mp4], batch_size=4, max_frames_per_stream=10,
     )
-    total = sum(np.asarray(b[0]).shape[0] for b in pipe.batches())
+    # with no postproc, each yielded batch is the packed (B, rows, W) array
+    total = sum(np.asarray(b).shape[0] for b in pipe.batches())
     assert total == 10
 
 

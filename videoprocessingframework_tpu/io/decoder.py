@@ -99,7 +99,7 @@ class VideoDecoder:
         self.codec = CodecId(codec)
         self.output_format = output_format  # None = native layout
 
-    def _grab_frame(self) -> DecodedFrame:
+    def _grab_frame(self, out: Optional[np.ndarray] = None) -> DecodedFrame:
         desc = _lib.VpfFrameDesc()
         r = self._lib.vpf_decoder_frame_desc(self._h, C.byref(desc))
         if r != _lib.OK:
@@ -112,7 +112,14 @@ class VideoDecoder:
         from ..core import geometry
 
         size = geometry.host_frame_size(fmt, desc.width, desc.height)
-        buf = np.empty(size, dtype=np.uint8)
+        if out is not None:
+            buf = out.reshape(-1).view(np.uint8)
+            if buf.nbytes != size:
+                raise ValueError(
+                    f"out buffer is {buf.nbytes} bytes, frame needs {size}"
+                )
+        else:
+            buf = np.empty(size, dtype=np.uint8)
         r = self._lib.vpf_decoder_copy_frame(
             self._h,
             int(fmt),
@@ -139,10 +146,17 @@ class VideoDecoder:
         )
 
     def decode_packet(
-        self, packet: Optional[np.ndarray], pkt_data: Optional[PacketData] = None
+        self,
+        packet: Optional[np.ndarray],
+        pkt_data: Optional[PacketData] = None,
+        out: Optional[np.ndarray] = None,
     ) -> Optional[DecodedFrame]:
         """Feed one Annex.B packet (None = begin EOS flush); return a frame
-        if one is ready. Raises typed exceptions on codec errors."""
+        if one is ready. Raises typed exceptions on codec errors.
+
+        ``out``: optional caller-provided packed destination (uint8, exact
+        frame size) — the decoder packs straight into it, eliminating the
+        per-frame allocation+copy (used by the batched pipeline)."""
         ptr, size = None, 0
         if packet is not None and len(packet):
             packet = np.ascontiguousarray(packet, dtype=np.uint8)
@@ -163,7 +177,7 @@ class VideoDecoder:
                 self._h, ptr, size, C.byref(cpkt) if cpkt else None
             )
         if r == _lib.OK:
-            return self._grab_frame()
+            return self._grab_frame(out)
         if r in (_lib.NEED_MORE, _lib.ERR_EOF):
             return None
         if r == _lib.ERR_PARSE:
@@ -174,10 +188,10 @@ class VideoDecoder:
             raise HwResetException(_lib.last_error())
         raise RuntimeError(_lib.last_error())
 
-    def flush_frame(self) -> Optional[DecodedFrame]:
+    def flush_frame(self, out: Optional[np.ndarray] = None) -> Optional[DecodedFrame]:
         r = self._lib.vpf_decoder_flush_frame(self._h)
         if r == _lib.OK:
-            return self._grab_frame()
+            return self._grab_frame(out)
         if r in (_lib.NEED_MORE, _lib.ERR_EOF):
             return None
         if r == _lib.ERR_DECODE:
@@ -329,6 +343,7 @@ class VideoReader:
         seek_ctx: Optional[SeekContext] = None,
         need_sei: bool = False,
         flush: bool = False,
+        out: Optional[np.ndarray] = None,
     ) -> Optional[DecodedFrame]:
         """One decode step; returns a frame or None (EOF / still priming).
 
@@ -340,10 +355,10 @@ class VideoReader:
         * ``flush``: drain one frame (EOS).
         """
         if flush:
-            return self.decoder.flush_frame()
+            return self.decoder.flush_frame(out=out)
 
         if packet is not None:
-            return self.decoder.decode_packet(packet, packet_data)
+            return self.decoder.decode_packet(packet, packet_data, out=out)
 
         demuxer = self.demuxer
         if demuxer is None:
@@ -378,15 +393,14 @@ class VideoReader:
                 res = demuxer.demux(need_sei=need_sei)
             if res is None:
                 # demuxer exhausted: drain decoder
-                frame = self.decoder.flush_frame()
+                frame = self.decoder.flush_frame(out=out)
             else:
                 self._last_pkt_data = res.pkt_data
                 if need_sei:
                     self._last_sei = res.sei
-                try:
-                    frame = self.decoder.decode_packet(res.packet, res.pkt_data)
-                except CuvidParserException:
-                    raise
+                frame = self.decoder.decode_packet(
+                    res.packet, res.pkt_data, out=out
+                )
             if frame is None:
                 if res is None:
                     return None  # fully drained

@@ -86,6 +86,12 @@ def decode_postproc(
             'normalized' (NHWC f32) | 'normalized_nchw' (NCHW f32).
     """
     fmt = PixelFormat(src_format)
+    if fmt in (F.NV12, F.NV12_PLANAR) and len(planes) == 1:
+        # packed layout: one (N, H·3/2, W) buffer (y rows then uv rows) —
+        # the batched pipeline uploads each batch as ONE contiguous array
+        packed = planes[0]
+        h = packed.shape[-2] * 2 // 3
+        planes = (packed[..., :h, :], packed[..., h:, :])
     if fmt in (F.NV12, F.NV12_PLANAR):
         y, uv = planes
         u, v = _deinterleave_uv(uv)

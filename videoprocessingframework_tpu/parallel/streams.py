@@ -2,32 +2,34 @@
 
 TPU-first re-design of the reference's stream-per-thread concurrency model
 (samples/SampleDecodeMultiThread.py: N python threads, a CUDA stream each,
-per-thread NPP chains). On TPU the equivalent shape is:
+per-thread NPP chains). The TPU shape of the same idea:
 
-  N decode threads (GIL-free native calls)  →  bounded frame queue
-  →  batch assembler (stacks B frames into pinned-style numpy batches)
-  →  async ``jax.device_put`` (double-buffered: next batch uploads while
-     the current one computes)
-  →  ONE fused batched kernel (ops/fused.py) per batch for all streams
+  N decode threads (GIL-free native calls) pack frames **directly into
+  slots of pre-allocated packed batch buffers** (the pinned-buffer analog;
+  zero intermediate copies) → each full batch is ONE contiguous
+  ``jax.device_put`` → ONE fused batched kernel (ops/fused.py) for all
+  streams → results double-buffer against the next upload.
 
-so the device runs one big batched program instead of N tiny ones, and the
-host/device transfer overlaps compute — the analog of the reference's
-pinned-buffer + per-thread-stream overlap (Tasks.cpp:584-662 upload;
-SURVEY.md §2.9).
+So the device runs one big batched program instead of N tiny ones, the
+host does exactly one pack per frame, and transfer overlaps compute —
+the analog of pinned-memory + per-thread-stream overlap in the reference
+(Tasks.cpp:584-662 upload; SURVEY.md §2.9).
 """
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Iterator, List, Optional, Sequence
 
 import numpy as np
 
 import jax
 
+from ..core import geometry
 from ..core.enums import PixelFormat
 from ..io.decoder import VideoReader
 from ..utils.tracing import StageTimer, trace_range
@@ -37,54 +39,137 @@ from ..utils.tracing import StageTimer, trace_range
 class StreamStats:
     frames_decoded: int = 0
     batches: int = 0
-    decode_s: float = 0.0
     wall_s: float = 0.0
-    per_stream: dict = field(default_factory=dict)
 
     @property
     def fps(self) -> float:
         return self.frames_decoded / self.wall_s if self.wall_s else 0.0
 
 
-class _DecodeWorker(threading.Thread):
-    """One stream: demux+decode loop pushing (stream_id, frame) tuples."""
+class _BatchRing:
+    """Ring of packed host batch buffers with per-slot tickets.
 
-    def __init__(self, sid: int, source: str, out_q: queue.Queue,
-                 max_frames: Optional[int], loop: bool, threads: int):
+    Buffer layout: (batch, rows, width) uint8 where rows = packed frame
+    rows for the format (NV12: H + H/2). Workers claim (buffer, slot)
+    tickets in FIFO order, pack a decoded frame into the slot, and mark it
+    done; the consumer takes buffers in issue order.
+    """
+
+    def __init__(self, n_buffers: int, batch: int, rows: int, width: int):
+        self.batch = batch
+        self.buffers = [
+            np.empty((batch, rows, width), np.uint8) for _ in range(n_buffers)
+        ]
+        self.done: List[set] = [set() for _ in range(n_buffers)]
+        self.cond = threading.Condition()
+        self.tickets: queue.Queue = queue.Queue()
+        self.order: List[int] = []
+        for b in range(n_buffers):
+            self._issue(b)
+
+    def _issue(self, b: int) -> None:
+        with self.cond:
+            self.order.append(b)
+        for s in range(self.batch):
+            self.tickets.put((b, s))
+
+    def claim(self, timeout: float = 0.05):
+        try:
+            return self.tickets.get(timeout=timeout)
+        except queue.Empty:
+            return None
+
+    def unclaim(self, ticket) -> None:
+        self.tickets.put(ticket)
+
+    def complete(self, b: int, s: int) -> None:
+        with self.cond:
+            self.done[b].add(s)
+            self.cond.notify_all()
+
+    def take(self, allow_partial: Callable[[], bool]):
+        """Take the oldest buffer once it is full — or, when
+        ``allow_partial()`` turns True, with however many slots are done.
+        Returns (index, array, sorted_slot_list)."""
+        with self.cond:
+            while True:
+                if self.order:
+                    b = self.order[0]
+                    if len(self.done[b]) == self.batch or allow_partial():
+                        self.order.pop(0)
+                        return b, self.buffers[b], sorted(self.done[b])
+                self.cond.wait(timeout=0.05)
+
+    def recycle(self, b: int) -> None:
+        with self.cond:
+            self.done[b].clear()
+        self._issue(b)
+
+
+class _DecodeWorker(threading.Thread):
+    """One stream: decodes frames straight into claimed batch slots."""
+
+    def __init__(self, sid, source, ring, stop_evt, max_frames, loop,
+                 threads, out_format, gate=None):
         super().__init__(daemon=True, name=f"vpf-decode-{sid}")
         self.sid = sid
+        self.gate = gate
         self.source = source
-        self.out_q = out_q
+        self.ring = ring
+        self.stop_evt = stop_evt
         self.max_frames = max_frames
         self.loop = loop
         self.decode_threads = threads
+        self.out_format = out_format
         self.frames = 0
         self.error: Optional[BaseException] = None
 
+    def _emit(self, reader) -> bool:
+        """Decode one frame into a claimed slot; False at stream end."""
+        while True:
+            ticket = self.ring.claim()
+            if ticket is not None:
+                break
+            if self.stop_evt.is_set():
+                return False
+        b, s = ticket
+        if self.gate is not None:
+            self.gate.wait()
+        try:
+            frame = reader.decode(out=self.ring.buffers[b][s])
+        except BaseException:
+            self.ring.unclaim(ticket)
+            raise
+        if frame is None:
+            self.ring.unclaim(ticket)
+            return False
+        self.ring.complete(b, s)
+        self.frames += 1
+        return True
+
     def run(self):
         try:
-            while True:
+            while not self.stop_evt.is_set():
                 reader = VideoReader(self.source, threads=self.decode_threads)
-                for frame in reader.frames():
-                    self.out_q.put((self.sid, frame))
-                    self.frames += 1
+                if self.out_format is not None:
+                    reader.decoder.output_format = self.out_format
+                while not self.stop_evt.is_set():
+                    if not self._emit(reader):
+                        break
                     if self.max_frames and self.frames >= self.max_frames:
-                        self.out_q.put((self.sid, None))
                         return
-                if not self.loop:
-                    break
-            self.out_q.put((self.sid, None))
-        except BaseException as e:  # surfaced by the assembler
+                if not self.loop or self.stop_evt.is_set():
+                    return
+        except BaseException as e:
             self.error = e
-            self.out_q.put((self.sid, None))
 
 
 class MultiStreamPipeline:
-    """Decode N streams in parallel and yield batched device arrays.
+    """Decode N streams in parallel and yield batched device results.
 
-    ``postproc`` is any callable over batched planes (e.g.
-    :class:`~videoprocessingframework_tpu.ops.fused.FusedPipeline`); None
-    yields raw uploaded plane batches.
+    ``postproc`` is a callable over ONE packed batched plane array
+    (e.g. a :class:`~videoprocessingframework_tpu.ops.fused.FusedPipeline`
+    bound to packed-NV12 input); None yields the uploaded packed batches.
     """
 
     def __init__(
@@ -93,86 +178,189 @@ class MultiStreamPipeline:
         batch_size: int = 8,
         postproc: Optional[Callable] = None,
         device=None,
-        queue_depth: int = 64,
         max_frames_per_stream: Optional[int] = None,
         loop_streams: bool = False,
         decode_threads: int = 1,
-        inflight: int = 2,
+        inflight: int = 3,
+        out_format: PixelFormat = PixelFormat.NV12,
+        gate_decode: Optional[bool] = None,
+        serial: Optional[bool] = None,
     ):
         self.sources = list(sources)
         self.batch_size = batch_size
         self.postproc = postproc
         self.device = device or jax.devices()[0]
-        self.queue_depth = queue_depth
         self.max_frames = max_frames_per_stream
         self.loop_streams = loop_streams
         self.decode_threads = decode_threads
         self.inflight = max(1, inflight)
+        self.out_format = out_format
+        ncpu = os.cpu_count() or 1
+        # Threading policy by host size (measured on 1-core hosts: decode
+        # threads starve the transfer path 5-10x; fully serial round-robin
+        # is 2x faster than threaded there):
+        #   serial      — single core: no worker threads at all
+        #   gate_decode — few cores: threads, but alternate decode/upload
+        #   overlapped  — enough cores: full overlap (default design)
+        if serial is None:
+            serial = ncpu == 1
+        self.serial = serial
+        if gate_decode is None:
+            gate_decode = not serial and ncpu <= len(sources) + 1
+        self.gate_decode = gate_decode
+        if gate_decode:
+            self.inflight = 1
         self.stats = StreamStats()
         self.timer = StageTimer()
 
-    def _frame_iter(self) -> Iterator:
-        q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
+        probe = VideoReader(self.sources[0])
+        self.width = probe.width()
+        self.height = probe.height()
+        self._rows = (
+            geometry.host_frame_size(out_format, self.width, self.height)
+            // self.width
+        )
+
+    def _serial_batches(self) -> Iterator:
+        """Single-threaded round-robin over all sources: the fastest path
+        on one-core hosts, where threads only add GIL/scheduler thrash."""
+        t0 = time.perf_counter()
+        buf = np.empty((self.batch_size, self._rows, self.width), np.uint8)
+
+        def reader_for(src):
+            r = VideoReader(src, threads=self.decode_threads)
+            if self.out_format is not None:
+                r.decoder.output_format = self.out_format
+            return r
+
+        readers = [reader_for(s) for s in self.sources]
+        frames = [0] * len(readers)
+        live = [True] * len(readers)
+        slot = 0
+        pending = None  # previous device result (double buffering)
+
+        def dispatch(count):
+            nonlocal pending
+            batch = buf if count == self.batch_size else buf[:count]
+            with self.timer.measure("upload"), trace_range("UploadBatch"):
+                dev = jax.device_put(batch, self.device)
+            with self.timer.measure("dispatch"), trace_range("FusedPostproc"):
+                out = self.postproc(dev) if self.postproc else dev
+            prev, pending = pending, (out, count)
+            return prev
+
+        while any(live):
+            for i, r in enumerate(readers):
+                if not live[i]:
+                    continue
+                if self.max_frames and frames[i] >= self.max_frames:
+                    live[i] = False
+                    continue
+                f = r.decode(out=buf[slot])
+                if f is None:
+                    if self.loop_streams:
+                        readers[i] = reader_for(self.sources[i])
+                    else:
+                        live[i] = False
+                    continue
+                frames[i] += 1
+                slot += 1
+                if slot == self.batch_size:
+                    prev = dispatch(slot)
+                    slot = 0
+                    if prev is not None:
+                        jax.block_until_ready(prev[0])
+                        self.stats.batches += 1
+                        self.stats.frames_decoded += prev[1]
+                        yield prev[0]
+        if slot:
+            prev = dispatch(slot)
+            if prev is not None:
+                jax.block_until_ready(prev[0])
+                self.stats.batches += 1
+                self.stats.frames_decoded += prev[1]
+                yield prev[0]
+        if pending is not None:
+            jax.block_until_ready(pending[0])
+            self.stats.batches += 1
+            self.stats.frames_decoded += pending[1]
+            yield pending[0]
+        self.stats.wall_s = time.perf_counter() - t0
+
+    def batches(self) -> Iterator:
+        if self.serial:
+            yield from self._serial_batches()
+            return
+        t0 = time.perf_counter()
+        ring = _BatchRing(
+            self.inflight + 2, self.batch_size, self._rows, self.width
+        )
+        stop = threading.Event()
+        gate = None
+        if self.gate_decode:
+            gate = threading.Event()
+            gate.set()
         workers = [
             _DecodeWorker(
-                i, src, q, self.max_frames, self.loop_streams,
-                self.decode_threads,
+                i, src, ring, stop, self.max_frames, self.loop_streams,
+                self.decode_threads, self.out_format, gate,
             )
             for i, src in enumerate(self.sources)
         ]
         for w in workers:
             w.start()
-        live = len(workers)
-        while live:
-            sid, frame = q.get()
-            if frame is None:
-                live -= 1
-                if workers[sid].error:
-                    raise workers[sid].error
-                continue
-            yield frame
 
-    def batches(self) -> Iterator:
-        """Yield post-processed device batches (and fill ``self.stats``)."""
-        t0 = time.perf_counter()
-        pending: List = []
-        inflight: List = []
+        def workers_done() -> bool:
+            return all(not w.is_alive() for w in workers)
 
-        def submit(frames):
-            with self.timer.measure("assemble"):
-                plane_lists = [f.planes() for f in frames]
-                planes = [
-                    np.stack([pl[i] for pl in plane_lists])
-                    for i in range(len(plane_lists[0]))
-                ]
-            with self.timer.measure("upload"), trace_range("UploadBatch"):
-                dev = [jax.device_put(p, self.device) for p in planes]
-            with self.timer.measure("dispatch"), trace_range("FusedPostproc"):
-                out = self.postproc(*dev) if self.postproc else tuple(dev)
-            return out
+        inflight: List = []  # (buffer_idx, device_result, count)
 
-        for frame in self._frame_iter():
-            pending.append(frame)
-            self.stats.frames_decoded += 1
-            if len(pending) == self.batch_size:
-                inflight.append(submit(pending))
-                pending = []
-                if len(inflight) > self.inflight:
-                    out = inflight.pop(0)
-                    jax.block_until_ready(out)
-                    self.stats.batches += 1
-                    yield out
-        # tail: flush remaining full/partial batches
-        if pending:
-            inflight.append(submit(pending))
-        for out in inflight:
-            jax.block_until_ready(out)
+        def flush_one():
+            ob, oout, ocount = inflight.pop(0)
+            jax.block_until_ready(oout)
+            ring.recycle(ob)
             self.stats.batches += 1
-            yield out
+            self.stats.frames_decoded += ocount
+            return oout
+
+        try:
+            while True:
+                for w in workers:
+                    if w.error:
+                        raise w.error
+                b, arr, slots = ring.take(allow_partial=workers_done)
+                if not slots:
+                    ring.recycle(b)
+                    if workers_done():
+                        break
+                    continue
+                batch = (
+                    arr
+                    if len(slots) == self.batch_size
+                    else arr[np.asarray(slots)]
+                )
+                if gate is not None:
+                    gate.clear()
+                try:
+                    with self.timer.measure("upload"), trace_range("UploadBatch"):
+                        dev = jax.device_put(batch, self.device)
+                    with self.timer.measure("dispatch"), trace_range("FusedPostproc"):
+                        out = self.postproc(dev) if self.postproc else dev
+                    if gate is not None:
+                        jax.block_until_ready(out)
+                finally:
+                    if gate is not None:
+                        gate.set()
+                inflight.append((b, out, len(slots)))
+                if len(inflight) >= self.inflight:
+                    yield flush_one()
+        finally:
+            stop.set()
+        while inflight:
+            yield flush_one()
         self.stats.wall_s = time.perf_counter() - t0
 
     def run(self) -> StreamStats:
-        """Drain the pipeline, returning throughput stats."""
         for _ in self.batches():
             pass
         return self.stats
