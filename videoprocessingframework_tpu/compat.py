@@ -1,0 +1,841 @@
+"""Reference-compatible API surface (drop-in ``PyNvCodec`` namespace).
+
+Code written against the reference's Python module (import PyNvCodec as
+nvc) runs on this framework unchanged: the same class names, overload
+shapes, out-parameter conventions (caller-supplied numpy arrays resized
+and filled, PacketData structs mutated in place), empty-Surface EOF
+signalling, and exception types. Signatures mirror
+src/PyNvCodec/__init__.pyi; behavior mirrors src/PyNvCodec/src/*.cpp.
+
+GPU-specific knobs map to their TPU-host equivalents: ``gpu_id`` indexes
+``jax.devices()``; raw ``(context, stream)`` handles are accepted and
+ignored (there is no user-managed stream on TPU — transfers/compute are
+ordered by XLA).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Union
+
+import numpy as np
+
+from .core import geometry
+from .core.enums import (
+    CodecId as CudaVideoCodec,  # reference name
+    ColorRange,
+    ColorSpace,
+    PixelFormat,
+    SeekMode,
+)
+from .core.exceptions import (
+    CuvidParserException,
+    HwResetException,
+    UnsupportedConversion,
+)
+from .core.packet import ColorspaceConversionContext, MuxingParams, PacketData
+from .core.packet import SeekContext as _CoreSeekContext
+from .core.surface import Surface as _CoreSurface
+from .io.decoder import DecodedFrame, VideoDecoder, VideoReader
+from .io.demuxer import FFmpegDemuxer as _Demuxer
+from .io.encoder import VideoEncoder, get_encoder_params
+from .ops.convert import SurfaceConverter as _Converter
+from .ops.remap import SurfaceRemaper as _Remaper
+from .ops.resize import SurfaceResizer as _Resizer
+
+import enum
+
+
+class NV_DEC_CAPS(enum.IntEnum):
+    """Decoder capability keys (reference NV_DEC_CAPS analog)."""
+
+    BIT_DEPTH_MINUS_8 = 0
+    IS_CODEC_SUPPORTED = 1
+    MAX_WIDTH = 2
+    MAX_HEIGHT = 3
+    MIN_WIDTH = 4
+    MIN_HEIGHT = 5
+
+
+class NV_ENC_CAPS(enum.IntEnum):
+    """Encoder capability keys (reference NV_ENC_CAPS analog)."""
+
+    NUM_MAX_BFRAMES = 0
+    SUPPORT_LOOKAHEAD = 1
+    SUPPORT_REORDERED_OUTPUT = 2
+    WIDTH_MAX = 3
+    HEIGHT_MAX = 4
+    SUPPORT_10BIT_ENCODE = 5
+
+
+def GetNumGpus() -> int:
+    """Number of accelerator devices (PyNvCodec.cpp:427 analog)."""
+    import jax
+
+    return len(jax.devices())
+
+
+def GetNvencParams() -> Dict[str, str]:
+    return get_encoder_params()
+
+
+def _device(gpu_id: int = 0):
+    import jax
+
+    devs = jax.devices()
+    return devs[gpu_id % len(devs)]
+
+
+def _looks_like_handles(*args) -> bool:
+    """(context, stream) int-handle ctor flavor — accepted, unused."""
+    return len(args) == 2 and all(isinstance(a, int) for a in args)
+
+
+def _fill_out_array(out: np.ndarray, data: np.ndarray) -> None:
+    """Reference out-param convention: resize caller's array and fill it."""
+    data = np.ascontiguousarray(data).reshape(-1).view(out.dtype)
+    try:
+        out.resize(data.shape, refcheck=False)
+    except ValueError:
+        raise ValueError(
+            "output array must own its memory (create with numpy.ndarray/"
+            "numpy.empty)"
+        )
+    out[...] = data
+
+
+def _append_out_array(out: np.ndarray, data: np.ndarray) -> None:
+    data = np.ascontiguousarray(data).reshape(-1).view(out.dtype)
+    old = out.size
+    out.resize((old + data.size,), refcheck=False)
+    out[old:] = data
+
+
+def _copy_pkt(dst: PacketData, src: PacketData) -> None:
+    dst.key, dst.pts, dst.dts = src.key, src.pts, src.dts
+    dst.pos, dst.bsl, dst.duration = src.pos, src.bsl, src.duration
+
+
+class SeekContext(_CoreSeekContext):
+    """Reference-spelled ctor: SeekContext(seek_frame=…) or (seek_ts=…)."""
+
+    def __init__(
+        self,
+        seek_frame: Optional[Union[int, float]] = None,
+        mode: SeekMode = SeekMode.PREV_KEY_FRAME,
+        seek_ts: Optional[float] = None,
+        **kw,
+    ):
+        if seek_ts is None and isinstance(seek_frame, float):
+            seek_frame, seek_ts = None, seek_frame
+        super().__init__(
+            seek_frame=-1 if seek_frame is None else int(seek_frame),
+            seek_tssec=-1.0 if seek_ts is None else float(seek_ts),
+            mode=mode,
+            **kw,
+        )
+
+
+class SurfacePlane:
+    """Reference-spelled view of one plane."""
+
+    def __init__(self, core_plane):
+        self._p = core_plane
+
+    def Width(self) -> int:
+        return self._p.width
+
+    def Height(self) -> int:
+        return self._p.height
+
+    def Pitch(self) -> int:
+        return self._p.pitch
+
+    def ElemSize(self) -> int:
+        return self._p.elem_size
+
+    def HostFrameSize(self) -> int:
+        return self._p.host_frame_size
+
+    def GpuMem(self) -> int:
+        """Raw address of the plane memory (device pointer analog)."""
+        arr = self._p.array
+        if isinstance(arr, np.ndarray):
+            return arr.ctypes.data
+        return arr.unsafe_buffer_pointer()
+
+    def Export(self, dst: int, dst_pitch: int, *args) -> None:
+        raise NotImplementedError(
+            "raw-pointer Export is CUDA-specific; use Surface download APIs"
+        )
+
+    Import = Export
+
+    def __repr__(self):
+        return repr(self._p)
+
+
+class Surface:
+    """Reference-spelled Surface over the core device Surface."""
+
+    def __init__(self, core: _CoreSurface):
+        self._core = core
+
+    # -- factories -----------------------------------------------------------
+
+    @classmethod
+    def Make(
+        cls, format: PixelFormat, width: int, height: int, gpu_id: int = 0
+    ) -> "Surface":
+        return cls(_CoreSurface.make(format, width, height, _device(gpu_id)))
+
+    @classmethod
+    def _empty(cls, format: PixelFormat) -> "Surface":
+        return cls(_CoreSurface.make(format, 0, 0))
+
+    @property
+    def core(self) -> _CoreSurface:
+        return self._core
+
+    # -- geometry ------------------------------------------------------------
+
+    #: packed 3-channel formats report Width() in pixels (reference
+    #: SurfaceRGB::Width = plane.Width()/3, MemoryInterfaces.cpp:1382-1389)
+    _PACKED3 = (PixelFormat.RGB, PixelFormat.BGR, PixelFormat.RGB_32F)
+
+    def Width(self, plane: int = 0) -> int:
+        if self.Empty():
+            return 0
+        w = self._core.plane(plane).width
+        return w // 3 if self._core.format in self._PACKED3 else w
+
+    def Height(self, plane: int = 0) -> int:
+        return self._core.plane(plane).height if not self.Empty() else 0
+
+    def Pitch(self, plane: int = 0) -> int:
+        return self._core.plane(plane).pitch if not self.Empty() else 0
+
+    def Format(self) -> PixelFormat:
+        return self._core.format
+
+    def Empty(self) -> bool:
+        return self._core.empty()
+
+    def NumPlanes(self) -> int:
+        return self._core.num_planes
+
+    def HostSize(self) -> int:
+        return self._core.host_size
+
+    def OwnMemory(self) -> bool:
+        return True
+
+    def PlanePtr(self, plane: int = 0) -> SurfacePlane:
+        return SurfacePlane(self._core.plane(plane))
+
+    # -- data movement ---------------------------------------------------------
+
+    def Clone(self, *args) -> "Surface":
+        return Surface(self._core.clone())
+
+    def CopyFrom(self, other: "Surface", *args) -> None:
+        self._core.copy_from(other._core)
+
+    def Crop(self, x: int, y: int, w: int, h: int, *args) -> "Surface":
+        return Surface(self._core.crop(x, y, w, h))
+
+    def __repr__(self):
+        return repr(self._core)
+
+
+class CudaBuffer:
+    """1-D device memory token (reference CudaBuffer analog; HBM-backed)."""
+
+    def __init__(self, elem_size: int, num_elems: int, array=None, gpu_id: int = 0):
+        import jax
+
+        self._elem_size = elem_size
+        self._num_elems = num_elems
+        if array is None:
+            array = jax.device_put(
+                np.zeros(elem_size * num_elems, np.uint8), _device(gpu_id)
+            )
+        self._array = array
+
+    @classmethod
+    def Make(cls, elem_size: int, num_elems: int, gpu_id: int = 0) -> "CudaBuffer":
+        return cls(elem_size, num_elems, gpu_id=gpu_id)
+
+    def GetElemSize(self) -> int:
+        return self._elem_size
+
+    def GetNumElems(self) -> int:
+        return self._num_elems
+
+    def GetRawMemSize(self) -> int:
+        return self._elem_size * self._num_elems
+
+    def GpuMem(self) -> int:
+        return self._array.unsafe_buffer_pointer()
+
+    def Clone(self, *args) -> "CudaBuffer":
+        import jax.numpy as jnp
+
+        return CudaBuffer(self._elem_size, self._num_elems, jnp.copy(self._array))
+
+    def CopyFrom(self, other: "CudaBuffer", *args) -> None:
+        if other.GetRawMemSize() != self.GetRawMemSize():
+            raise ValueError("CopyFrom: size mismatch")
+        import jax.numpy as jnp
+
+        self._array = jnp.copy(other._array)
+
+    def to_numpy(self) -> np.ndarray:
+        return np.asarray(self._array)
+
+
+class PyFFmpegDemuxer:
+    """src/PyNvCodec/src/PyFFMpegDemuxer.cpp analog."""
+
+    def __init__(self, input: str, opts: Optional[Dict[str, str]] = None):
+        self._d = _Demuxer(input, opts)
+
+    def Width(self) -> int:
+        return self._d.width
+
+    def Height(self) -> int:
+        return self._d.height
+
+    def Framerate(self) -> float:
+        return self._d.framerate
+
+    def AvgFramerate(self) -> float:
+        return self._d.avg_framerate
+
+    def IsVFR(self) -> bool:
+        return self._d.is_vfr
+
+    def Timebase(self) -> float:
+        return self._d.timebase
+
+    def Numframes(self) -> int:
+        return self._d.num_frames
+
+    def Format(self) -> PixelFormat:
+        return self._d.format
+
+    def ColorSpace(self) -> ColorSpace:
+        return self._d.color_space
+
+    def ColorRange(self) -> ColorRange:
+        return self._d.color_range
+
+    def Codec(self) -> CudaVideoCodec:
+        return self._d.codec
+
+    def DemuxSinglePacket(
+        self, packet: np.ndarray, sei: Optional[np.ndarray] = None
+    ) -> bool:
+        res = self._d.demux(need_sei=sei is not None)
+        if res is None:
+            return False
+        _fill_out_array(packet, res.packet)
+        if sei is not None:
+            _fill_out_array(
+                sei, res.sei if res.sei is not None else np.empty(0, np.uint8)
+            )
+        return True
+
+    def Seek(self, seek_ctx: _CoreSeekContext, pkt: np.ndarray) -> bool:
+        res = self._d.seek(seek_ctx)
+        if res is None:
+            return False
+        _fill_out_array(pkt, res.packet)
+        return True
+
+    def LastPacketData(self, pkt_data: PacketData) -> None:
+        _copy_pkt(pkt_data, self._d.last_packet_data)
+
+    def Flush(self) -> None:
+        self._d.flush()
+
+
+class PyNvDecoder:
+    """src/PyNvCodec/src/PyNvDecoder.cpp analog (host codec engine).
+
+    Ctors: (input, gpu_id[, opts]) — built-in demuxer; (width, height,
+    format, codec, gpu_id) — standalone packet decoding; int
+    (context, stream) pairs accepted in place of gpu_id.
+    """
+
+    def __init__(self, *args, **kw):
+        self._gpu_id = 0
+        if args and isinstance(args[0], str):
+            input_ = args[0]
+            rest = args[1:]
+            opts = kw.get("opts")
+            for a in rest:
+                if isinstance(a, dict):
+                    opts = a
+                elif isinstance(a, int):
+                    self._gpu_id = a
+            self._reader = VideoReader(
+                input_, opts, device=_device(self._gpu_id)
+            )
+            self._standalone = False
+        else:
+            width, height, fmt, codec = args[:4]
+            rest = args[4:]
+            if rest and isinstance(rest[0], int):
+                self._gpu_id = rest[0] if len(rest) == 1 else 0
+            self._reader = VideoReader(
+                codec=CudaVideoCodec(codec),
+                width=width,
+                height=height,
+                format=PixelFormat(fmt),
+                device=_device(self._gpu_id),
+            )
+            self._standalone = True
+        self._format = self._reader.format
+
+    # -- metadata (reference error contract without demuxer) -----------------
+
+    def Width(self) -> int:
+        return self._reader.width()
+
+    def Height(self) -> int:
+        return self._reader.height()
+
+    def ColorSpace(self) -> ColorSpace:
+        return self._reader.color_space()
+
+    def ColorRange(self) -> ColorRange:
+        return self._reader.color_range()
+
+    def Framerate(self) -> float:
+        return self._reader.framerate()
+
+    def AvgFramerate(self) -> float:
+        return self._reader.avg_framerate()
+
+    def IsVFR(self) -> bool:
+        return self._reader.is_vfr()
+
+    def Timebase(self) -> float:
+        return self._reader.timebase()
+
+    def Numframes(self) -> int:
+        return self._reader.num_frames()
+
+    def Framesize(self) -> int:
+        return self._reader.frame_size()
+
+    def Format(self) -> PixelFormat:
+        return self._format
+
+    def LastPacketData(self, pkt_data: PacketData) -> None:
+        _copy_pkt(pkt_data, self._reader.last_packet_data())
+
+    def Capabilities(self) -> Dict[NV_DEC_CAPS, int]:
+        return {
+            NV_DEC_CAPS.BIT_DEPTH_MINUS_8: 0,
+            NV_DEC_CAPS.IS_CODEC_SUPPORTED: 1,
+            NV_DEC_CAPS.MAX_WIDTH: 8192,
+            NV_DEC_CAPS.MAX_HEIGHT: 8192,
+            NV_DEC_CAPS.MIN_WIDTH: 16,
+            NV_DEC_CAPS.MIN_HEIGHT: 16,
+        }
+
+    # -- decode core ------------------------------------------------------------
+
+    @staticmethod
+    def _sort_extras(extras):
+        """Classify overload extras: (sei_array, seek_ctx, pkt_data)."""
+        sei = seek = pkt = None
+        for a in extras:
+            if isinstance(a, np.ndarray):
+                sei = a
+            elif isinstance(a, _CoreSeekContext):
+                seek = a
+            elif isinstance(a, PacketData):
+                pkt = a
+            elif a is None:
+                continue
+            else:
+                raise TypeError(f"unexpected argument {type(a)}")
+        return sei, seek, pkt
+
+    def _decode(self, sei, seek, pkt_out, packet=None, enc_pkt_data=None,
+                flush=False) -> Optional[DecodedFrame]:
+        frame = self._reader.decode(
+            packet=packet,
+            packet_data=enc_pkt_data,
+            seek_ctx=seek,
+            need_sei=sei is not None,
+            flush=flush,
+        )
+        if frame is None:
+            return None
+        if sei is not None:
+            s = self._reader.last_sei()
+            _fill_out_array(sei, s if s is not None else np.empty(0, np.uint8))
+        if pkt_out is not None:
+            _copy_pkt(pkt_out, frame.pkt_data)
+        return frame
+
+    def DecodeSingleSurface(self, *extras) -> Surface:
+        sei, seek, pkt = self._sort_extras(extras)
+        frame = self._decode(sei, seek, pkt)
+        if frame is None:
+            return Surface._empty(self._format)
+        return Surface(frame.to_surface(_device(self._gpu_id)))
+
+    def DecodeSingleFrame(self, frame: np.ndarray, *extras) -> bool:
+        sei, seek, pkt = self._sort_extras(extras)
+        decoded = self._decode(sei, seek, pkt)
+        if decoded is None:
+            return False
+        _fill_out_array(frame, decoded.data)
+        return True
+
+    def _from_packet(self, extras_packet_first) -> tuple:
+        """(enc_pkt_data, packet, pkt_data) from overload args."""
+        enc_pkt = packet = pkt_out = None
+        arrays = [a for a in extras_packet_first if isinstance(a, np.ndarray)]
+        pds = [a for a in extras_packet_first if isinstance(a, PacketData)]
+        packet = arrays[0] if arrays else None
+        if len(pds) == 2:
+            enc_pkt, pkt_out = pds
+        elif len(pds) == 1:
+            # PacketData BEFORE the packet array = enc packet metadata;
+            # after = output packet data (reference overload order)
+            first_is_pd = extras_packet_first and isinstance(
+                extras_packet_first[0], PacketData
+            )
+            if first_is_pd:
+                enc_pkt = pds[0]
+            else:
+                pkt_out = pds[0]
+        return enc_pkt, packet, pkt_out
+
+    def DecodeSurfaceFromPacket(self, *args) -> Surface:
+        enc_pkt, packet, pkt_out = self._from_packet(args)
+        frame = self._decode(None, None, pkt_out, packet=packet,
+                             enc_pkt_data=enc_pkt)
+        if frame is None:
+            return Surface._empty(self._format)
+        return Surface(frame.to_surface(_device(self._gpu_id)))
+
+    def DecodeFrameFromPacket(self, frame: np.ndarray, *args) -> bool:
+        enc_pkt, packet, pkt_out = self._from_packet(args)
+        decoded = self._decode(None, None, pkt_out, packet=packet,
+                               enc_pkt_data=enc_pkt)
+        if decoded is None:
+            return False
+        _fill_out_array(frame, decoded.data)
+        return True
+
+    def FlushSingleSurface(self, *extras) -> Surface:
+        _, _, pkt = self._sort_extras(extras)
+        frame = self._decode(None, None, pkt, flush=True)
+        if frame is None:
+            return Surface._empty(self._format)
+        return Surface(frame.to_surface(_device(self._gpu_id)))
+
+    def FlushSingleFrame(self, frame: np.ndarray, *extras) -> bool:
+        _, _, pkt = self._sort_extras(extras)
+        decoded = self._decode(None, None, pkt, flush=True)
+        if decoded is None:
+            return False
+        _fill_out_array(frame, decoded.data)
+        return True
+
+
+class PyFfmpegDecoder:
+    """src/PyNvCodec/src/PyFFMpegDecoder.cpp analog (SW decode + MVs)."""
+
+    def __init__(self, input: str, opts: Optional[Dict[str, str]] = None,
+                 gpu_id: int = 0):
+        self._demuxer = _Demuxer(input, opts)
+        self._decoder = VideoDecoder(
+            self._demuxer.codec, threads=1, export_mvs=True
+        )
+        self._gpu_id = gpu_id
+        self._eof = False
+
+    def Width(self) -> int:
+        return self._demuxer.width
+
+    def Height(self) -> int:
+        return self._demuxer.height
+
+    def Framerate(self) -> float:
+        return self._demuxer.framerate
+
+    def Codec(self) -> CudaVideoCodec:
+        return self._demuxer.codec
+
+    def Format(self) -> PixelFormat:
+        return self._demuxer.format
+
+    def ColorSpace(self) -> ColorSpace:
+        return self._demuxer.color_space
+
+    def ColorRange(self) -> ColorRange:
+        return self._demuxer.color_range
+
+    def _next_frame(self) -> Optional[DecodedFrame]:
+        while True:
+            if not self._eof:
+                res = self._demuxer.demux()
+                if res is None:
+                    self._eof = True
+                    continue
+                frame = self._decoder.decode_packet(res.packet, res.pkt_data)
+            else:
+                frame = self._decoder.flush_frame()
+                if frame is None:
+                    return None
+            if frame is not None:
+                return frame
+            if self._eof:
+                return None
+
+    def DecodeSingleFrame(self, frame: np.ndarray) -> bool:
+        decoded = self._next_frame()
+        if decoded is None:
+            return False
+        _fill_out_array(frame, decoded.data)
+        return True
+
+    def DecodeSingleSurface(self) -> Surface:
+        decoded = self._next_frame()
+        if decoded is None:
+            return Surface._empty(self._demuxer.format)
+        return Surface(decoded.to_surface(_device(self._gpu_id)))
+
+    def GetMotionVectors(self) -> np.ndarray:
+        return self._decoder.motion_vectors()
+
+
+class PyNvEncoder:
+    """src/PyNvCodec/src/PyNvEncoder.cpp analog (host codec engine)."""
+
+    def __init__(self, settings: Dict[str, str], *args, format=None,
+                 verbose: bool = False, **kw):
+        gpu_id = args[0] if args and isinstance(args[0], int) else 0
+        opts = dict(settings)
+        if format is not None:
+            opts.setdefault("fmt", PixelFormat(format).name)
+        try:
+            self._enc = VideoEncoder(opts, device=_device(gpu_id))
+        except ValueError as e:
+            # match the reference's error type for bad options
+            raise RuntimeError(str(e)) from None
+
+    def Width(self) -> int:
+        return self._enc.width
+
+    def Height(self) -> int:
+        return self._enc.height
+
+    def Format(self) -> PixelFormat:
+        return self._enc.format
+
+    def GetFrameSizeInBytes(self) -> int:
+        return self._enc.frame_size_in_bytes()
+
+    def Capabilities(self) -> Dict[NV_ENC_CAPS, int]:
+        return {
+            NV_ENC_CAPS.NUM_MAX_BFRAMES: 4,
+            NV_ENC_CAPS.SUPPORT_LOOKAHEAD: 1,
+            NV_ENC_CAPS.SUPPORT_REORDERED_OUTPUT: 1,
+            NV_ENC_CAPS.WIDTH_MAX: 8192,
+            NV_ENC_CAPS.HEIGHT_MAX: 8192,
+            NV_ENC_CAPS.SUPPORT_10BIT_ENCODE: 0,
+        }
+
+    def _encode(self, data, packet, sei, sync, append) -> bool:
+        out = self._enc.encode(
+            data, sei=None if sei is None else bytes(np.asarray(sei)), sync=sync
+        )
+        if out is None:
+            return False
+        if append:
+            _append_out_array(packet, out[0])
+        else:
+            _fill_out_array(packet, out[0])
+        return True
+
+    def EncodeSingleSurface(self, surface, packet: np.ndarray,
+                            sei=None, sync=False, append=False) -> bool:
+        core = surface._core if isinstance(surface, Surface) else surface
+        return self._encode(core, packet, sei, sync, append)
+
+    def EncodeSingleFrame(self, frame: np.ndarray, packet: np.ndarray,
+                          sei=None, sync=False, append=False) -> bool:
+        return self._encode(np.asarray(frame), packet, sei, sync, append)
+
+    def FlushSinglePacket(self, packet: np.ndarray) -> bool:
+        out = self._enc.flush_single_packet()
+        if out is None:
+            return False
+        _fill_out_array(packet, out[0])
+        return True
+
+    def Flush(self, packets: np.ndarray) -> bool:
+        got = False
+        for pkt, _ in self._enc.flush():
+            _append_out_array(packets, pkt)
+            got = True
+        return got
+
+    def Reconfigure(self, settings: Dict[str, str], force_idr: bool = False,
+                    reset_encoder: bool = False, verbose: bool = False) -> bool:
+        return self._enc.reconfigure(settings, force_idr, reset_encoder)
+
+
+class PySurfaceConverter:
+    """src/PyNvCodec/src/PySurfaceConverter.cpp analog."""
+
+    def __init__(self, width, height, src_format, dst_format, gpu_id=0,
+                 *args):
+        try:
+            self._conv = _Converter(width, height, src_format, dst_format)
+        except UnsupportedConversion as e:
+            raise ValueError(str(e)) from None
+        self._dst_format = PixelFormat(dst_format)
+
+    def Format(self) -> PixelFormat:
+        return self._dst_format
+
+    def Execute(self, surface, cc_ctx=None) -> Surface:
+        core = surface._core if isinstance(surface, Surface) else surface
+        try:
+            out = self._conv.run(core, cc_ctx)
+        except UnsupportedConversion:
+            # reference returns an empty surface on conversion failure
+            return Surface._empty(self._dst_format)
+        return Surface(out)
+
+
+class PySurfaceResizer:
+    def __init__(self, width, height, format, gpu_id=0, *args):
+        self._resizer = _Resizer(width, height, format)
+        self._format = PixelFormat(format)
+
+    def Format(self) -> PixelFormat:
+        return self._format
+
+    def Execute(self, surface) -> Surface:
+        core = surface._core if isinstance(surface, Surface) else surface
+        return Surface(self._resizer.run(core))
+
+
+class PySurfaceRemaper:
+    def __init__(self, x_map, y_map, format=PixelFormat.RGB, gpu_id=0, *args):
+        self._remaper = _Remaper(np.asarray(x_map), np.asarray(y_map),
+                                 PixelFormat(format))
+        self._format = PixelFormat(format)
+
+    def Format(self) -> PixelFormat:
+        return self._format
+
+    def Execute(self, surface) -> Surface:
+        core = surface._core if isinstance(surface, Surface) else surface
+        return Surface(self._remaper.run(core))
+
+
+class PyFrameUploader:
+    """Host frame → device Surface (src/PyNvCodec/src/PyFrameUploader.cpp)."""
+
+    def __init__(self, width, height, format, gpu_id=0, *args):
+        self._w, self._h = width, height
+        self._format = PixelFormat(format)
+        self._gpu_id = gpu_id if isinstance(gpu_id, int) else 0
+
+    def Format(self) -> PixelFormat:
+        return self._format
+
+    def UploadSingleFrame(self, frame: np.ndarray) -> Surface:
+        core = _CoreSurface.from_host_frame(
+            np.ascontiguousarray(frame), self._format, self._w, self._h
+        )
+        return Surface(core.to_device(_device(self._gpu_id)))
+
+
+class PySurfaceDownloader:
+    """Device Surface → host frame."""
+
+    def __init__(self, width, height, format, gpu_id=0, *args):
+        self._w, self._h = width, height
+        self._format = PixelFormat(format)
+
+    def Format(self) -> PixelFormat:
+        return self._format
+
+    def DownloadSingleSurface(self, surface, frame: np.ndarray) -> bool:
+        core = surface._core if isinstance(surface, Surface) else surface
+        if core.empty():
+            return False
+        _fill_out_array(frame, core.download())
+        return True
+
+
+class PyBufferUploader:
+    def __init__(self, elem_size, num_elems, gpu_id=0, *args):
+        self._elem_size = elem_size
+        self._num_elems = num_elems
+        self._gpu_id = gpu_id if isinstance(gpu_id, int) else 0
+
+    def UploadSingleBuffer(self, array: np.ndarray) -> CudaBuffer:
+        import jax
+
+        flat = np.ascontiguousarray(array).reshape(-1).view(np.uint8)
+        if flat.nbytes != self._elem_size * self._num_elems:
+            raise ValueError("buffer size mismatch")
+        dev = jax.device_put(flat, _device(self._gpu_id))
+        return CudaBuffer(self._elem_size, self._num_elems, dev)
+
+
+class PyCudaBufferDownloader:
+    def __init__(self, elem_size, num_elems, gpu_id=0, *args):
+        self._elem_size = elem_size
+        self._num_elems = num_elems
+
+    def DownloadSingleCudaBuffer(self, buffer: CudaBuffer,
+                                 array: np.ndarray) -> bool:
+        _fill_out_array(array, buffer.to_numpy())
+        return True
+
+
+__all__ = [
+    "CudaBuffer",
+    "CudaVideoCodec",
+    "ColorRange",
+    "ColorSpace",
+    "ColorspaceConversionContext",
+    "CuvidParserException",
+    "GetNumGpus",
+    "GetNvencParams",
+    "HwResetException",
+    "MuxingParams",
+    "NV_DEC_CAPS",
+    "NV_ENC_CAPS",
+    "PacketData",
+    "PixelFormat",
+    "PyBufferUploader",
+    "PyCudaBufferDownloader",
+    "PyFFmpegDemuxer",
+    "PyFfmpegDecoder",
+    "PyFrameUploader",
+    "PyNvDecoder",
+    "PyNvEncoder",
+    "PySurfaceConverter",
+    "PySurfaceDownloader",
+    "PySurfaceRemaper",
+    "PySurfaceResizer",
+    "SeekContext",
+    "SeekMode",
+    "Surface",
+    "SurfacePlane",
+]

@@ -78,6 +78,7 @@ class FFmpegDemuxer:
         props = _lib.VpfStreamProps()
         self._lib.vpf_demuxer_get_props(self._h, C.byref(props))
         self._props = props
+        self.last_packet_data = PacketData()
 
     # -- stream properties --------------------------------------------------
 
@@ -178,6 +179,7 @@ class FFmpegDemuxer:
             raise BitstreamParserException(_lib.last_error())
         packet = np.ctypeslib.as_array(data, shape=(size.value,)).copy()
         out = DemuxResult(packet=packet, pkt_data=_pkt_from_c(pkt))
+        self.last_packet_data = out.pkt_data
         if need_sei and sei_size.value:
             out.sei = np.ctypeslib.as_array(sei, shape=(sei_size.value,)).copy()
         return out
@@ -210,7 +212,8 @@ class FFmpegDemuxer:
         ctx.out_frame_pts = out_pts.value
         ctx.out_frame_duration = out_dur.value
         packet = np.ctypeslib.as_array(data, shape=(size.value,)).copy()
-        return DemuxResult(packet=packet, pkt_data=_pkt_from_c(pkt))
+        self.last_packet_data = _pkt_from_c(pkt)
+        return DemuxResult(packet=packet, pkt_data=self.last_packet_data)
 
     def ts_from_time(self, sec: float) -> int:
         """Seconds → stream-timebase units, with libav's exact rounding."""

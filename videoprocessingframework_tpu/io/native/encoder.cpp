@@ -234,6 +234,14 @@ struct Encoder {
         avctx->max_b_frames = 0;  // zerolatency forbids B-frames
       }
       av_opt_set_int(avctx->priv_data, "udu_sei", 1, 0);
+      // Cap lookahead to NVENC-like output latency (the session contract
+      // expects first packets within ~8 frames); x265 tuning goes through
+      // the x265-params string.
+      std::string la = opt("lookahead", "4");
+      // frame-threads=1: frame threading adds 2-3 frames of latency that
+      // would break the session's output-delay contract
+      std::string xp = "rc-lookahead=" + la + ":frame-threads=1";
+      av_opt_set(avctx->priv_data, "x265-params", xp.c_str(), 0);
     }
 
     if (zero_latency) avctx->thread_count = 1;
