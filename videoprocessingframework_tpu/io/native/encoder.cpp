@@ -234,13 +234,16 @@ struct Encoder {
         avctx->max_b_frames = 0;  // zerolatency forbids B-frames
       }
       av_opt_set_int(avctx->priv_data, "udu_sei", 1, 0);
-      // Cap lookahead to NVENC-like output latency (the session contract
-      // expects first packets within ~8 frames); x265 tuning goes through
-      // the x265-params string.
-      std::string la = opt("lookahead", "4");
-      // frame-threads=1: frame threading adds 2-3 frames of latency that
-      // would break the session's output-delay contract
-      std::string xp = "rc-lookahead=" + la + ":frame-threads=1";
+      // Cap output latency to NVENC-like delay (first packets within ~8
+      // frames): small lookahead (must exceed bframes), single frame
+      // thread (frame threading adds 2-3 frames of delay). x265 tuning
+      // goes through the x265-params string.
+      if (!has("bf")) avctx->max_b_frames = 2;
+      int la = has("lookahead") ? atoi(opt("lookahead").c_str())
+                                : avctx->max_b_frames + 1;
+      if (la <= avctx->max_b_frames) la = avctx->max_b_frames + 1;
+      std::string xp =
+          "rc-lookahead=" + std::to_string(la) + ":frame-threads=1";
       av_opt_set(avctx->priv_data, "x265-params", xp.c_str(), 0);
     }
 
