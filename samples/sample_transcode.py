@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Full transcode: decode → (optional resize) → re-encode, preserving the
+transcode API shape of the reference (decode/convert/encode task chain)."""
+
+import pathlib as _pathlib
+import sys as _sys
+
+_ROOT = _pathlib.Path(__file__).resolve().parent.parent
+_sys.path[:0] = [str(_ROOT), str(_ROOT / "samples")]
+
+import argparse
+import sys
+
+import numpy as np
+
+import PyNvCodec as nvc
+
+from utils import default_input, get_logger  # noqa: E402
+
+log = get_logger("sample_transcode")
+
+
+def transcode(src, dst, codec="h264", bitrate="3M", scale=None):
+    dec = nvc.PyNvDecoder(src, 0)
+    w, h = dec.Width(), dec.Height()
+    ow, oh = (w, h) if not scale else scale
+    enc = nvc.PyNvEncoder(
+        {"codec": codec, "preset": "P2", "s": f"{ow}x{oh}",
+         "bitrate": bitrate}, 0
+    )
+    resizer = None
+    if (ow, oh) != (w, h):
+        resizer = nvc.PySurfaceResizer(ow, oh, nvc.PixelFormat.NV12, 0)
+    packet = np.ndarray(shape=(0,), dtype=np.uint8)
+    n_in = n_out = 0
+    with open(dst, "wb") as out:
+        while True:
+            surf = dec.DecodeSingleSurface()
+            if surf.Empty():
+                break
+            n_in += 1
+            if resizer:
+                surf = resizer.Execute(surf)
+            if enc.EncodeSingleSurface(surf, packet):
+                out.write(packet.tobytes())
+                n_out += 1
+        while enc.FlushSinglePacket(packet):
+            out.write(packet.tobytes())
+            n_out += 1
+    return n_in, n_out
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("input", nargs="?", default=default_input())
+    ap.add_argument("output", nargs="?", default="/tmp/transcoded.h264")
+    ap.add_argument("--codec", default="h264")
+    ap.add_argument("--bitrate", default="3M")
+    ap.add_argument("--scale", help="WxH", default=None)
+    args = ap.parse_args()
+    scale = tuple(map(int, args.scale.split("x"))) if args.scale else None
+    n_in, n_out = transcode(args.input, args.output, args.codec,
+                            args.bitrate, scale)
+    log.info("transcoded %d frames -> %d packets -> %s", n_in, n_out,
+             args.output)

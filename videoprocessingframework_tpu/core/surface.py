@@ -60,7 +60,10 @@ class HostBuffer:
         np.copyto(self.data, other.data)
 
     def __del__(self):
-        _alloc.unregister(getattr(self, "_alloc_id", None))
+        try:
+            _alloc.unregister(getattr(self, "_alloc_id", None))
+        except Exception:
+            pass  # interpreter shutdown: alloc module may be gone
 
 
 class SurfacePlane:
@@ -308,4 +311,7 @@ class Surface:
         )
 
     def __del__(self):
-        _alloc.unregister(getattr(self, "_alloc_id", None))
+        try:
+            _alloc.unregister(getattr(self, "_alloc_id", None))
+        except Exception:
+            pass  # interpreter shutdown: alloc module may be gone
