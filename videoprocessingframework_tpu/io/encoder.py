@@ -78,17 +78,26 @@ class VideoEncoder:
             self._width, self._height = int(w), int(h)
         except ValueError:
             raise ValueError(f"Invalid frame size option 's': {s!r}")
-        fmt = self.opts.get("fmt", "NV12").upper()
+        fmt = self.opts.get("fmt", "NV12")
+        by_name = {m.name.upper(): m for m in PixelFormat}
         try:
-            self.format = PixelFormat[fmt]
+            self.format = by_name[fmt.upper()]
         except KeyError:
             raise ValueError(f"Unsupported encoder input format: {fmt}")
+        # reference input-format set (PyNvEncoder.cpp:204-221): NV12,
+        # YUV444, 10-bit 4:2:0 (P10/YUV420_10bit/P12); plus planar YUV420
         if self.format not in (
             PixelFormat.NV12,
             PixelFormat.YUV420,
             PixelFormat.YUV444,
+            PixelFormat.P10,
+            PixelFormat.P12,
+            PixelFormat.YUV420_10bit,
         ):
             raise ValueError(f"Unsupported encoder input format: {fmt}")
+        if self.format == PixelFormat.YUV420_10bit:
+            # packed wire format is P010-style 16-bit
+            self.format = PixelFormat.P10
         self.device = device
         self._h = None  # lazy: first encode knows the sync flag
         self._sync = False

@@ -162,6 +162,14 @@ struct Encoder {
     } else if (fmt == "YUV444") {
       pix = AV_PIX_FMT_YUV444P;
       in_fmt = VPF_FMT_YUV444;
+    } else if (fmt == "P10" || fmt == "YUV420_10bit" || fmt == "P12") {
+      // 10-bit 4:2:0: packed 16-bit MSB-aligned input (P010-style), encoded
+      // as yuv420p10 (requires a 10-bit capable encoder — hevc here).
+      if (codec_name == "h264" || codec_name == "H264")
+        return vpf_set_error(
+            VPF_ERR, "10-bit input requires the hevc encoder");
+      pix = AV_PIX_FMT_YUV420P10;
+      in_fmt = VPF_FMT_P10;
     } else {
       return vpf_set_error(VPF_ERR, "unsupported input fmt: %s", fmt.c_str());
     }
@@ -308,6 +316,31 @@ struct Encoder {
           for (int r = 0; r < h; r++)
             memcpy(frame->data[p] + (size_t)r * frame->linesize[p],
                    src + (size_t)p * need + (size_t)r * w, w);
+        return VPF_OK;
+      }
+      case VPF_FMT_P10: {
+        // MSB-aligned 16-bit P010-style packed input → yuv420p10 (LSB)
+        if (size < need * 3)
+          return vpf_set_error(VPF_ERR, "P10 frame too small");
+        const uint16_t* sy = (const uint16_t*)src;
+        for (int r = 0; r < h; r++) {
+          uint16_t* drow =
+              (uint16_t*)(frame->data[0] + (size_t)r * frame->linesize[0]);
+          const uint16_t* srow = sy + (size_t)r * w;
+          for (int c = 0; c < w; c++) drow[c] = srow[c] >> 6;
+        }
+        const uint16_t* suv = sy + need;
+        for (int r = 0; r < ch; r++) {
+          uint16_t* urow =
+              (uint16_t*)(frame->data[1] + (size_t)r * frame->linesize[1]);
+          uint16_t* vrow =
+              (uint16_t*)(frame->data[2] + (size_t)r * frame->linesize[2]);
+          const uint16_t* srow = suv + (size_t)r * w;
+          for (int c = 0; c < cw; c++) {
+            urow[c] = srow[2 * c] >> 6;
+            vrow[c] = srow[2 * c + 1] >> 6;
+          }
+        }
         return VPF_OK;
       }
       default:
