@@ -126,8 +126,10 @@ def main() -> int:
     if not clip.exists():
         make_clip(clip, width, height, clip_frames)
 
+    # one decode stream per available core (alternating decoder contexts on
+    # a shared core halves throughput — measured 170→78 fps on 1 core)
     ncpu = os.cpu_count() or 1
-    streams = args.streams or max(2, min(16, ncpu))
+    streams = args.streams or max(1, min(16, ncpu))
     frames_per_stream = args.frames or (clip_frames if args.quick else 300)
 
     pipe = MultiStreamPipeline(
