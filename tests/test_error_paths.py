@@ -1,0 +1,99 @@
+"""Failure-detection contract tests: corrupt bitstreams, truncated input,
+bad sources — the reference's 3-tier error model (SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+
+from videoprocessingframework_tpu.core.enums import CodecId
+from videoprocessingframework_tpu.core.exceptions import (
+    BitstreamParserException,
+    HwResetException,
+)
+from videoprocessingframework_tpu.io import FFmpegDemuxer, VideoDecoder, VideoReader
+
+
+def test_open_nonexistent_file():
+    with pytest.raises(RuntimeError, match="open"):
+        FFmpegDemuxer("/nonexistent/path.mp4")
+
+
+def test_open_garbage_file(tmp_path):
+    p = tmp_path / "garbage.mp4"
+    p.write_bytes(np.random.default_rng(0).bytes(4096))
+    with pytest.raises(RuntimeError):
+        FFmpegDemuxer(str(p))
+
+
+def test_corrupt_packets_recoverable(test_mp4):
+    """Feeding corrupted Annex.B must raise typed errors, after which the
+    decoder keeps working (HwReset/parser contract)."""
+    d = FFmpegDemuxer(test_mp4)
+    dec = VideoDecoder(CodecId.H264, threads=1)
+    res = d.demux()
+    # corrupt the middle of a real keyframe packet
+    bad = res.packet.copy()
+    bad[len(bad) // 3 :] = 0x5A
+    try:
+        dec.decode_packet(bad, res.pkt_data)
+        # some corruptions decode with errors instead of raising — both OK
+    except (BitstreamParserException, HwResetException, RuntimeError):
+        pass
+    # decoder session still usable with clean input
+    dec.reset()
+    n = 0
+    f = dec.decode_packet(res.packet, res.pkt_data)
+    while True:
+        nxt = d.demux()
+        if nxt is None or n > 5:
+            break
+        f = dec.decode_packet(nxt.packet, nxt.pkt_data)
+        if f is not None:
+            n += 1
+    assert n > 0
+
+
+def test_truncated_stream_drains(test_mp4, tmp_path):
+    """A mid-GOP truncated elementary stream decodes what it can."""
+    d = FFmpegDemuxer(test_mp4)
+    stream = bytearray()
+    for i, res in enumerate(d):
+        stream += res.packet.tobytes()
+        if i >= 20:
+            break
+    # truncate inside the last packet
+    path = tmp_path / "trunc.h264"
+    path.write_bytes(bytes(stream[: len(stream) - 37]))
+    r = VideoReader(str(path))
+    n = sum(1 for _ in r.frames())
+    assert 10 <= n <= 21
+
+
+def test_decoder_unknown_codec():
+    with pytest.raises(RuntimeError):
+        VideoDecoder(CodecId.UNDEFINED)
+
+
+def test_bf16_fused_close_to_f32():
+    import jax.numpy as jnp
+
+    from videoprocessingframework_tpu.core.enums import (
+        ColorRange,
+        ColorSpace,
+        PixelFormat,
+    )
+    from videoprocessingframework_tpu.ops.fused import decode_postproc
+
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, 256, (2, 64, 96), np.uint8)
+    uv = rng.integers(0, 256, (2, 32, 96), np.uint8)
+    kw = dict(
+        src_format=PixelFormat.NV12,
+        space=ColorSpace.BT_709,
+        rng=ColorRange.MPEG,
+        out_h=32,
+        out_w=48,
+        output="rgb_f32",
+    )
+    a = np.asarray(decode_postproc(y, uv, **kw))
+    b = np.asarray(decode_postproc(y, uv, compute_dtype=jnp.bfloat16, **kw))
+    assert np.abs(a - b).max() < 0.02  # bf16 has ~2-3 decimal digits

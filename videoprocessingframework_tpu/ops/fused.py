@@ -64,6 +64,7 @@ def _resize_f32(img, h_out, w_out, method):
         "mean",
         "std",
         "swap",
+        "compute_dtype",
     ),
 )
 def decode_postproc(
@@ -78,6 +79,7 @@ def decode_postproc(
     mean: Sequence[float] = IMAGENET_MEAN,
     std: Sequence[float] = IMAGENET_STD,
     swap: bool = False,
+    compute_dtype=jnp.float32,
 ):
     """Fused (N-batched) decode post-processing.
 
@@ -112,7 +114,11 @@ def decode_postproc(
     rgb = _csc_to_rgb_f32(y, u, v, space, rng)
     if swap:
         rgb = rgb[..., ::-1]
-    rgb = _resize_f32(rgb, out_h, out_w, method)
+    if compute_dtype != jnp.float32:
+        # bf16 intermediates halve VPU/HBM traffic on the resize; outside
+        # the ≤1-ULP parity path — use for model feeds, not for u8 parity.
+        rgb = rgb.astype(compute_dtype)
+    rgb = _resize_f32(rgb, out_h, out_w, method).astype(jnp.float32)
 
     if output == "rgb_u8":
         return _round_u8(rgb)
