@@ -25,22 +25,6 @@ from utils import default_input, get_logger  # noqa: E402
 log = get_logger("sample_segmentation")
 
 
-def make_fcn(num_classes: int = 21):
-    import flax.linen as nn
-
-    class TinyFCN(nn.Module):
-        @nn.compact
-        def __call__(self, x):
-            x = nn.Conv(32, (3, 3), (2, 2))(x)
-            x = nn.relu(x)
-            x = nn.Conv(64, (3, 3), (2, 2))(x)
-            x = nn.relu(x)
-            x = nn.ConvTranspose(32, (4, 4), (2, 2))(x)
-            x = nn.relu(x)
-            x = nn.ConvTranspose(num_classes, (4, 4), (2, 2))(x)
-            return x
-
-    return TinyFCN()
 
 
 if __name__ == "__main__":
@@ -49,10 +33,13 @@ if __name__ == "__main__":
     ap.add_argument("--frames", type=int, default=8)
     args = ap.parse_args()
 
+    from videoprocessingframework_tpu.models import fcn_resnet
+    from videoprocessingframework_tpu.models.segmentation import init_params
+
     dmx = nvc.PyFFmpegDemuxer(args.input)
     dec = nvc.PyNvDecoder(args.input, 0)
-    model = make_fcn()
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+    model = fcn_resnet()
+    params = init_params(model, (1, 224, 224, 3))
 
     @jax.jit
     def segment(p, y, uv):
@@ -62,7 +49,7 @@ if __name__ == "__main__":
             space=dmx.ColorSpace(), rng=dmx.ColorRange(),
             out_h=224, out_w=224, output="normalized",
         )
-        return model.apply(p, x).argmax(-1)
+        return model.apply(p, x, train=False).argmax(-1)
 
     w, h = dmx.Width(), dmx.Height()
     frame = np.ndarray(shape=(0,), dtype=np.uint8)
