@@ -180,7 +180,7 @@ class MultiStreamPipeline:
         device=None,
         max_frames_per_stream: Optional[int] = None,
         loop_streams: bool = False,
-        decode_threads: int = 1,
+        decode_threads: int = 0,  # 0 = libav auto: its native threads fill the core while transfers sleep
         inflight: int = 3,
         out_format: PixelFormat = PixelFormat.NV12,
         gate_decode: Optional[bool] = None,
