@@ -303,3 +303,47 @@ def test_get_num_gpus_and_params():
     assert nvc.GetNumGpus() >= 1
     params = nvc.GetNvencParams()
     assert "codec" in params and len(params) == 29
+
+
+def test_surface_plane_import_export():
+    W, H = 32, 16
+    up = nvc.PyFrameUploader(W, H, nvc.PixelFormat.Y, 0)
+    frame = np.arange(W * H, dtype=np.uint8)
+    surf = up.UploadSingleFrame(frame)
+    plane = surf.PlanePtr(0)
+    # Export to raw host memory with a wider pitch, then Import back
+    pitch = W + 16
+    raw = np.zeros((H, pitch), np.uint8)
+    plane.Export(raw.ctypes.data, pitch)
+    np.testing.assert_array_equal(raw[:, :W].reshape(-1), frame)
+    surf2 = nvc.Surface.Make(nvc.PixelFormat.Y, W, H, 0)
+    surf2.PlanePtr(0).Import(raw.ctypes.data, pitch)
+    out = np.ndarray(shape=(0,), dtype=np.uint8)
+    assert nvc.PySurfaceDownloader(W, H, nvc.PixelFormat.Y, 0).DownloadSingleSurface(surf2, out)
+    np.testing.assert_array_equal(out, frame)
+
+
+def test_motion_vector_dtype_exported():
+    assert nvc.MotionVector.names[:2] == ("source", "w")
+
+
+def test_yuv422_encode_round_trip(tmp_path):
+    W, H = 64, 48
+    enc = nvc.PyNvEncoder(
+        {"codec": "h264", "preset": "P1", "s": f"{W}x{H}", "fmt": "YUV422",
+         "constqp": "1"}, 0,
+    )
+    frame = np.random.randint(0, 256, (W * H * 2,), dtype=np.uint8)
+    stream = np.ndarray(shape=(0,), dtype=np.uint8)
+    for _ in range(3):
+        enc.EncodeSingleFrame(frame, stream, sync=True, append=True)
+    path = tmp_path / "y422.h264"
+    path.write_bytes(stream.tobytes())
+    dec = nvc.PyNvDecoder(str(path), 0)
+    out = np.ndarray(shape=(0,), dtype=np.uint8)
+    n = 0
+    while dec.DecodeSingleFrame(out):
+        n += 1
+    assert n == 3
+    assert dec.Format() == nvc.PixelFormat.YUV422
+    assert out.size == W * H * 2

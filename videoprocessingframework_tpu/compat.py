@@ -164,11 +164,30 @@ class SurfacePlane:
         return arr.unsafe_buffer_pointer()
 
     def Export(self, dst: int, dst_pitch: int, *args) -> None:
-        raise NotImplementedError(
-            "raw-pointer Export is CUDA-specific; use Surface download APIs"
-        )
+        """Copy this plane into raw host memory at ``dst`` (address as int),
+        honoring ``dst_pitch`` (reference SurfacePlane::Export semantics;
+        host memory here — device pointers don't exist on TPU)."""
+        import ctypes
 
-    Import = Export
+        data = np.ascontiguousarray(np.asarray(self._p.array))
+        h, row = self._p.height, self._p.pitch
+        base = data.ctypes.data
+        for r in range(h):
+            ctypes.memmove(dst + r * dst_pitch, base + r * row, row)
+
+    def Import(self, src: int, src_pitch: int, *args) -> None:
+        """Fill this plane from raw host memory at ``src``."""
+        import ctypes
+
+        h, row = self._p.height, self._p.pitch
+        buf = np.empty((h, row), np.uint8)
+        for r in range(h):
+            ctypes.memmove(
+                buf[r : r + 1].ctypes.data, src + r * src_pitch, row
+            )
+        self._p.import_from(buf.view(self._p.array.dtype).reshape(
+            self._p.array.shape
+        ))
 
     def __repr__(self):
         return repr(self._p)
@@ -808,8 +827,26 @@ class PyCudaBufferDownloader:
         return True
 
 
+#: structured dtype of GetMotionVectors() rows (reference MotionVector)
+MotionVector = np.dtype(
+    [
+        ("source", np.int32),
+        ("w", np.uint8),
+        ("h", np.uint8),
+        ("src_x", np.int16),
+        ("src_y", np.int16),
+        ("dst_x", np.int16),
+        ("dst_y", np.int16),
+        ("flags", np.uint64),
+        ("motion_x", np.int32),
+        ("motion_y", np.int32),
+        ("motion_scale", np.uint16),
+    ]
+)
+
 __all__ = [
     "CudaBuffer",
+    "MotionVector",
     "CudaVideoCodec",
     "ColorRange",
     "ColorSpace",

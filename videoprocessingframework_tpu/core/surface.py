@@ -67,12 +67,17 @@ class HostBuffer:
 
 
 class SurfacePlane:
-    """One plane of a Surface. Width is in samples (channels included)."""
+    """One plane of a Surface. Width is in samples (channels included).
 
-    __slots__ = ("array",)
+    When created via :meth:`Surface.plane`, writes through
+    :meth:`import_from` propagate back to the owning Surface."""
 
-    def __init__(self, array: ArrayLike):
+    __slots__ = ("array", "_owner", "_index")
+
+    def __init__(self, array: ArrayLike, owner=None, index: int = 0):
         self.array = array
+        self._owner = owner
+        self._index = index
 
     @property
     def width(self) -> int:
@@ -109,6 +114,8 @@ class SurfacePlane:
             self.array = jax.device_put(src, sharding)
         else:
             self.array = src.copy()
+        if self._owner is not None:
+            self._owner.planes[self._index] = self.array
         return self
 
     def __repr__(self) -> str:
@@ -228,7 +235,7 @@ class Surface:
         return self.width == 0 or self.height == 0
 
     def plane(self, i: int = 0) -> SurfacePlane:
-        return SurfacePlane(self.planes[i])
+        return SurfacePlane(self.planes[i], owner=self, index=i)
 
     # -- data movement -----------------------------------------------------
 

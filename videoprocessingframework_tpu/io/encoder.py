@@ -89,6 +89,7 @@ class VideoEncoder:
         if self.format not in (
             PixelFormat.NV12,
             PixelFormat.YUV420,
+            PixelFormat.YUV422,
             PixelFormat.YUV444,
             PixelFormat.P10,
             PixelFormat.P12,

@@ -162,6 +162,9 @@ struct Encoder {
     } else if (fmt == "YUV444") {
       pix = AV_PIX_FMT_YUV444P;
       in_fmt = VPF_FMT_YUV444;
+    } else if (fmt == "YUV422") {
+      pix = AV_PIX_FMT_YUV422P;
+      in_fmt = VPF_FMT_YUV422;
     } else if (fmt == "P10" || fmt == "YUV420_10bit" || fmt == "P12") {
       // 10-bit 4:2:0: packed 16-bit MSB-aligned input (P010-style), encoded
       // as yuv420p10 (requires a 10-bit capable encoder — hevc here).
@@ -316,6 +319,22 @@ struct Encoder {
           for (int r = 0; r < h; r++)
             memcpy(frame->data[p] + (size_t)r * frame->linesize[p],
                    src + (size_t)p * need + (size_t)r * w, w);
+        return VPF_OK;
+      }
+      case VPF_FMT_YUV422: {
+        if (size < need * 2)
+          return vpf_set_error(VPF_ERR, "YUV422 frame too small");
+        for (int r = 0; r < h; r++)
+          memcpy(frame->data[0] + (size_t)r * frame->linesize[0],
+                 src + (size_t)r * w, w);
+        const uint8_t* up = src + need;
+        const uint8_t* vp = up + (size_t)cw * h;
+        for (int r = 0; r < h; r++) {
+          memcpy(frame->data[1] + (size_t)r * frame->linesize[1],
+                 up + (size_t)r * cw, cw);
+          memcpy(frame->data[2] + (size_t)r * frame->linesize[2],
+                 vp + (size_t)r * cw, cw);
+        }
         return VPF_OK;
       }
       case VPF_FMT_P10: {
