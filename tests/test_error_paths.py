@@ -96,4 +96,6 @@ def test_bf16_fused_close_to_f32():
     )
     a = np.asarray(decode_postproc(y, uv, **kw))
     b = np.asarray(decode_postproc(y, uv, compute_dtype=jnp.bfloat16, **kw))
-    assert np.abs(a - b).max() < 0.02  # bf16 has ~2-3 decimal digits
+    # bf16 resize matrices: worst-case a few bf16 ulps at 0..1 scale
+    assert np.abs(a - b).max() < 0.06
+    assert np.abs(a - b).mean() < 0.01

@@ -96,3 +96,46 @@ def test_pallas_alignment_guard():
     uv = np.zeros((1, 15, 100), np.uint8)
     with pytest.raises(ValueError, match="pallas nv12 kernel"):
         nv12_to_rgb_planar_pallas(y, uv, interpret=True)
+
+
+def test_pallas_yuv420_rgb_interpret_matches_golden():
+    from videoprocessingframework_tpu.ops.pallas_kernels import (
+        yuv420_to_rgb_planar_pallas,
+    )
+
+    y = RNG.integers(0, 256, (1, H, W), np.uint8)
+    u = RNG.integers(0, 256, (1, H // 2, W // 2), np.uint8)
+    v = RNG.integers(0, 256, (1, H // 2, W // 2), np.uint8)
+    out = np.asarray(
+        yuv420_to_rgb_planar_pallas(
+            y, u, v, space=ColorSpace.BT_601, rng=ColorRange.JPEG,
+            interpret=True,
+        )
+    )
+    want = golden.yuv420_to_rgb(y[0], u[0], v[0], ColorSpace.BT_601,
+                                ColorRange.JPEG)
+    got = np.moveaxis(out[0], 0, -1)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_yuv420_rgb_planar_converter_pair():
+    from videoprocessingframework_tpu.core.surface import Surface
+    from videoprocessingframework_tpu.core.packet import (
+        ColorspaceConversionContext,
+    )
+    from videoprocessingframework_tpu.ops.convert import SurfaceConverter
+
+    y = RNG.integers(0, 256, (H, W), np.uint8)
+    u = RNG.integers(0, 256, (H // 2, W // 2), np.uint8)
+    v = RNG.integers(0, 256, (H // 2, W // 2), np.uint8)
+    s = Surface(PixelFormat.YUV420, W, H, [y, u, v])
+    conv = SurfaceConverter(W, H, PixelFormat.YUV420, PixelFormat.RGB_PLANAR)
+    out = conv.run(
+        s, ColorspaceConversionContext(ColorSpace.BT_601, ColorRange.MPEG)
+    )
+    assert out.planes[0].shape == (3 * H, W)
+    want = golden.yuv420_to_rgb(y, u, v, ColorSpace.BT_601, ColorRange.MPEG)
+    got = np.moveaxis(
+        np.asarray(out.planes[0]).reshape(3, H, W), 0, -1
+    )
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1

@@ -444,9 +444,26 @@ def _nv12_rgb_planar(y, uv, *, space, rng):
     return (out.reshape(n, 3 * h, w),)
 
 
+def _yuv420_rgb_planar(y, u, v, *, space, rng):
+    """Extension pair: planar 4:2:0 → planar RGB (Pallas-accelerated)."""
+    h, w = y.shape[-2], y.shape[-1]
+    from .pallas_kernels import pallas_supported, yuv420_to_rgb_planar_pallas
+
+    if pallas_supported(h, w) and jax.default_backend() not in ("cpu",):
+        out = yuv420_to_rgb_planar_pallas(y, u, v, space=space, rng=rng)
+    else:
+        out = jnp.moveaxis(yuv420_to_rgb(y, u, v, space=space, rng=rng), -1, 1)
+    n = out.shape[0]
+    return (out.reshape(n, 3 * h, w),)
+
+
 _register(
     F.NV12, F.RGB_PLANAR, _nv12_rgb_planar,
     ctx=_NEEDS_CTX_TO_RGB, combos="nv12",
+)
+_register(
+    F.YUV420, F.RGB_PLANAR, _yuv420_rgb_planar,
+    ctx=_NEEDS_CTX_TO_RGB, combos="yuv420",
 )
 _register(F.NV12, F.Y, _nv12_y)
 _register(F.RGB, F.RGB_32F, _rgb8_rgb32f)

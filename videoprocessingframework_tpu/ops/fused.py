@@ -51,6 +51,27 @@ def _resize_f32(img, h_out, w_out, method):
     return jnp.einsum("pw,...hwc->...hpc", c, t, precision="highest")
 
 
+def _resize_plane2d(x, rmat, cmat, dtype):
+    """(N, H, W) → (N, out_h, out_w) via the two resize matmuls."""
+    rmat = rmat.astype(dtype)
+    cmat = cmat.astype(dtype)
+    t = jnp.einsum("oh,nhw->now", rmat, x.astype(dtype), precision="highest")
+    return jnp.einsum("pw,nhw->nhp", cmat, t, precision="highest")
+
+
+def _chroma_collapse(mat: jnp.ndarray) -> jnp.ndarray:
+    """Fold a full-res resize matrix onto the half-res chroma grid.
+
+    With nearest (2× replicate) chroma upsampling, c_full[i] = c[i // 2],
+    so  Σ_i M[o, i]·c_full[i]  ==  Σ_j (M[o, 2j] + M[o, 2j+1])·c[j]:
+    summing adjacent matrix column pairs gives a half-size matrix whose
+    result is bit-identical to upsample-then-resize — without ever
+    materializing full-resolution chroma.
+    """
+    o, n = mat.shape
+    return mat.reshape(o, n // 2, 2).sum(-1)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -94,31 +115,47 @@ def decode_postproc(
         packed = planes[0]
         h = packed.shape[-2] * 2 // 3
         planes = (packed[..., :h, :], packed[..., h:, :])
+    subsampled = fmt in (F.NV12, F.NV12_PLANAR, F.YUV420, F.YCBCR, F.P10, F.P12)
     if fmt in (F.NV12, F.NV12_PLANAR):
         y, uv = planes
         u, v = _deinterleave_uv(uv)
-        u, v = _upsample2(u), _upsample2(v)
     elif fmt in (F.YUV420, F.YCBCR):
         y, u, v = planes
-        u, v = _upsample2(u), _upsample2(v)
     elif fmt == F.YUV444:
         y, u, v = planes
     elif fmt in (F.P10, F.P12):
         y, uv = planes
         y = y.astype(jnp.float32) * (1.0 / 256.0)
         u, v = _deinterleave_uv(uv.astype(jnp.float32) * (1.0 / 256.0))
-        u, v = _upsample2(u), _upsample2(v)
     else:
         raise ValueError(f"decode_postproc: unsupported source {fmt}")
+
+    h_in, w_in = y.shape[-2], y.shape[-1]
+    if (h_in, w_in) != (out_h, out_w):
+        # Resize-before-CSC: the color matrix is affine and every resize
+        # row sums to 1, so resizing Y/Cb/Cr planes first is mathematically
+        # identical to CSC-then-resize — but never materializes the
+        # full-resolution f32 RGB intermediate (a ~3x HBM saving at 1080p).
+        # The 2x chroma replicate-upsample folds exactly into the chroma
+        # resize matrix (see _chroma_collapse), so subsampled chroma is
+        # resized straight from its native half resolution.
+        rmat = jnp.asarray(resize_matrix(h_in, out_h, method))
+        cmat = jnp.asarray(resize_matrix(w_in, out_w, method))
+        y = _resize_plane2d(y, rmat, cmat, compute_dtype)
+        if subsampled:
+            rc = _chroma_collapse(rmat)
+            cc = _chroma_collapse(cmat)
+            u = _resize_plane2d(u, rc, cc, compute_dtype)
+            v = _resize_plane2d(v, rc, cc, compute_dtype)
+        else:
+            u = _resize_plane2d(u, rmat, cmat, compute_dtype)
+            v = _resize_plane2d(v, rmat, cmat, compute_dtype)
+    elif subsampled:
+        u, v = _upsample2(u), _upsample2(v)
 
     rgb = _csc_to_rgb_f32(y, u, v, space, rng)
     if swap:
         rgb = rgb[..., ::-1]
-    if compute_dtype != jnp.float32:
-        # bf16 intermediates halve VPU/HBM traffic on the resize; outside
-        # the ≤1-ULP parity path — use for model feeds, not for u8 parity.
-        rgb = rgb.astype(compute_dtype)
-    rgb = _resize_f32(rgb, out_h, out_w, method).astype(jnp.float32)
 
     if output == "rgb_u8":
         return _round_u8(rgb)
