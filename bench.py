@@ -60,8 +60,14 @@ def make_clip(path: pathlib.Path, width: int, height: int, frames: int) -> None:
 
 
 def device_kernel_fps(y, uv, out_h, out_w, iters: int = 20):
-    """Kernel-only throughput with inputs resident in HBM."""
+    """Kernel-only throughput with inputs resident in HBM.
+
+    Chains ``iters`` kernel invocations inside one jit (lax.scan) and
+    materializes a dependent scalar — naive dispatch loops over-report by
+    10-100x on asynchronous runtimes.
+    """
     import jax
+    import jax.numpy as jnp
 
     from videoprocessingframework_tpu.core.enums import (
         ColorRange,
@@ -74,23 +80,27 @@ def device_kernel_fps(y, uv, out_h, out_w, iters: int = 20):
     yd = jax.device_put(y, dev)
     uvd = jax.device_put(uv, dev)
 
-    def run():
-        return decode_postproc(
-            yd,
-            uvd,
-            src_format=PixelFormat.NV12,
-            space=ColorSpace.BT_709,
-            rng=ColorRange.MPEG,
-            out_h=out_h,
-            out_w=out_w,
-            output="rgb_u8",
-        )
+    @jax.jit
+    def chained(y, uv):
+        def body(c, i):
+            out = decode_postproc(
+                y + i.astype(jnp.uint8),
+                uv,
+                src_format=PixelFormat.NV12,
+                space=ColorSpace.BT_709,
+                rng=ColorRange.MPEG,
+                out_h=out_h,
+                out_w=out_w,
+                output="rgb_u8",
+            )
+            return c + out.astype(jnp.uint32).sum(), None
 
-    run().block_until_ready()  # compile
+        acc, _ = jax.lax.scan(body, jnp.uint32(0), jnp.arange(iters))
+        return acc
+
+    np.asarray(chained(yd, uvd))  # compile + run once
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run()
-    out.block_until_ready()
+    np.asarray(chained(yd, uvd))
     dt = time.perf_counter() - t0
     n = y.shape[0] * iters
     in_bytes = (y.nbytes + uv.nbytes) * iters
