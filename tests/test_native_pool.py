@@ -1,0 +1,92 @@
+"""Native decode pool tests: exact frame counts, multi-stream, partial
+drain, zero-copy batch views, fused post-processing."""
+
+import numpy as np
+import pytest
+
+from videoprocessingframework_tpu.core.enums import (
+    ColorRange,
+    ColorSpace,
+    PixelFormat,
+)
+from videoprocessingframework_tpu.io import NativeDecodePool, VideoReader
+from videoprocessingframework_tpu.ops.fused import FusedPipeline
+
+
+def test_pool_single_stream_counts(test_mp4, gt):
+    pool = NativeDecodePool([test_mp4], batch_size=8)
+    total = 0
+    while True:
+        batch = pool.acquire()
+        if batch is None:
+            break
+        assert batch.shape[1:] == (
+            gt["height"] * 3 // 2,
+            gt["width"],
+        )
+        total += batch.shape[0]
+        pool.release()
+    assert total == gt["num_frames"]
+    assert pool.frames_decoded == gt["num_frames"]
+
+
+def test_pool_multi_stream_counts(test_mp4, gt):
+    pool = NativeDecodePool([test_mp4] * 3, batch_size=16)
+    total = 0
+    while True:
+        b = pool.acquire()
+        if b is None:
+            break
+        total += b.shape[0]
+        pool.release()
+    assert total == 3 * gt["num_frames"]
+
+
+def test_pool_max_frames_and_loop(test_mp4):
+    pool = NativeDecodePool(
+        [test_mp4], batch_size=4, loop=True, max_frames_per_stream=150
+    )
+    total = 0
+    while True:
+        b = pool.acquire()
+        if b is None:
+            break
+        total += b.shape[0]
+        pool.release()
+    assert total == 150  # looped past one 96-frame pass, stopped exactly
+
+
+def test_pool_frames_match_reader(test_mp4, gt):
+    """Pool output must be bit-identical to the single-session reader."""
+    reader_frames = [f.data.copy() for f in VideoReader(test_mp4).frames()]
+    pool = NativeDecodePool([test_mp4], batch_size=8)
+    got = []
+    while True:
+        b = pool.acquire()
+        if b is None:
+            break
+        got.extend(b.reshape(b.shape[0], -1).copy())
+        pool.release()
+    assert len(got) == len(reader_frames)
+    for a, b_ in zip(got, reader_frames):
+        np.testing.assert_array_equal(a, b_)
+
+
+def test_pool_with_fused_postproc(test_mp4, gt):
+    pool = NativeDecodePool([test_mp4], batch_size=8)
+    post = FusedPipeline(
+        PixelFormat.NV12, ColorSpace.BT_709, ColorRange.MPEG,
+        out_size=(64, 32),
+    )
+    total = 0
+    for out in pool.batches(post):
+        arr = np.asarray(out)
+        assert arr.shape[1:] == (32, 64, 3)
+        total += arr.shape[0]
+    assert total == gt["num_frames"]
+
+
+def test_pool_bad_source():
+    pool = NativeDecodePool.__new__(NativeDecodePool)
+    with pytest.raises(RuntimeError):
+        NativeDecodePool(["/nonexistent/file.mp4"])

@@ -195,6 +195,21 @@ def load() -> C.CDLL:
     sig("vpf_encoder_width", C.c_int, [C.c_void_p])
     sig("vpf_encoder_height", C.c_int, [C.c_void_p])
     sig("vpf_encoder_validate_options", C.c_int, [C.POINTER(C.c_char_p), C.c_int])
+
+    sig(
+        "vpf_pool_create",
+        C.c_void_p,
+        [C.POINTER(C.c_char_p), C.c_int, C.c_int, C.c_size_t, C.c_int,
+         C.c_int, C.c_int64, C.c_int],
+    )
+    sig(
+        "vpf_pool_acquire_batch",
+        C.c_int,
+        [C.c_void_p, C.POINTER(_u8p), C.POINTER(C.c_int)],
+    )
+    sig("vpf_pool_release_batch", None, [C.c_void_p])
+    sig("vpf_pool_frames_decoded", C.c_long, [C.c_void_p])
+    sig("vpf_pool_destroy", None, [C.c_void_p])
     return lib
 
 

@@ -1,0 +1,266 @@
+/* DecodePool: native multi-stream decode scheduler.
+ *
+ * N worker threads each own a demuxer+decoder session and pack decoded
+ * frames straight into slots of a ring of packed batch buffers; the
+ * consumer acquires full batches in order and releases them after upload.
+ * This is the native equivalent of the reference's stream-per-thread
+ * concurrency (samples/SampleDecodeMultiThread.py + the GIL-released
+ * per-frame calls), with the batching/ring logic itself in C++ so the
+ * Python process only sees whole batches — no interpreter work per frame.
+ *
+ * Built on the exported demuxer/decoder C API (demuxer.cpp, decoder.cpp).
+ */
+
+#include "common.hpp"
+
+#include <atomic>
+#include <condition_variable>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+/* C API from demuxer.cpp / decoder.cpp */
+extern "C" {
+void* vpf_demuxer_open(const char*, const char* const*, const char* const*, int);
+void vpf_demuxer_close(void*);
+int vpf_demuxer_get_props(void*, VpfStreamProps*);
+int vpf_demuxer_demux(void*, const uint8_t**, size_t*, VpfPacketData*,
+                      const uint8_t**, size_t*);
+int vpf_demuxer_codec_id(void*);
+void* vpf_decoder_create(int, const uint8_t*, size_t, int, int);
+void vpf_decoder_destroy(void*);
+int vpf_decoder_decode(void*, const uint8_t*, size_t, const VpfPacketData*);
+int vpf_decoder_flush_frame(void*);
+int vpf_decoder_copy_frame(void*, int, uint8_t*, size_t);
+}
+
+namespace {
+
+struct Batch {
+  std::vector<uint8_t> data;  // batch * frame_bytes
+  int filled = 0;
+  int issued = 0;  // slots handed to workers
+};
+
+struct Pool {
+  std::vector<std::string> urls;
+  int batch = 8;
+  size_t frame_bytes = 0;
+  int out_fmt = VPF_FMT_NV12;
+  int n_buffers = 4;
+  int64_t max_frames_per_stream = 0;  // 0 = until EOF
+  bool loop = false;
+
+  std::vector<Batch> ring;
+  std::deque<int> fill_order;   // buffers accepting slots (front = oldest)
+  std::deque<int> ready_order;  // full buffers awaiting the consumer
+  int acquired = -1;            // buffer currently held by the consumer
+  std::mutex mu;
+  std::condition_variable cv;
+  std::atomic<bool> stop{false};
+  std::atomic<long> frames{0};
+  std::vector<std::thread> workers;
+  std::string error;
+  int live_workers = 0;
+
+  ~Pool() { shutdown(); }
+
+  void shutdown() {
+    stop.store(true);
+    cv.notify_all();
+    for (auto& t : workers)
+      if (t.joinable()) t.join();
+    workers.clear();
+  }
+
+  /* Claim one (buffer, slot); returns false at shutdown. */
+  bool claim(int& b, int& s) {
+    std::unique_lock<std::mutex> lk(mu);
+    for (;;) {
+      if (stop.load()) return false;
+      if (!fill_order.empty()) {
+        b = fill_order.front();
+        s = ring[b].issued++;
+        if (ring[b].issued == batch) fill_order.pop_front();
+        return true;
+      }
+      cv.wait_for(lk, std::chrono::milliseconds(50));
+    }
+  }
+
+  void complete(int b) {
+    std::lock_guard<std::mutex> lk(mu);
+    if (++ring[b].filled == batch) {
+      ready_order.push_back(b);
+      cv.notify_all();
+    }
+  }
+
+  /* Worker main: demux+decode one stream into claimed slots.
+   * Exactly one live_workers decrement, on exit (worker_exit). */
+  void worker_main(int sid) {
+    worker_body(sid);
+    std::lock_guard<std::mutex> lk(mu);
+    live_workers--;
+    cv.notify_all();
+  }
+
+  void worker_body(int sid) {
+    long my_frames = 0;
+    do {
+      void* dmx = vpf_demuxer_open(urls[sid % urls.size()].c_str(), nullptr,
+                                   nullptr, 0);
+      if (!dmx) {
+        fail("demuxer open failed");
+        return;
+      }
+      void* dec =
+          vpf_decoder_create(vpf_demuxer_codec_id(dmx), nullptr, 0, 0, 0);
+      if (!dec) {
+        vpf_demuxer_close(dmx);
+        fail("decoder create failed");
+        return;
+      }
+      bool eof = false;
+      while (!stop.load() && !eof) {
+        if (max_frames_per_stream && my_frames >= max_frames_per_stream) {
+          vpf_decoder_destroy(dec);
+          vpf_demuxer_close(dmx);
+          return;
+        }
+        int r;
+        // produce one frame
+        for (;;) {
+          const uint8_t* data;
+          size_t size;
+          VpfPacketData pkt;
+          int dr = vpf_demuxer_demux(dmx, &data, &size, &pkt, nullptr, nullptr);
+          if (dr == VPF_OK) {
+            r = vpf_decoder_decode(dec, data, size, &pkt);
+          } else {
+            r = vpf_decoder_flush_frame(dec);
+            if (r != VPF_OK) {
+              eof = true;
+              break;
+            }
+          }
+          if (r == VPF_OK) break;
+          if (r < 0 && r != VPF_ERR_EOF) {
+            eof = true;
+            break;
+          }
+        }
+        if (eof) break;
+        int b, s;
+        if (!claim(b, s)) {
+          vpf_decoder_destroy(dec);
+          vpf_demuxer_close(dmx);
+          return;
+        }
+        uint8_t* dst = ring[b].data.data() + (size_t)s * frame_bytes;
+        if (vpf_decoder_copy_frame(dec, out_fmt, dst, frame_bytes) != VPF_OK) {
+          // geometry mismatch (e.g. resolution change): drop the slot by
+          // zero-filling so the batch still completes
+          memset(dst, 0, frame_bytes);
+        }
+        complete(b);
+        my_frames++;
+        frames.fetch_add(1);
+      }
+      vpf_decoder_destroy(dec);
+      vpf_demuxer_close(dmx);
+    } while (loop && !stop.load());
+  }
+
+  void fail(const char* what) {
+    std::lock_guard<std::mutex> lk(mu);
+    if (error.empty()) error = what;
+    cv.notify_all();
+  }
+
+  /* Consumer: acquire the oldest full batch (or a partial one at end). */
+  int acquire(const uint8_t** data, int* count) {
+    std::unique_lock<std::mutex> lk(mu);
+    for (;;) {
+      if (!error.empty()) {
+        vpf_set_error(VPF_ERR, "%s", error.c_str());
+        return VPF_ERR;
+      }
+      if (!ready_order.empty()) {
+        acquired = ready_order.front();
+        ready_order.pop_front();
+        *data = ring[acquired].data.data();
+        *count = ring[acquired].filled;
+        return VPF_OK;
+      }
+      if (live_workers == 0) {
+        // drain a partial buffer if any slots were filled
+        for (auto it = fill_order.begin(); it != fill_order.end(); ++it) {
+          int b = *it;
+          if (ring[b].filled > 0 && ring[b].filled == ring[b].issued) {
+            fill_order.erase(it);
+            acquired = b;
+            *data = ring[b].data.data();
+            *count = ring[b].filled;
+            return VPF_OK;
+          }
+        }
+        return VPF_NEED_MORE;  // fully drained
+      }
+      cv.wait_for(lk, std::chrono::milliseconds(50));
+    }
+  }
+
+  void release() {
+    std::lock_guard<std::mutex> lk(mu);
+    if (acquired < 0) return;
+    ring[acquired].filled = 0;
+    ring[acquired].issued = 0;
+    fill_order.push_back(acquired);
+    acquired = -1;
+    cv.notify_all();
+  }
+};
+
+}  // namespace
+
+VPF_API void* vpf_pool_create(const char* const* urls, int n_streams,
+                              int batch, size_t frame_bytes, int out_fmt,
+                              int loop, int64_t max_frames_per_stream,
+                              int n_buffers) {
+  auto* p = new Pool();
+  for (int i = 0; i < n_streams; i++) p->urls.emplace_back(urls[i]);
+  p->batch = batch;
+  p->frame_bytes = frame_bytes;
+  p->out_fmt = out_fmt;
+  p->loop = loop != 0;
+  p->max_frames_per_stream = max_frames_per_stream;
+  p->n_buffers = n_buffers > 0 ? n_buffers : 4;
+  p->ring.resize(p->n_buffers);
+  for (int b = 0; b < p->n_buffers; b++) {
+    p->ring[b].data.resize((size_t)batch * frame_bytes);
+    p->fill_order.push_back(b);
+  }
+  p->live_workers = n_streams;
+  for (int i = 0; i < n_streams; i++)
+    p->workers.emplace_back(&Pool::worker_main, p, i);
+  return p;
+}
+
+VPF_API int vpf_pool_acquire_batch(void* h, const uint8_t** data,
+                                   int* count) {
+  return static_cast<Pool*>(h)->acquire(data, count);
+}
+
+VPF_API void vpf_pool_release_batch(void* h) {
+  static_cast<Pool*>(h)->release();
+}
+
+VPF_API long vpf_pool_frames_decoded(void* h) {
+  return static_cast<Pool*>(h)->frames.load();
+}
+
+VPF_API void vpf_pool_destroy(void* h) { delete static_cast<Pool*>(h); }

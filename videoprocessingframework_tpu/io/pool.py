@@ -1,0 +1,118 @@
+"""NativeDecodePool — the all-native multi-stream decode scheduler.
+
+N worker threads live entirely in C++ (io/native/pool.cpp): demux, decode
+and frame packing never touch the Python interpreter. Python only acquires
+whole packed batches (zero-copy views into the pool's ring) and feeds them
+to the jitted post-processing, then releases the buffer.
+
+This is the production serving path; :class:`..parallel.streams.
+MultiStreamPipeline` remains the flexible Python-level pipeline (custom
+post-processing per frame, seek, metadata access).
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+from typing import Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+import jax
+
+from ..core import geometry
+from ..core.enums import PixelFormat
+from ..utils.tracing import StageTimer, trace_range
+from . import _lib
+from .demuxer import FFmpegDemuxer
+
+
+class NativeDecodePool:
+    def __init__(
+        self,
+        sources: Sequence[str],
+        batch_size: int = 8,
+        out_format: PixelFormat = PixelFormat.NV12,
+        loop: bool = False,
+        max_frames_per_stream: int = 0,
+        n_buffers: int = 4,
+    ):
+        self._lib = _lib.load()
+        probe = FFmpegDemuxer(sources[0])
+        self.width = probe.width
+        self.height = probe.height
+        self.color_space = probe.color_space
+        self.color_range = probe.color_range
+        probe.close()
+        self.batch_size = batch_size
+        self.out_format = PixelFormat(out_format)
+        self.frame_bytes = geometry.host_frame_size(
+            out_format, self.width, self.height
+        )
+        self._rows = self.frame_bytes // self.width
+        urls = (C.c_char_p * len(sources))(
+            *[str(s).encode() for s in sources]
+        )
+        self._h = self._lib.vpf_pool_create(
+            urls,
+            len(sources),
+            batch_size,
+            self.frame_bytes,
+            int(self.out_format),
+            1 if loop else 0,
+            max_frames_per_stream,
+            n_buffers,
+        )
+        if not self._h:
+            raise RuntimeError(f"pool create failed: {_lib.last_error()}")
+        self.timer = StageTimer()
+
+    def acquire(self) -> Optional[np.ndarray]:
+        """Next packed batch as a zero-copy (count, rows, W) view, or None
+        when all streams are drained. Call :meth:`release` when done."""
+        data = C.POINTER(C.c_uint8)()
+        count = C.c_int()
+        r = self._lib.vpf_pool_acquire_batch(
+            self._h, C.byref(data), C.byref(count)
+        )
+        if r == _lib.NEED_MORE:
+            return None
+        if r != _lib.OK:
+            raise RuntimeError(_lib.last_error())
+        n = count.value
+        flat = np.ctypeslib.as_array(data, shape=(n * self.frame_bytes,))
+        return flat.reshape(n, self._rows, self.width)
+
+    def release(self) -> None:
+        self._lib.vpf_pool_release_batch(self._h)
+
+    @property
+    def frames_decoded(self) -> int:
+        return self._lib.vpf_pool_frames_decoded(self._h)
+
+    def batches(self, postproc: Optional[Callable] = None) -> Iterator:
+        """Yield post-processed device batches; blocks-immediately per
+        batch (see docs/performance.md on why)."""
+        while True:
+            batch = self.acquire()
+            if batch is None:
+                return
+            try:
+                with self.timer.measure("dispatch"), trace_range(
+                    "FusedPostproc"
+                ):
+                    out = postproc(batch) if postproc else jax.device_put(batch)
+                    jax.block_until_ready(out)
+            finally:
+                self.release()
+            yield out
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.vpf_pool_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
