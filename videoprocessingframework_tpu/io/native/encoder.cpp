@@ -143,6 +143,16 @@ struct Encoder {
       enc_name = "libx264";
     else if (codec_name == "hevc" || codec_name == "h265")
       enc_name = "libx265";
+    else if (codec_name == "vp9")
+      enc_name = "libvpx-vp9";
+    else if (codec_name == "vp8")
+      enc_name = "libvpx";
+    else if (codec_name == "av1")
+      enc_name = "libsvtav1";
+    else if (codec_name == "mpeg4")
+      enc_name = "mpeg4";
+    else if (codec_name == "mjpeg")
+      enc_name = "mjpeg";
     else
       return vpf_set_error(VPF_ERR, "unsupported codec: %s",
                            codec_name.c_str());
@@ -256,6 +266,28 @@ struct Encoder {
       std::string xp =
           "rc-lookahead=" + std::to_string(la) + ":frame-threads=1";
       av_opt_set(avctx->priv_data, "x265-params", xp.c_str(), 0);
+    }
+
+    if (strcmp(codec->name, "libvpx-vp9") == 0 ||
+        strcmp(codec->name, "libvpx") == 0) {
+      // vpx: realtime deadline keeps the session contract's low delay
+      av_opt_set(avctx->priv_data, "deadline", "realtime", 0);
+      av_opt_set_int(avctx->priv_data, "cpu-used", 8, 0);
+      avctx->max_b_frames = 0;  // vpx has no B-frames
+      if (avctx->bit_rate == 0) avctx->bit_rate = 2000000;
+    } else if (strcmp(codec->name, "libsvtav1") == 0) {
+      av_opt_set(avctx->priv_data, "preset", "12", 0);
+      avctx->max_b_frames = 0;
+      if (avctx->bit_rate == 0) avctx->bit_rate = 2000000;
+    } else if (strcmp(codec->name, "mjpeg") == 0) {
+      // mjpeg wants full-range yuvj420p and per-frame quality scale
+      if (avctx->pix_fmt == AV_PIX_FMT_YUV420P)
+        avctx->pix_fmt = AV_PIX_FMT_YUVJ420P;
+      avctx->max_b_frames = 0;
+      avctx->flags |= AV_CODEC_FLAG_QSCALE;
+      avctx->global_quality = FF_QP2LAMBDA * 4;
+    } else if (strcmp(codec->name, "mpeg4") == 0) {
+      if (avctx->bit_rate == 0) avctx->bit_rate = 2000000;
     }
 
     if (zero_latency) avctx->thread_count = 1;
@@ -409,6 +441,8 @@ struct Encoder {
     if (r != VPF_OK) return r;
     frame->pts = pts >= 0 ? pts : frame_index;
     frame_index++;
+    if (avctx->flags & AV_CODEC_FLAG_QSCALE)
+      frame->quality = avctx->global_quality;  // mjpeg per-frame qscale
     frame->pict_type = force_idr_next ? AV_PICTURE_TYPE_I : AV_PICTURE_TYPE_NONE;
     force_idr_next = false;
 
