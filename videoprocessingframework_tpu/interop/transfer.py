@@ -12,7 +12,7 @@ transfer is in flight.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

@@ -18,7 +18,7 @@ exactly as the reference does — see ops/colorspace.py.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

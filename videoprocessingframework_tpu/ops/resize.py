@@ -20,7 +20,7 @@ edge clamping and per-row weight normalization.
 from __future__ import annotations
 
 from functools import lru_cache, partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,15 +12,15 @@ than faked.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Dict, Tuple
+
+from typing import Any, Callable, Tuple
 
 import jax
-import jax.numpy as jnp
+
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import make_mesh
+
 
 
 def _param_spec(path: Tuple, leaf) -> P:
