@@ -105,3 +105,11 @@ def test_extradata(test_mp4):
     d = FFmpegDemuxer(test_mp4)
     extra = d.extradata
     assert len(extra) > 0  # avcC box present in mp4
+
+
+def test_demuxer_options_passthrough(test_mp4, gt):
+    # FFmpeg AVDictionary options accepted (NvDecoderClInterface analog)
+    d = FFmpegDemuxer(test_mp4, {"fflags": "+genpts"})
+    assert d.width == gt["width"]
+    n = sum(1 for _ in d)
+    assert n == gt["num_frames"]

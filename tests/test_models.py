@@ -39,3 +39,18 @@ def test_vit_forward():
     )
     assert out.shape == (2, 7)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from videoprocessingframework_tpu.models import checkpoint
+
+    m = models.resnet18_like(num_classes=3)
+    variables = models.init_params(m, (1, 32, 32, 3))
+    path = str(tmp_path / "ckpt")
+    checkpoint.save_checkpoint(path, variables)
+    restored = checkpoint.load_checkpoint(path)
+    a = jax.tree_util.tree_leaves(variables)
+    b = jax.tree_util.tree_leaves(restored)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
