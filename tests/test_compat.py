@@ -347,3 +347,22 @@ def test_yuv422_encode_round_trip(tmp_path):
     assert n == 3
     assert dec.Format() == nvc.PixelFormat.YUV422
     assert out.size == W * H * 2
+
+
+def test_decoder_context_stream_ctor(test_mp4):
+    """pycuda-style raw (context, stream) handle ctor variants are
+    accepted (handles unused on TPU — XLA orders transfers/compute)."""
+    dec = nvc.PyNvDecoder(test_mp4, 12345, 67890)
+    assert dec.Width() == GT_W
+    frame = np.ndarray(shape=(0,), dtype=np.uint8)
+    assert dec.DecodeSingleFrame(frame)
+
+
+def test_surface_clone_gpu_id_variants():
+    s = nvc.Surface.Make(nvc.PixelFormat.Y, 16, 16, 0)
+    assert not s.Clone().Empty()
+    assert not s.Clone(0).Empty()
+    assert not s.Clone(12345, 67890).Empty()  # (context, stream) flavor
+    other = nvc.Surface.Make(nvc.PixelFormat.Y, 16, 16, 0)
+    other.CopyFrom(s, 0)
+    assert other.HostSize() == s.HostSize()
