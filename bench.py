@@ -114,6 +114,11 @@ def main() -> int:
     ap.add_argument("--streams", type=int, default=0)
     ap.add_argument("--frames", type=int, default=0, help="frames per stream")
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument(
+        "--profile",
+        metavar="DIR",
+        help="capture a jax profiler trace of one benchmark run into DIR",
+    )
     args = ap.parse_args()
 
     if args.quick:
@@ -196,6 +201,18 @@ def main() -> int:
         )
         st = pipe.run()
         return RunStats(st.frames_decoded, st.wall_s), pipe.timer
+
+    if args.profile:
+        # one profiled run: stage names match the reference's NVTX ranges
+        import contextlib
+
+        with contextlib.suppress(Exception):
+            jax.profiler.start_trace(args.profile)
+        try:
+            run_native()
+        finally:
+            with contextlib.suppress(Exception):
+                jax.profiler.stop_trace()
 
     runs = []
     timer = None
