@@ -49,3 +49,35 @@ def devices():
     import jax
 
     return jax.devices()
+
+
+_LAZY = {
+    # io (triggers the native build on first touch)
+    "FFmpegDemuxer": "io",
+    "VideoDecoder": "io",
+    "VideoReader": "io",
+    "VideoEncoder": "io",
+    "NativeDecodePool": "io",
+    # ops
+    "SurfaceConverter": "ops",
+    "SurfaceResizer": "ops",
+    "SurfaceRemaper": "ops",
+    "FusedPipeline": "ops",
+    "decode_postproc": "ops",
+    "normalize": "ops",
+    # parallel
+    "MultiStreamPipeline": "parallel",
+    "make_mesh": "parallel",
+}
+
+
+def __getattr__(name):
+    """Lazy top-level convenience exports (keeps `import
+    videoprocessingframework_tpu` free of the native build and jax ops
+    until actually used)."""
+    if name in _LAZY:
+        import importlib
+
+        mod = importlib.import_module(f".{_LAZY[name]}", __name__)
+        return getattr(mod, name)
+    raise AttributeError(name)
