@@ -1,0 +1,99 @@
+"""Extended compat coverage: error recovery through the PyNvDecoder loop,
+seek-by-timestamp, SW-decoder surfaces, longer conversion chains."""
+
+import numpy as np
+import pytest
+
+import PyNvCodec as nvc
+
+
+def test_hw_reset_recovery_loop():
+    """The SampleDecode.py recovery pattern: corrupt packets raise typed
+    exceptions; the decoder object stays usable afterwards."""
+    enc = nvc.PyNvEncoder(
+        {"codec": "h264", "preset": "P1", "s": "128x96", "bitrate": "500K"}, 0
+    )
+    frame = np.full((128 * 96 * 3 // 2,), 100, np.uint8)
+    packets = []
+    pkt = np.ndarray(shape=(0,), dtype=np.uint8)
+    for _ in range(6):
+        if enc.EncodeSingleFrame(frame, pkt, sync=True):
+            packets.append(pkt.copy())
+
+    dec = nvc.PyNvDecoder(128, 96, nvc.PixelFormat.NV12,
+                          nvc.CudaVideoCodec.H264, 0)
+    out = np.ndarray(shape=(0,), dtype=np.uint8)
+    # corrupt packet: typed error or graceful skip, never a crash
+    bad = packets[0].copy()
+    bad[20:] = 0xA5
+    try:
+        dec.DecodeFrameFromPacket(out, bad)
+    except (nvc.HwResetException, nvc.CuvidParserException, RuntimeError):
+        pass
+    # clean packets decode afterwards
+    got = 0
+    for p in packets:
+        if dec.DecodeFrameFromPacket(out, p):
+            got += 1
+    while dec.FlushSingleFrame(out):
+        got += 1
+    assert got >= 1
+
+
+def test_seek_by_timestamp_compat(test_mp4):
+    dec = nvc.PyNvDecoder(test_mp4, 0)
+    frame = np.ndarray(shape=(0,), dtype=np.uint8)
+    sc = nvc.SeekContext(seek_ts=1.5)
+    assert sc.IsByTimestamp()
+    assert dec.DecodeSingleFrame(frame, sc)
+    assert sc.out_frame_pts > 0
+
+
+def test_ffmpeg_decoder_surface(test_mp4):
+    dec = nvc.PyFfmpegDecoder(test_mp4, {})
+    surf = dec.DecodeSingleSurface()
+    assert not surf.Empty()
+    assert surf.Width() == dec.Width()
+
+
+def test_long_conversion_chain(test_mp4):
+    """NV12 → Y → YUV444 → RGB → RGB_32F → RGB_32F_PLANAR."""
+    dec = nvc.PyNvDecoder(test_mp4, 0)
+    w, h = dec.Width(), dec.Height()
+    surf = dec.DecodeSingleSurface()
+    cc = nvc.ColorspaceConversionContext(
+        nvc.ColorSpace.BT_601, nvc.ColorRange.JPEG
+    )
+    to_y = nvc.PySurfaceConverter(w, h, nvc.PixelFormat.NV12,
+                                  nvc.PixelFormat.Y, 0)
+    to_444 = nvc.PySurfaceConverter(w, h, nvc.PixelFormat.Y,
+                                    nvc.PixelFormat.YUV444, 0)
+    to_rgb = nvc.PySurfaceConverter(w, h, nvc.PixelFormat.YUV444,
+                                    nvc.PixelFormat.RGB, 0)
+    to_f32 = nvc.PySurfaceConverter(w, h, nvc.PixelFormat.RGB,
+                                    nvc.PixelFormat.RGB_32F, 0)
+    to_pln = nvc.PySurfaceConverter(w, h, nvc.PixelFormat.RGB_32F,
+                                    nvc.PixelFormat.RGB_32F_PLANAR, 0)
+    s = to_pln.Execute(
+        to_f32.Execute(
+            to_rgb.Execute(to_444.Execute(to_y.Execute(surf, cc), cc), cc),
+            cc,
+        ),
+        cc,
+    )
+    assert not s.Empty()
+    assert s.PlanePtr(0).ElemSize() == 4
+    # gray input ⇒ R=G=B: planar channels must match
+    arr = np.asarray(s.core.planes[0]).reshape(3, h, w)
+    np.testing.assert_allclose(arr[0], arr[1], atol=2 / 255)
+    np.testing.assert_allclose(arr[1], arr[2], atol=2 / 255)
+
+
+def test_decode_surface_then_resize_crop(test_mp4):
+    dec = nvc.PyNvDecoder(test_mp4, 0)
+    surf = dec.DecodeSingleSurface()
+    rs = nvc.PySurfaceResizer(424, 232, nvc.PixelFormat.NV12, 0)
+    small = rs.Execute(surf)
+    crop = small.Crop(10, 10, 64, 64, 0)
+    assert crop.Width() == 64 and crop.Height() == 64
+    assert crop.Format() == nvc.PixelFormat.NV12
