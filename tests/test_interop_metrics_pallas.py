@@ -139,3 +139,34 @@ def test_yuv420_rgb_planar_converter_pair():
         np.asarray(out.planes[0]).reshape(3, H, W), 0, -1
     )
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_pallas_fused_resize_interpret_bit_exact():
+    """Experimental two-kernel fused resize+CSC (ops/pallas_fused.py):
+    bit-exact vs the XLA fused path in interpret mode."""
+    from videoprocessingframework_tpu.ops.fused import decode_postproc
+    from videoprocessingframework_tpu.ops.pallas_fused import (
+        fused_nv12_resize_rgb_pallas,
+        fused_pallas_supported,
+    )
+
+    B, HH, WW = 2, 96, 512
+    assert fused_pallas_supported(WW, 32)
+    y = RNG.integers(0, 256, (B, HH, WW), np.uint8)
+    uv = RNG.integers(0, 256, (B, HH // 2, WW), np.uint8)
+    a = np.asarray(
+        fused_nv12_resize_rgb_pallas(
+            y, uv, out_h=32, out_w=48,
+            space=ColorSpace.BT_709, rng=ColorRange.MPEG, interpret=True,
+        )
+    )
+    b = np.moveaxis(
+        np.asarray(
+            decode_postproc(
+                y, uv, src_format=PixelFormat.NV12,
+                space=ColorSpace.BT_709, rng=ColorRange.MPEG,
+                out_h=32, out_w=48, output="rgb_u8",
+            )
+        ), -1, 1,
+    )
+    np.testing.assert_array_equal(a, b)
