@@ -60,3 +60,13 @@ def test_surface_repr():
     r = repr(s)
     assert "NV12" in r and "64" in r and "32" in r
     assert "SurfacePlane" in repr(s.PlanePtr(0))
+
+
+def test_surface_plane_dlpack_protocol(test_mp4):
+    """torch.from_dlpack over a decoded plane (NVCV-output analog)."""
+    torch = pytest.importorskip("torch")
+    dec = nvc.PyNvDecoder(test_mp4, 0)
+    surf = dec.DecodeSingleSurface()
+    t = torch.from_dlpack(surf.PlanePtr(0))
+    assert t.shape == (dec.Height(), dec.Width())
+    assert t.dtype == torch.uint8

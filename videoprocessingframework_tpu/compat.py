@@ -163,6 +163,15 @@ class SurfacePlane:
             return arr.ctypes.data
         return arr.unsafe_buffer_pointer()
 
+    # DLPack protocol: torch.from_dlpack(surface.PlanePtr(i)) works
+    # directly — the NVCV/__cuda_array_interface__ analog
+    # (PyNvDecoder.cpp:822-923) without the embedded-exec bridge.
+    def __dlpack__(self, **kwargs):
+        return self._p.array.__dlpack__(**kwargs)
+
+    def __dlpack_device__(self):
+        return self._p.array.__dlpack_device__()
+
     def Export(self, dst: int, dst_pitch: int, *args) -> None:
         """Copy this plane into raw host memory at ``dst`` (address as int),
         honoring ``dst_pitch`` (reference SurfacePlane::Export semantics;
