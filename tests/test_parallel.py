@@ -102,3 +102,21 @@ def test_tp_sharding_applied():
     # classifier kernel (cin, num_classes) is sharded over 'model'
     spec = kernel.sharding.spec
     assert tuple(spec)[-1] == "model"
+
+
+def test_multistream_gated_mode(test_mp4, gt):
+    """Explicit gated-alternation threading policy (few-core hosts)."""
+    pipe = MultiStreamPipeline(
+        [test_mp4, test_mp4], batch_size=8, serial=False, gate_decode=True,
+    )
+    total = sum(np.asarray(b).shape[0] for b in pipe.batches())
+    assert total == 2 * gt["num_frames"]
+
+
+def test_multistream_overlapped_mode(test_mp4, gt):
+    """Explicit fully-overlapped policy (many-core hosts)."""
+    pipe = MultiStreamPipeline(
+        [test_mp4], batch_size=8, serial=False, gate_decode=False, inflight=2,
+    )
+    total = sum(np.asarray(b).shape[0] for b in pipe.batches())
+    assert total == gt["num_frames"]
