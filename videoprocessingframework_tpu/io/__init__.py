@@ -2,3 +2,4 @@ from .demuxer import FFmpegDemuxer, DemuxResult  # noqa: F401
 from .decoder import VideoDecoder, VideoReader, DecodedFrame  # noqa: F401
 from .encoder import VideoEncoder, get_encoder_params, ENCODER_OPTIONS  # noqa: F401
 from .pool import NativeDecodePool  # noqa: F401
+from .muxer import StreamMuxer  # noqa: F401

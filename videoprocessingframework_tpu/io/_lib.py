@@ -210,6 +210,19 @@ def load() -> C.CDLL:
     sig("vpf_pool_release_batch", None, [C.c_void_p])
     sig("vpf_pool_frames_decoded", C.c_long, [C.c_void_p])
     sig("vpf_pool_destroy", None, [C.c_void_p])
+
+    sig(
+        "vpf_muxer_open",
+        C.c_void_p,
+        [C.c_char_p, C.c_char_p, C.c_int, C.c_int, C.c_int, C.c_int,
+         C.c_int, _u8p, C.c_size_t],
+    )
+    sig(
+        "vpf_muxer_write",
+        C.c_int,
+        [C.c_void_p, _u8p, C.c_size_t, C.c_int64, C.c_int64, C.c_int],
+    )
+    sig("vpf_muxer_close", C.c_int, [C.c_void_p])
     return lib
 
 

@@ -19,7 +19,7 @@ _OUT_DIR = _HERE / "_native_build"
 _LIB = _OUT_DIR / "libvpf_host.so"
 _lock = threading.Lock()
 
-_SOURCES = ["demuxer.cpp", "decoder.cpp", "encoder.cpp", "pool.cpp"]
+_SOURCES = ["demuxer.cpp", "decoder.cpp", "encoder.cpp", "pool.cpp", "muxer.cpp"]
 
 
 def _pkg_config(*args: str) -> list[str]:
