@@ -21,19 +21,32 @@ log = get_logger("sample_transcode")
 
 
 def transcode(src, dst, codec="h264", bitrate="3M", scale=None):
+    from videoprocessingframework_tpu.core.enums import CodecId
+    from videoprocessingframework_tpu.io import StreamMuxer
+
     dec = nvc.PyNvDecoder(src, 0)
     w, h = dec.Width(), dec.Height()
     ow, oh = (w, h) if not scale else scale
+    fps = dec.Framerate()
     enc = nvc.PyNvEncoder(
         {"codec": codec, "preset": "P2", "s": f"{ow}x{oh}",
-         "bitrate": bitrate}, 0
+         "bitrate": bitrate, "fps": str(int(fps))}, 0
     )
     resizer = None
     if (ow, oh) != (w, h):
         resizer = nvc.PySurfaceResizer(ow, oh, nvc.PixelFormat.NV12, 0)
+    # container output (mp4/ts) when the extension asks for it, else raw ES
+    mux = None
+    if dst.endswith((".mp4", ".ts")):
+        mux = StreamMuxer(
+            dst, CodecId.H264 if codec == "h264" else CodecId.HEVC,
+            ow, oh, fps=fps,
+        )
     packet = np.ndarray(shape=(0,), dtype=np.uint8)
+    pdata = nvc.PacketData()
     n_in = n_out = 0
-    with open(dst, "wb") as out:
+    raw = None if mux else open(dst, "wb")
+    try:
         while True:
             surf = dec.DecodeSingleSurface()
             if surf.Empty():
@@ -42,11 +55,24 @@ def transcode(src, dst, codec="h264", bitrate="3M", scale=None):
             if resizer:
                 surf = resizer.Execute(surf)
             if enc.EncodeSingleSurface(surf, packet):
-                out.write(packet.tobytes())
+                if mux:
+                    enc.LastPacketData(pdata)
+                    mux.write(packet, pdata)
+                else:
+                    raw.write(packet.tobytes())
                 n_out += 1
         while enc.FlushSinglePacket(packet):
-            out.write(packet.tobytes())
+            if mux:
+                enc.LastPacketData(pdata)
+                mux.write(packet, pdata)
+            else:
+                raw.write(packet.tobytes())
             n_out += 1
+    finally:
+        if mux:
+            mux.close()
+        if raw:
+            raw.close()
     return n_in, n_out
 
 

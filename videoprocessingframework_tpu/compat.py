@@ -688,11 +688,17 @@ class PyNvEncoder:
         )
         if out is None:
             return False
+        self._last_pkt_data = out[1]
         if append:
             _append_out_array(packet, out[0])
         else:
             _fill_out_array(packet, out[0])
         return True
+
+    def LastPacketData(self, pkt_data: PacketData) -> None:
+        """Extension: metadata (pts/dts/key) of the last returned packet —
+        needed when muxing encoder output into containers."""
+        _copy_pkt(pkt_data, getattr(self, "_last_pkt_data", PacketData()))
 
     def EncodeSingleSurface(self, surface, packet: np.ndarray,
                             sei=None, sync=False, append=False) -> bool:
@@ -707,6 +713,7 @@ class PyNvEncoder:
         out = self._enc.flush_single_packet()
         if out is None:
             return False
+        self._last_pkt_data = out[1]
         _fill_out_array(packet, out[0])
         return True
 
