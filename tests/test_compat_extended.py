@@ -97,3 +97,29 @@ def test_decode_surface_then_resize_crop(test_mp4):
     crop = small.Crop(10, 10, 64, 64, 0)
     assert crop.Width() == 64 and crop.Height() == 64
     assert crop.Format() == nvc.PixelFormat.NV12
+
+
+def test_real_capabilities_from_libav(test_mp4):
+    """Caps come from a real libav query, not constants: they must differ
+    between codecs (VP8 is 8-bit only with no B-frames; H.264 is not), and
+    the decoder caps must reflect the session's stream."""
+    h264 = nvc.PyNvEncoder(
+        {"codec": "h264", "preset": "P1", "s": "320x240", "bitrate": "1M"}, 0
+    )
+    vp8 = nvc.PyNvEncoder(
+        {"codec": "vp8", "preset": "P1", "s": "320x240", "bitrate": "1M"}, 0
+    )
+    ch, cv = h264.Capabilities(), vp8.Capabilities()
+    assert ch != cv
+    assert ch[nvc.NV_ENC_CAPS.SUPPORT_10BIT_ENCODE] == 1
+    assert cv[nvc.NV_ENC_CAPS.SUPPORT_10BIT_ENCODE] == 0
+    assert ch[nvc.NV_ENC_CAPS.NUM_MAX_BFRAMES] > 0
+    assert cv[nvc.NV_ENC_CAPS.NUM_MAX_BFRAMES] == 0
+
+    dec = nvc.PyNvDecoder(test_mp4, 0)
+    caps = dec.Capabilities()
+    assert caps[nvc.NV_DEC_CAPS.IS_CODEC_SUPPORTED] == 1
+    assert caps[nvc.NV_DEC_CAPS.BIT_DEPTH_MINUS_8] == 0  # 8-bit test asset
+    # H.264 spec level ceiling, not a hardcoded 8192x8192 square
+    assert caps[nvc.NV_DEC_CAPS.MAX_WIDTH] == 8192
+    assert caps[nvc.NV_DEC_CAPS.MAX_HEIGHT] == 4320

@@ -189,6 +189,26 @@ def test_ycbcr_to_bgr():
     _assert_ulp(np.asarray(out.planes[0]).reshape(H, W, 3), want)
 
 
+@pytest.mark.parametrize("rng", [CR.JPEG, CR.MPEG])
+def test_bgr_to_yuv444(rng):
+    # reference bgr_yuv444 (TasksColorCvt.cpp:617-664): BT_601 only,
+    # both ranges
+    s = _rgb(F.BGR)
+    out = SurfaceConverter(W, H, F.BGR, F.YUV444).run(
+        s, ColorspaceConversionContext(CS.BT_601, rng)
+    )
+    wy, wu, wv = golden.rgb_to_yuv444(
+        np.asarray(s.planes[0]).reshape(H, W, 3)[..., ::-1], CS.BT_601, rng
+    )
+    _assert_ulp(out.planes[0], wy)
+    _assert_ulp(out.planes[1], wu)
+    _assert_ulp(out.planes[2], wv)
+    with pytest.raises(UnsupportedConversion):
+        SurfaceConverter(W, H, F.BGR, F.YUV444).run(
+            s, ColorspaceConversionContext(CS.BT_709, rng)
+        )
+
+
 def test_bgr_to_ycbcr():
     s = _rgb(F.BGR)
     out = SurfaceConverter(W, H, F.BGR, F.YCBCR).run(

@@ -90,3 +90,27 @@ def test_pool_bad_source():
     pool = NativeDecodePool.__new__(NativeDecodePool)
     with pytest.raises(RuntimeError):
         NativeDecodePool(["/nonexistent/file.mp4"])
+
+
+def test_pool_counts_dropped_frames_on_res_change(test_res_change, gt):
+    """Batch slots are fixed-geometry: frames after a mid-stream resolution
+    change are zero-filled AND counted (never silently packed at the wrong
+    layout, even when the new frames are smaller and would fit)."""
+    pool = NativeDecodePool([test_res_change], batch_size=4)
+    total = 0
+    for batch in pool.batches():
+        total += batch.shape[0]
+    assert total == gt["num_frames"]
+    # test_res_change.h264 switches to 0.5x at frame 47 → 47 small frames
+    assert pool.frames_dropped == 47
+    assert "resolution change" in pool.drop_reason
+    pool.close()
+
+
+def test_pool_no_drops_on_clean_stream(test_mp4):
+    pool = NativeDecodePool([test_mp4], batch_size=8)
+    for _ in pool.batches():
+        pass
+    assert pool.frames_dropped == 0
+    assert pool.drop_reason == ""
+    pool.close()

@@ -15,6 +15,7 @@ ordered by XLA).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Union
 
 import numpy as np
@@ -172,28 +173,34 @@ class SurfacePlane:
     def __dlpack_device__(self):
         return self._p.array.__dlpack_device__()
 
+    @staticmethod
+    def _pitched_view(addr: int, h: int, pitch: int, row: int) -> np.ndarray:
+        """(h, row) uint8 view over pitched raw memory at ``addr``."""
+        import ctypes
+
+        n = (h - 1) * pitch + row  # last row needs only `row` valid bytes
+        flat = np.ctypeslib.as_array(
+            (ctypes.c_uint8 * n).from_address(addr)
+        )
+        return np.lib.stride_tricks.as_strided(
+            flat, shape=(h, row), strides=(pitch, 1)
+        )
+
     def Export(self, dst: int, dst_pitch: int, *args) -> None:
         """Copy this plane into raw host memory at ``dst`` (address as int),
         honoring ``dst_pitch`` (reference SurfacePlane::Export semantics;
-        host memory here — device pointers don't exist on TPU)."""
-        import ctypes
-
+        host memory here — device pointers don't exist on TPU). One
+        vectorized strided copy, not a per-row loop."""
         data = np.ascontiguousarray(np.asarray(self._p.array))
         h, row = self._p.height, self._p.pitch
-        base = data.ctypes.data
-        for r in range(h):
-            ctypes.memmove(dst + r * dst_pitch, base + r * row, row)
+        view = self._pitched_view(dst, h, dst_pitch, row)
+        view[:] = data.view(np.uint8).reshape(h, row)
 
     def Import(self, src: int, src_pitch: int, *args) -> None:
-        """Fill this plane from raw host memory at ``src``."""
-        import ctypes
-
+        """Fill this plane from raw host memory at ``src`` (one strided
+        copy)."""
         h, row = self._p.height, self._p.pitch
-        buf = np.empty((h, row), np.uint8)
-        for r in range(h):
-            ctypes.memmove(
-                buf[r : r + 1].ctypes.data, src + r * src_pitch, row
-            )
+        buf = np.array(self._pitched_view(src, h, src_pitch, row))
         self._p.import_from(buf.view(self._p.array.dtype).reshape(
             self._p.array.shape
         ))
@@ -311,14 +318,44 @@ class CudaBuffer:
         return CudaBuffer(self._elem_size, self._num_elems, jnp.copy(self._array))
 
     def CopyFrom(self, other: "CudaBuffer", *args) -> None:
+        """Copy ``other``'s contents into this buffer.
+
+        Deviation note vs the reference (cuMemcpyDtoD into the existing
+        allocation): XLA device arrays are immutable, so there is no public
+        in-place device write. We donate the old buffer to the copy, which
+        lets XLA reuse the allocation (preserving a previously-exported
+        ``GpuMem()`` address) when the platform supports donation; on
+        platforms that don't (CPU jax), the address may change — re-query
+        ``GpuMem()`` after CopyFrom there.
+        """
         if other.GetRawMemSize() != self.GetRawMemSize():
             raise ValueError("CopyFrom: size mismatch")
+        import jax
         import jax.numpy as jnp
 
-        self._array = jnp.copy(other._array)
+        if self._array.devices() == other._array.devices() and not any(
+            d.platform == "cpu" for d in self._array.devices()
+        ):
+            self._array = _donating_copy(self._array, other._array)
+        else:
+            self._array = jnp.copy(other._array)
 
     def to_numpy(self) -> np.ndarray:
         return np.asarray(self._array)
+
+
+@functools.lru_cache(maxsize=1)
+def _donating_copy_jit():
+    import jax
+    import jax.numpy as jnp
+
+    # dst's buffer is donated; the output aliases it when XLA can, so a
+    # previously-exported GpuMem() address keeps pointing at live data.
+    return jax.jit(lambda dst, src: jnp.copy(src), donate_argnums=(0,))
+
+
+def _donating_copy(dst, src):
+    return _donating_copy_jit()(dst, src)
 
 
 class PyFFmpegDemuxer:
@@ -464,13 +501,22 @@ class PyNvDecoder:
         _copy_pkt(pkt_data, self._reader.last_packet_data())
 
     def Capabilities(self) -> Dict[NV_DEC_CAPS, int]:
+        """Real decoder capabilities for this session's codec, queried from
+        libav (io.decoder.codec_caps) — reference analog NvDecoder.cpp:183-210
+        (cuvidGetDecoderCaps validation)."""
+        from .io.decoder import codec_caps
+
+        caps = codec_caps(self._reader.decoder.codec, encoder=False)
+        stream_depth = 8
+        if self._reader.demuxer is not None:
+            stream_depth = self._reader.demuxer.bit_depth or 8
         return {
-            NV_DEC_CAPS.BIT_DEPTH_MINUS_8: 0,
-            NV_DEC_CAPS.IS_CODEC_SUPPORTED: 1,
-            NV_DEC_CAPS.MAX_WIDTH: 8192,
-            NV_DEC_CAPS.MAX_HEIGHT: 8192,
-            NV_DEC_CAPS.MIN_WIDTH: 16,
-            NV_DEC_CAPS.MIN_HEIGHT: 16,
+            NV_DEC_CAPS.BIT_DEPTH_MINUS_8: max(0, stream_depth - 8),
+            NV_DEC_CAPS.IS_CODEC_SUPPORTED: caps["is_supported"],
+            NV_DEC_CAPS.MAX_WIDTH: caps["max_width"],
+            NV_DEC_CAPS.MAX_HEIGHT: caps["max_height"],
+            NV_DEC_CAPS.MIN_WIDTH: caps["min_width"],
+            NV_DEC_CAPS.MIN_HEIGHT: caps["min_height"],
         }
 
     # -- decode core ------------------------------------------------------------
@@ -585,7 +631,7 @@ class PyFfmpegDecoder:
                  gpu_id: int = 0):
         self._demuxer = _Demuxer(input, opts)
         self._decoder = VideoDecoder(
-            self._demuxer.codec, threads=1, export_mvs=True
+            self._demuxer.codec, threads=0, export_mvs=True  # 0 = libav auto
         )
         self._gpu_id = gpu_id
         self._eof = False
@@ -673,13 +719,24 @@ class PyNvEncoder:
         return self._enc.frame_size_in_bytes()
 
     def Capabilities(self) -> Dict[NV_ENC_CAPS, int]:
+        """Real encoder capabilities for this session's codec, queried from
+        libav (io.decoder.codec_caps): 10-bit support from the encoder's
+        actual pix_fmt list, lookahead from its private option table,
+        reordering from AV_CODEC_CAP_DELAY."""
+        from .core.enums import CodecId
+        from .io.decoder import codec_caps
+
+        codec = CodecId[self._enc.opts.get("codec", "h264").upper()]
+        caps = codec_caps(codec, encoder=True)
         return {
-            NV_ENC_CAPS.NUM_MAX_BFRAMES: 4,
-            NV_ENC_CAPS.SUPPORT_LOOKAHEAD: 1,
-            NV_ENC_CAPS.SUPPORT_REORDERED_OUTPUT: 1,
-            NV_ENC_CAPS.WIDTH_MAX: 8192,
-            NV_ENC_CAPS.HEIGHT_MAX: 8192,
-            NV_ENC_CAPS.SUPPORT_10BIT_ENCODE: 0,
+            NV_ENC_CAPS.NUM_MAX_BFRAMES: caps["max_bframes"],
+            NV_ENC_CAPS.SUPPORT_LOOKAHEAD: caps["supports_lookahead"],
+            NV_ENC_CAPS.SUPPORT_REORDERED_OUTPUT: caps[
+                "supports_reordered_output"
+            ],
+            NV_ENC_CAPS.WIDTH_MAX: caps["max_width"],
+            NV_ENC_CAPS.HEIGHT_MAX: caps["max_height"],
+            NV_ENC_CAPS.SUPPORT_10BIT_ENCODE: caps["supports_10bit"],
         }
 
     def _encode(self, data, packet, sei, sync, append) -> bool:

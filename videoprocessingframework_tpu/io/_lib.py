@@ -57,6 +57,21 @@ class VpfFrameDesc(C.Structure):
     ]
 
 
+class VpfCodecCaps(C.Structure):
+    _fields_ = [
+        ("is_supported", C.c_int32),
+        ("max_bit_depth", C.c_int32),
+        ("supports_10bit", C.c_int32),
+        ("max_width", C.c_int32),
+        ("max_height", C.c_int32),
+        ("min_width", C.c_int32),
+        ("min_height", C.c_int32),
+        ("max_bframes", C.c_int32),
+        ("supports_lookahead", C.c_int32),
+        ("supports_reordered_output", C.c_int32),
+    ]
+
+
 class VpfMotionVector(C.Structure):
     _fields_ = [
         ("source", C.c_int32),
@@ -165,6 +180,7 @@ def load() -> C.CDLL:
         C.c_int,
         [C.c_void_p, C.c_int, _u8p, C.c_size_t],
     )
+    sig("vpf_codec_caps", C.c_int, [C.c_int, C.c_int, C.POINTER(VpfCodecCaps)])
     sig(
         "vpf_decoder_motion_vectors",
         C.c_int,
@@ -209,6 +225,8 @@ def load() -> C.CDLL:
     )
     sig("vpf_pool_release_batch", None, [C.c_void_p])
     sig("vpf_pool_frames_decoded", C.c_long, [C.c_void_p])
+    sig("vpf_pool_frames_dropped", C.c_long, [C.c_void_p])
+    sig("vpf_pool_drop_reason", C.c_char_p, [C.c_void_p])
     sig("vpf_pool_destroy", None, [C.c_void_p])
 
     sig(

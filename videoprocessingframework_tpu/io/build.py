@@ -8,6 +8,7 @@ this direct g++ path keeps import-time bootstrap dependency-free.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import pathlib
 import subprocess
@@ -17,9 +18,17 @@ _HERE = pathlib.Path(__file__).parent
 _SRC = _HERE / "native"
 _OUT_DIR = _HERE / "_native_build"
 _LIB = _OUT_DIR / "libvpf_host.so"
+_STAMP = _OUT_DIR / "libvpf_host.stamp"
 _lock = threading.Lock()
 
 _SOURCES = ["demuxer.cpp", "decoder.cpp", "encoder.cpp", "pool.cpp", "muxer.cpp"]
+
+
+def _source_digest() -> str:
+    h = hashlib.sha256()
+    for src in _SOURCES + ["common.hpp"]:
+        h.update((_SRC / src).read_bytes())
+    return h.hexdigest()
 
 
 def _pkg_config(*args: str) -> list[str]:
@@ -38,14 +47,15 @@ def lib_path() -> pathlib.Path:
 
 
 def needs_build() -> bool:
+    # Content-hash stamp, not mtimes: on a fresh checkout all mtimes are
+    # equal, and a stale (or foreign-ABI) binary must never win over the
+    # reviewed sources.
     lib = lib_path()
     if not lib.exists():
         return True
-    lib_mtime = lib.stat().st_mtime
-    for src in _SOURCES + ["common.hpp"]:
-        if (_SRC / src).stat().st_mtime > lib_mtime:
-            return True
-    return False
+    if not _STAMP.exists():
+        return True
+    return _STAMP.read_text().strip() != _source_digest()
 
 
 def build() -> pathlib.Path:
@@ -66,6 +76,7 @@ def build() -> pathlib.Path:
         str(_LIB),
     ]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
+    _STAMP.write_text(_source_digest())
     return _LIB
 
 

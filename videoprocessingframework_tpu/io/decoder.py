@@ -451,3 +451,16 @@ def _default_device():
     import jax
 
     return jax.devices()[0]
+
+
+def codec_caps(codec: CodecId, *, encoder: bool = False) -> dict:
+    """Real capability query for a codec via libav (io/native/decoder.cpp
+    ``vpf_codec_caps``) — the analog of the reference's cuvidGetDecoderCaps
+    (NvDecoder.cpp:183-210) and NVENC caps queries. Returns a plain dict of
+    the VpfCodecCaps fields."""
+    lib = _lib.load()
+    caps = _lib.VpfCodecCaps()
+    r = lib.vpf_codec_caps(int(codec), 1 if encoder else 0, C.byref(caps))
+    if r != _lib.OK:
+        raise ValueError(_lib.last_error())
+    return {name: int(getattr(caps, name)) for name, _ in caps._fields_}

@@ -118,6 +118,25 @@ typedef struct VpfFrameDesc {
   uint64_t frame_size; /* packed byte size in pixel_format layout */
 } VpfFrameDesc;
 
+/* Real codec capabilities, queried from libav (analog of the reference's
+ * cuvidGetDecoderCaps validation, NvDecoder.cpp:183-210, and the NVENC caps
+ * queries in NvCodecCliOptions.cpp): bit depth from the codec's actual
+ * supported pixel formats, reorder/delay from AVCodec capability flags,
+ * lookahead from the encoder's private option table, dimension limits from
+ * the codec spec level tables (SW codecs have no HW surface limit). */
+typedef struct VpfCodecCaps {
+  int32_t is_supported;    /* codec available in this libav build */
+  int32_t max_bit_depth;   /* highest luma depth the codec supports */
+  int32_t supports_10bit;  /* encoder: a 10-bit input pix_fmt exists */
+  int32_t max_width;
+  int32_t max_height;
+  int32_t min_width;
+  int32_t min_height;
+  int32_t max_bframes;     /* 0 when the codec has no B-frames */
+  int32_t supports_lookahead;        /* encoder rc-lookahead option */
+  int32_t supports_reordered_output; /* AV_CODEC_CAP_DELAY */
+} VpfCodecCaps;
+
 typedef struct VpfMotionVector {
   int32_t source;
   uint8_t w, h;

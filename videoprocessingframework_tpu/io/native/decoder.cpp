@@ -389,3 +389,88 @@ VPF_API int vpf_decoder_motion_vectors(void* h, VpfMotionVector* dst,
   memcpy(dst, d->mvs.data(), n * sizeof(VpfMotionVector));
   return VPF_OK;
 }
+
+/* ---- real codec capability query (see VpfCodecCaps in common.hpp) ---- */
+
+namespace {
+
+/* Spec-level dimension limits per codec (the SW analog of the cuvid
+ * nMaxWidth/nMaxHeight caps; H.264 L6.2 / HEVC L6.2 / VP8 / VP9 / AV1 /
+ * MPEG-2 / MPEG-4 / MJPEG spec maxima). */
+void spec_dims(AVCodecID id, VpfCodecCaps* c) {
+  switch (id) {
+    case AV_CODEC_ID_H264: c->max_width = 8192; c->max_height = 4320; break;
+    case AV_CODEC_ID_HEVC: c->max_width = 8444; c->max_height = 4802; break;
+    case AV_CODEC_ID_VP8: c->max_width = 16383; c->max_height = 16383; break;
+    case AV_CODEC_ID_VP9: c->max_width = 65536; c->max_height = 65536; break;
+    case AV_CODEC_ID_AV1: c->max_width = 65536; c->max_height = 36864; break;
+    case AV_CODEC_ID_MPEG2VIDEO: c->max_width = 4096; c->max_height = 4096; break;
+    case AV_CODEC_ID_MPEG4: c->max_width = 8192; c->max_height = 8192; break;
+    default: c->max_width = 16384; c->max_height = 16384; break;
+  }
+  c->min_width = 16;
+  c->min_height = 16;
+}
+
+int pix_fmt_luma_depth(AVPixelFormat f) {
+  const AVPixFmtDescriptor* d = av_pix_fmt_desc_get(f);
+  return d ? d->comp[0].depth : 0;
+}
+
+}  // namespace
+
+VPF_API int vpf_codec_caps(int codec_id, int is_encoder, VpfCodecCaps* out) {
+  memset(out, 0, sizeof(*out));
+  AVCodecID cid = vpf_codec_to_av(codec_id);
+  if (cid == AV_CODEC_ID_NONE)
+    return vpf_set_error(VPF_ERR, "unknown codec id %d", codec_id);
+  const AVCodec* c =
+      is_encoder ? avcodec_find_encoder(cid) : avcodec_find_decoder(cid);
+  if (!c) {
+    out->is_supported = 0;
+    return VPF_OK;
+  }
+  out->is_supported = 1;
+  spec_dims(cid, out);
+  out->supports_reordered_output =
+      (c->capabilities & AV_CODEC_CAP_DELAY) ? 1 : 0;
+
+  if (is_encoder) {
+    // bit depth from the encoder's actual pix_fmt list (e.g. libx265
+    // only lists yuv420p10 when built HIGH_BIT_DEPTH)
+    int maxd = 0;
+    if (c->pix_fmts)
+      for (const AVPixelFormat* p = c->pix_fmts; *p != AV_PIX_FMT_NONE; p++)
+        maxd = std::max(maxd, pix_fmt_luma_depth(*p));
+    if (!maxd) maxd = 8;
+    out->max_bit_depth = maxd;
+    out->supports_10bit = maxd >= 10 ? 1 : 0;
+    // lookahead: does the encoder expose an rc-lookahead private option?
+    if (c->priv_class) {
+      void* fake = (void*)&c->priv_class;  // FAKE_OBJ: ptr-to-class, unmodified
+      if (av_opt_find(fake, "rc-lookahead", nullptr, 0,
+                      AV_OPT_SEARCH_FAKE_OBJ) ||
+          av_opt_find(fake, "lag-in-frames", nullptr, 0,
+                      AV_OPT_SEARCH_FAKE_OBJ))
+        out->supports_lookahead = 1;
+    }
+    // B-frames: spec property of the codec, via its descriptor
+    const AVCodecDescriptor* desc = avcodec_descriptor_get(cid);
+    bool reorder = desc && (desc->props & AV_CODEC_PROP_REORDER);
+    out->max_bframes =
+        reorder && cid != AV_CODEC_ID_VP9 && cid != AV_CODEC_ID_VP8 ? 16 : 0;
+  } else {
+    // decoder depth support per codec spec (SW decode has no HW caps
+    // table; these are the profiles libav's decoders implement)
+    switch (cid) {
+      case AV_CODEC_ID_HEVC: out->max_bit_depth = 12; break;
+      case AV_CODEC_ID_VP9: out->max_bit_depth = 12; break;
+      case AV_CODEC_ID_AV1: out->max_bit_depth = 10; break;
+      case AV_CODEC_ID_H264: out->max_bit_depth = 10; break;
+      case AV_CODEC_ID_MJPEG: out->max_bit_depth = 12; break;
+      default: out->max_bit_depth = 8; break;
+    }
+    out->supports_10bit = out->max_bit_depth >= 10 ? 1 : 0;
+  }
+  return VPF_OK;
+}

@@ -399,7 +399,11 @@ struct Encoder {
     }
   }
 
-  void collect_packets() {
+  /* Drain ready packets into the FIFO. VPF_OK normally; a genuine
+   * avcodec_receive_packet failure (not EAGAIN/EOF) is recorded and
+   * returned so a mid-stream encode failure surfaces as an error instead
+   * of silently missing packets. */
+  int collect_packets() {
     for (;;) {
       AVPacket* pkt = av_packet_alloc();
       int ret = avcodec_receive_packet(avctx, pkt);
@@ -409,7 +413,7 @@ struct Encoder {
       }
       if (ret < 0) {
         av_packet_free(&pkt);
-        break;
+        return vpf_set_av_error(VPF_ERR, "avcodec_receive_packet", ret);
       }
       ready.emplace_back(pkt->data, pkt->data + pkt->size);
       VpfPacketData meta = {};
@@ -421,6 +425,7 @@ struct Encoder {
       ready_meta.push_back(meta);
       av_packet_free(&pkt);
     }
+    return VPF_OK;
   }
 
   int encode(const uint8_t* data, size_t size, const uint8_t* sei,
@@ -434,7 +439,8 @@ struct Encoder {
         avcodec_send_frame(avctx, nullptr);
         flushing = true;
       }
-      collect_packets();
+      int cr = collect_packets();
+      if (cr != VPF_OK) return cr;
       return pop_packet();
     }
     int r = fill_frame(data, size);
@@ -462,7 +468,8 @@ struct Encoder {
 
     int ret = avcodec_send_frame(avctx, frame);
     if (ret < 0) return vpf_set_av_error(VPF_ERR, "avcodec_send_frame", ret);
-    collect_packets();
+    int cr = collect_packets();
+    if (cr != VPF_OK) return cr;
     return pop_packet();
   }
 

@@ -35,6 +35,7 @@ void vpf_decoder_destroy(void*);
 int vpf_decoder_decode(void*, const uint8_t*, size_t, const VpfPacketData*);
 int vpf_decoder_flush_frame(void*);
 int vpf_decoder_copy_frame(void*, int, uint8_t*, size_t);
+int vpf_decoder_frame_desc(void*, VpfFrameDesc*);
 }
 
 namespace {
@@ -62,8 +63,11 @@ struct Pool {
   std::condition_variable cv;
   std::atomic<bool> stop{false};
   std::atomic<long> frames{0};
+  std::atomic<long> dropped{0};  // zero-filled slots (copy_frame failures)
   std::vector<std::thread> workers;
   std::string error;
+  std::string drop_reason;  // first copy_frame failure, for diagnostics
+  uint32_t expect_w = 0, expect_h = 0;  // pinned from the first frame
   int live_workers = 0;
 
   ~Pool() { shutdown(); }
@@ -161,10 +165,32 @@ struct Pool {
           return;
         }
         uint8_t* dst = ring[b].data.data() + (size_t)s * frame_bytes;
-        if (vpf_decoder_copy_frame(dec, out_fmt, dst, frame_bytes) != VPF_OK) {
+        // Batch slots have fixed geometry: a mid-stream resolution change
+        // (even a shrink, which would still *fit* byte-wise) must be
+        // dropped, not silently packed at the wrong layout.
+        VpfFrameDesc fd;
+        bool geom_ok = vpf_decoder_frame_desc(dec, &fd) == VPF_OK;
+        if (geom_ok) {
+          std::lock_guard<std::mutex> lk(mu);
+          if (expect_w == 0) {
+            expect_w = fd.width;
+            expect_h = fd.height;
+          } else if (fd.width != expect_w || fd.height != expect_h) {
+            geom_ok = false;
+            vpf_set_error(VPF_ERR, "resolution change %ux%u -> %ux%u",
+                          expect_w, expect_h, fd.width, fd.height);
+          }
+        }
+        if (!geom_ok ||
+            vpf_decoder_copy_frame(dec, out_fmt, dst, frame_bytes) != VPF_OK) {
           // geometry mismatch (e.g. resolution change): drop the slot by
-          // zero-filling so the batch still completes
+          // zero-filling so the batch still completes, but COUNT it and
+          // keep the first reason so callers can tell corruption from
+          // content (vpf_pool_frames_dropped / vpf_pool_drop_reason).
           memset(dst, 0, frame_bytes);
+          dropped.fetch_add(1);
+          std::lock_guard<std::mutex> lk(mu);
+          if (drop_reason.empty()) drop_reason = vpf_error_slot();
         }
         complete(b);
         my_frames++;
@@ -261,6 +287,17 @@ VPF_API void vpf_pool_release_batch(void* h) {
 
 VPF_API long vpf_pool_frames_decoded(void* h) {
   return static_cast<Pool*>(h)->frames.load();
+}
+
+VPF_API long vpf_pool_frames_dropped(void* h) {
+  return static_cast<Pool*>(h)->dropped.load();
+}
+
+/* First copy-failure reason ("" if none). Valid until pool destroy. */
+VPF_API const char* vpf_pool_drop_reason(void* h) {
+  auto* p = static_cast<Pool*>(h);
+  std::lock_guard<std::mutex> lk(p->mu);
+  return p->drop_reason.c_str();
 }
 
 VPF_API void vpf_pool_destroy(void* h) { delete static_cast<Pool*>(h); }

@@ -89,6 +89,19 @@ class NativeDecodePool:
     def frames_decoded(self) -> int:
         return self._lib.vpf_pool_frames_decoded(self._h)
 
+    @property
+    def frames_dropped(self) -> int:
+        """Frames zero-filled because frame packing failed (e.g. a
+        mid-stream resolution change made the frame not fit its slot)."""
+        return self._lib.vpf_pool_frames_dropped(self._h)
+
+    @property
+    def drop_reason(self) -> str:
+        """First packing-failure reason ('' when nothing was dropped)."""
+        return self._lib.vpf_pool_drop_reason(self._h).decode(
+            "utf-8", "replace"
+        )
+
     def batches(self, postproc: Optional[Callable] = None) -> Iterator:
         """Yield post-processed device batches; blocks-immediately per
         batch (see docs/performance.md on why)."""

@@ -134,6 +134,12 @@ FROM_RGB_COMBOS: Dict[str, FrozenSet[Combo]] = {
         (ColorSpace.BT_601, ColorRange.MPEG),
     ),
     "bgr_ycbcr": _combos((ColorSpace.BT_601, ColorRange.MPEG)),
+    # reference bgr_yuv444 (TasksColorCvt.cpp:617-664): BT_601 only,
+    # MPEG → nppiBGRToYCbCr, JPEG → nppiBGRToYUV
+    "bgr_yuv444": _combos(
+        (ColorSpace.BT_601, ColorRange.JPEG),
+        (ColorSpace.BT_601, ColorRange.MPEG),
+    ),
 }
 
 #: default colorimetry when no conversion context is given

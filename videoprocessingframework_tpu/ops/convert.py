@@ -333,6 +333,11 @@ def _bgr_ycbcr(p, *, space, rng):
     return rgb_to_yuv420(_packed3(p), space=space, rng=rng, swap=True)
 
 
+def _bgr_yuv444(p, *, space, rng):
+    # reference bgr_yuv444 (TasksColorCvt.cpp:617-664)
+    return rgb_to_yuv444(_packed3(p), space=space, rng=rng, swap=True)
+
+
 @jax.jit
 def _nv12_yuv420(y, uv):
     u, v = _deinterleave_uv(uv)
@@ -414,6 +419,9 @@ _register(
 )
 _register(
     F.BGR, F.YCBCR, _bgr_ycbcr, ctx=_NEEDS_CTX_FROM_RGB, combos="bgr_ycbcr"
+)
+_register(
+    F.BGR, F.YUV444, _bgr_yuv444, ctx=_NEEDS_CTX_FROM_RGB, combos="bgr_yuv444"
 )
 _register(F.RGB, F.BGR, _swap3)
 _register(F.BGR, F.RGB, _swap3)

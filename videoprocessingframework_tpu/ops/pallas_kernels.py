@@ -77,7 +77,7 @@ def nv12_to_rgb_planar_pallas(
 ) -> jnp.ndarray:
     """y (B, H, W) u8 + uv (B, H/2, W) u8 → (B, 3, H, W) u8 planar RGB.
 
-    Requires H % 32 == 0 and W % 256 == 0 (tile alignment incl. the
+    Requires H % 32 == 0 and W % 128 == 0 (tile alignment incl. the
     row-parity split); callers fall back to ops/convert.py otherwise.
     """
     from jax.experimental import pallas as pl
