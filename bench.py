@@ -166,13 +166,21 @@ def main() -> int:
     dummy_y = np.zeros((args.batch, height, width), np.uint8)
     dummy_uv = np.zeros((args.batch, height // 2, width), np.uint8)
 
-    # Host↔device link throughput varies over time on shared/tunneled
-    # hosts; run three times and report the best window (all recorded).
+    # Host↔device link throughput varies over minutes on tunneled hosts
+    # ("weather") AND ramps up with sustained traffic (measured: first
+    # transfer after idle is 3-5x slower than steady state). So: runs are
+    # in-process (the warm jax client keeps the link ramped), each run
+    # excludes a 2-batch warmup from its timed window, and we report the
+    # best of 3 (all recorded).
     class RunStats:
         def __init__(self, frames, wall_s):
             self.frames_decoded = frames
             self.wall_s = wall_s
             self.fps = frames / wall_s if wall_s else 0.0
+
+    from videoprocessingframework_tpu.utils.tracing import StageTimer
+
+    WARMUP_BATCHES = 2
 
     def run_native():
         pool = NativeDecodePool(
@@ -181,9 +189,13 @@ def main() -> int:
             loop=True,
             max_frames_per_stream=frames_per_stream,
         )
+        it = pool.batches(postproc)
+        for _ in range(WARMUP_BATCHES):
+            next(it, None)
+        pool.timer = StageTimer()  # drop warmup from the stage stats
         t0 = time.perf_counter()
         n = 0
-        for out in pool.batches(postproc):
+        for out in it:
             n += int(out.shape[0])
         st = RunStats(n, time.perf_counter() - t0)
         tm = pool.timer
@@ -204,6 +216,27 @@ def main() -> int:
         )
         st = pipe.run()
         return RunStats(st.frames_decoded, st.wall_s), pipe.timer
+
+    def run_decode_only():
+        """Host decode ceiling: the same native pool, nothing uploaded.
+        E2E fps ≈ this number ⇒ the pipeline saturates host decode."""
+        pool = NativeDecodePool(
+            [str(clip)] * streams,
+            batch_size=args.batch,
+            loop=True,
+            max_frames_per_stream=frames_per_stream,
+        )
+        t0 = time.perf_counter()
+        n = 0
+        while True:
+            b = pool.acquire()
+            if b is None:
+                break
+            n += int(b.shape[0])
+            pool.release()
+        dt = time.perf_counter() - t0
+        pool.close()
+        return n / dt if dt else 0.0
 
     if args.profile:
         # one profiled run: stage names match the reference's NVTX ranges
@@ -229,37 +262,30 @@ def main() -> int:
                           "wall_s": st.wall_s}))
         return 0
 
-    # Transfer throughput degrades with cumulative traffic within one
-    # process on tunneled runtimes; take the best of 3 FRESH subprocesses
-    # (falling back to in-process runs if spawning fails).
-    import subprocess
+    decode_only_fps = run_decode_only()
 
     runs = []
     timer = None
-    base_args = [sys.executable, __file__, "--_single",
-                 "--batch", str(args.batch)]
-    if args.quick:
-        base_args.append("--quick")
-    if args.streams:
-        base_args += ["--streams", str(args.streams)]
-    if args.frames:
-        base_args += ["--frames", str(args.frames)]
     for _ in range(3):
-        try:
-            proc = subprocess.run(
-                base_args, capture_output=True, text=True, timeout=900
-            )
-            line = proc.stdout.strip().splitlines()[-1]
-            d = json.loads(line)
-            runs.append(RunStats(d["frames"], d["wall_s"]))
-        except Exception:
-            st, timer = one_run()
-            runs.append(st)
-    if timer is None:
         st, timer = one_run()
         runs.append(st)
     stats = max(runs, key=lambda s: s.fps)
     pipe = type("P", (), {"timer": timer})  # stage summary for reporting
+
+    # effective upload+kernel throughput from the dispatch stage
+    summ = timer.summary() if timer else {}
+    batch_bytes = args.batch * (height * 3 // 2) * width
+    upload_gbps = 0.0
+    if "dispatch" in summ and summ["dispatch"]["total_s"]:
+        upload_gbps = (
+            batch_bytes * summ["dispatch"]["count"]
+            / summ["dispatch"]["total_s"] / 1e9
+        )
+    acquire_ms = summ.get("acquire", {}).get("mean_ms", 0.0)
+    dispatch_ms = summ.get("dispatch", {}).get("mean_ms", 0.0)
+    bottleneck = (
+        "host_decode" if acquire_ms > dispatch_ms else "transfer+kernel"
+    )
 
     kfps, kgbs = device_kernel_fps(dummy_y, dummy_uv, 224, 224)
 
@@ -276,6 +302,9 @@ def main() -> int:
             "wall_s": round(stats.wall_s, 3),
             "all_runs_fps": [round(s.fps, 1) for s in runs],
             "host_cpus": ncpu,
+            "decode_only_fps": round(decode_only_fps, 1),
+            "upload_gbps": round(upload_gbps, 3),
+            "bottleneck": bottleneck,
             "kernel_only_fps": round(kfps, 1),
             "kernel_input_gbps": round(kgbs, 3),
             "stage_ms": {

@@ -104,9 +104,16 @@ class NativeDecodePool:
 
     def batches(self, postproc: Optional[Callable] = None) -> Iterator:
         """Yield post-processed device batches; blocks-immediately per
-        batch (see docs/performance.md on why)."""
+        batch (see docs/performance.md on why).
+
+        Stage timers: ``acquire`` = waiting on the native decode workers
+        (decode-bound when large), ``dispatch`` = upload + fused kernel
+        (transfer-bound when large). Their ratio identifies the pipeline
+        bottleneck per run.
+        """
         while True:
-            batch = self.acquire()
+            with self.timer.measure("acquire"):
+                batch = self.acquire()
             if batch is None:
                 return
             try:
