@@ -152,8 +152,11 @@ def main() -> int:
 
     from videoprocessingframework_tpu.io import NativeDecodePool
 
+    # Hot path decodes to packed *planar* YUV420 (host pack = pure row
+    # memcpys; the chroma deinterleave the NV12 layout would need on the
+    # host happens for free inside the fused device kernel instead).
     postproc = FusedPipeline(
-        PixelFormat.NV12,
+        PixelFormat.YUV420,
         ColorSpace.BT_709,
         ColorRange.MPEG,
         out_size=(224, 224),
@@ -186,6 +189,7 @@ def main() -> int:
         pool = NativeDecodePool(
             [str(clip)] * streams,
             batch_size=args.batch,
+            out_format=PixelFormat.YUV420,
             loop=True,
             max_frames_per_stream=frames_per_stream,
         )
@@ -213,6 +217,7 @@ def main() -> int:
             postproc=postproc,
             max_frames_per_stream=frames_per_stream,
             loop_streams=True,
+            out_format=PixelFormat.YUV420,
         )
         st = pipe.run()
         return RunStats(st.frames_decoded, st.wall_s), pipe.timer
@@ -223,6 +228,7 @@ def main() -> int:
         pool = NativeDecodePool(
             [str(clip)] * streams,
             batch_size=args.batch,
+            out_format=PixelFormat.YUV420,
             loop=True,
             max_frames_per_stream=frames_per_stream,
         )

