@@ -120,3 +120,72 @@ def test_multistream_overlapped_mode(test_mp4, gt):
     )
     total = sum(np.asarray(b).shape[0] for b in pipe.batches())
     assert total == gt["num_frames"]
+
+
+# ---- multi-device VIDEO pipeline (VERDICT r1 item 2) -----------------------
+
+
+def _packed420(n, h, w, seed=0):
+    r = np.random.default_rng(seed)
+    y = r.integers(0, 256, (n, h, w), np.uint8)
+    u = r.integers(0, 256, (n, h // 2, w // 2), np.uint8)
+    v = r.integers(0, 256, (n, h // 2, w // 2), np.uint8)
+    return np.concatenate(
+        [y.reshape(n, -1), u.reshape(n, -1), v.reshape(n, -1)], 1
+    ).reshape(n, h * 3 // 2, w)
+
+
+def test_sharded_video_pipeline_bit_exact():
+    """One packed batch sharded over all 8 devices must produce BIT-EXACT
+    results vs the single-device fused path (per-frame math; XLA inserts
+    no collectives)."""
+    from videoprocessingframework_tpu.parallel.multidevice import (
+        ShardedVideoPipeline,
+        sharded_batch_matches_single_device,
+    )
+
+    post = FusedPipeline(
+        PixelFormat.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
+        out_size=(64, 32),
+    )
+    ndev = len(jax.devices())
+    packed = _packed420(2 * ndev, 64, 96)
+    assert sharded_batch_matches_single_device(post, packed)
+    pipe = ShardedVideoPipeline(post)
+    out = pipe(packed)
+    # output really is sharded over all devices
+    assert len(out.sharding.device_set) == ndev
+    with pytest.raises(ValueError):
+        pipe(packed[: ndev + 1])
+
+
+def test_multidevice_stream_pipeline(test_mp4, gt):
+    """Round-robin stream fan-out across all devices: full frame count,
+    outputs identical to the single-device pipeline."""
+    from videoprocessingframework_tpu.parallel.multidevice import (
+        MultiDeviceStreamPipeline,
+    )
+
+    post = FusedPipeline(
+        PixelFormat.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
+        out_size=(64, 32),
+    )
+    pipe = MultiDeviceStreamPipeline(
+        [test_mp4], post, batch_size=8,
+    )
+    outs = [np.asarray(o) for o in pipe.batches()]
+    pipe.close()
+    total = sum(o.shape[0] for o in outs)
+    assert total == gt["num_frames"]
+
+    # same frames through the single-device pool path, same bytes
+    from videoprocessingframework_tpu.io import NativeDecodePool
+
+    ref_pool = NativeDecodePool(
+        [test_mp4], batch_size=8, out_format=PixelFormat.YUV420
+    )
+    ref = [np.asarray(o) for o in ref_pool.batches(post)]
+    ref_pool.close()
+    np.testing.assert_array_equal(
+        np.concatenate(outs), np.concatenate(ref)
+    )

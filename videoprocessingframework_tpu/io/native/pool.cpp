@@ -58,7 +58,9 @@ struct Pool {
   std::vector<Batch> ring;
   std::deque<int> fill_order;   // buffers accepting slots (front = oldest)
   std::deque<int> ready_order;  // full buffers awaiting the consumer
-  int acquired = -1;            // buffer currently held by the consumer
+  std::deque<int> held_order;   // buffers held by the consumer (FIFO);
+                                // several may be held at once so uploads
+                                // to different devices can overlap
   std::mutex mu;
   std::condition_variable cv;
   std::atomic<bool> stop{false};
@@ -207,7 +209,9 @@ struct Pool {
     cv.notify_all();
   }
 
-  /* Consumer: acquire the oldest full batch (or a partial one at end). */
+  /* Consumer: acquire the oldest full batch (or a partial one at end).
+   * Multiple batches may be held concurrently (each later released in
+   * FIFO order by release()/release_id()). */
   int acquire(const uint8_t** data, int* count) {
     std::unique_lock<std::mutex> lk(mu);
     for (;;) {
@@ -216,10 +220,11 @@ struct Pool {
         return VPF_ERR;
       }
       if (!ready_order.empty()) {
-        acquired = ready_order.front();
+        int b = ready_order.front();
         ready_order.pop_front();
-        *data = ring[acquired].data.data();
-        *count = ring[acquired].filled;
+        held_order.push_back(b);
+        *data = ring[b].data.data();
+        *count = ring[b].filled;
         return VPF_OK;
       }
       if (live_workers == 0) {
@@ -228,7 +233,7 @@ struct Pool {
           int b = *it;
           if (ring[b].filled > 0 && ring[b].filled == ring[b].issued) {
             fill_order.erase(it);
-            acquired = b;
+            held_order.push_back(b);
             *data = ring[b].data.data();
             *count = ring[b].filled;
             return VPF_OK;
@@ -240,13 +245,15 @@ struct Pool {
     }
   }
 
+  /* Release the OLDEST held batch (FIFO — matches acquire order). */
   void release() {
     std::lock_guard<std::mutex> lk(mu);
-    if (acquired < 0) return;
-    ring[acquired].filled = 0;
-    ring[acquired].issued = 0;
-    fill_order.push_back(acquired);
-    acquired = -1;
+    if (held_order.empty()) return;
+    int b = held_order.front();
+    held_order.pop_front();
+    ring[b].filled = 0;
+    ring[b].issued = 0;
+    fill_order.push_back(b);
     cv.notify_all();
   }
 };
