@@ -60,12 +60,16 @@ def make_clip(path: pathlib.Path, width: int, height: int, frames: int) -> None:
     path.write_bytes(bytes(stream))
 
 
-def device_kernel_fps(y, uv, out_h, out_w, iters: int = 20):
+def device_kernel_fps(y, uv, out_h, out_w):
     """Kernel-only throughput with inputs resident in HBM.
 
-    Chains ``iters`` kernel invocations inside one jit (lax.scan) and
-    materializes a dependent scalar — naive dispatch loops over-report by
-    10-100x on asynchronous runtimes.
+    Chains kernel invocations inside one jit (lax.scan) with
+    iteration-dependent inputs (so XLA cannot hoist the body) and
+    materializes a dependent scalar. The host fetch of that scalar costs a
+    full link round trip — tens of ms through the relay tunnel — so one
+    timed run under-reports device throughput by ~10x. Timing TWO
+    iteration counts and using the SLOPE cancels the constant RTT:
+        device_time_per_iter = (t(hi) - t(lo)) / (hi - lo).
     """
     import jax
     import jax.numpy as jnp
@@ -81,31 +85,47 @@ def device_kernel_fps(y, uv, out_h, out_w, iters: int = 20):
     yd = jax.device_put(y, dev)
     uvd = jax.device_put(uv, dev)
 
-    @jax.jit
-    def chained(y, uv):
-        def body(c, i):
-            out = decode_postproc(
-                y + i.astype(jnp.uint8),
-                uv,
-                src_format=PixelFormat.NV12,
-                space=ColorSpace.BT_709,
-                rng=ColorRange.MPEG,
-                out_h=out_h,
-                out_w=out_w,
-                output="rgb_u8",
-            )
-            return c + out.astype(jnp.uint32).sum(), None
+    def chained(iters):
+        @jax.jit
+        def fn(y, uv):
+            def body(c, i):
+                out = decode_postproc(
+                    y + i.astype(jnp.uint8),
+                    uv,
+                    src_format=PixelFormat.NV12,
+                    space=ColorSpace.BT_709,
+                    rng=ColorRange.MPEG,
+                    out_h=out_h,
+                    out_w=out_w,
+                    output="rgb_u8",
+                )
+                return c + out.astype(jnp.uint32).sum(), None
 
-        acc, _ = jax.lax.scan(body, jnp.uint32(0), jnp.arange(iters))
-        return acc
+            acc, _ = jax.lax.scan(body, jnp.uint32(0), jnp.arange(iters))
+            return acc
 
-    np.asarray(chained(yd, uvd))  # compile + run once
+        return fn
+
+    lo_n, hi_n = 10, 110
+    lo_fn, hi_fn = chained(lo_n), chained(hi_n)
+    int(lo_fn(yd, uvd))  # compile
+    int(hi_fn(yd, uvd))  # compile
+    t_lo = min(
+        _timed(lambda: int(lo_fn(yd, uvd))) for _ in range(3)
+    )
+    t_hi = min(
+        _timed(lambda: int(hi_fn(yd, uvd))) for _ in range(3)
+    )
+    per_iter = max((t_hi - t_lo) / (hi_n - lo_n), 1e-9)
+    n = y.shape[0]
+    in_bytes = y.nbytes + uv.nbytes
+    return n / per_iter, in_bytes / per_iter / 1e9
+
+
+def _timed(fn) -> float:
     t0 = time.perf_counter()
-    np.asarray(chained(yd, uvd))
-    dt = time.perf_counter() - t0
-    n = y.shape[0] * iters
-    in_bytes = (y.nbytes + uv.nbytes) * iters
-    return n / dt, in_bytes / dt / 1e9
+    fn()
+    return time.perf_counter() - t0
 
 
 def main() -> int:

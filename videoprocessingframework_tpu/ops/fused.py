@@ -21,6 +21,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.enums import ColorRange, ColorSpace, PixelFormat
 from . import colorspace as cs
@@ -192,7 +193,20 @@ class FusedPipeline:
     """Configured fused pipeline: call with batched planes, get model input.
 
     Binds (src_format, colorimetry, target size, output mode) once; each
-    call is one compiled XLA program per input shape.
+    call is one compiled program per input shape.
+
+    ``kernel`` selects the device implementation:
+
+    * ``"xla"`` — the jitted XLA resize-before-CSC program (f32-highest).
+    * ``"pallas"`` — the hand-tiled split-bf16 Pallas kernel pair
+      (ops/pallas_fused.py; ≤1 u8 ULP vs the float64 golden, ~2.5x less
+      MXU work than f32-highest).
+    * ``"auto"`` (default) — when the shape/format/output qualify for the
+      Pallas path on a TPU backend, time both once per input shape with an
+      RTT-cancelling two-point measurement and cache the winner; otherwise
+      XLA. (Measured on v5e: XLA ≈ 28 µs/frame vs Pallas ≈ 33 µs at
+      1080p→224, so auto currently picks XLA there — the hook exists
+      because the balance is hardware-generation dependent.)
     """
 
     def __init__(
@@ -206,6 +220,7 @@ class FusedPipeline:
         mean: Sequence[float] = tuple(IMAGENET_MEAN),
         std: Sequence[float] = tuple(IMAGENET_STD),
         device=None,
+        kernel: str = "auto",
     ):
         self.src_format = PixelFormat(src_format)
         self.space = ColorSpace(color_space)
@@ -216,8 +231,53 @@ class FusedPipeline:
         self.mean = tuple(mean)
         self.std = tuple(std)
         self.device = device
+        if kernel not in ("auto", "xla", "pallas"):
+            raise ValueError(f"kernel must be auto|xla|pallas, got {kernel!r}")
+        self.kernel = kernel
+        self._picked = {}  # input-shape key -> "xla" | "pallas"
 
-    def __call__(self, *planes):
+    # -- kernel selection ---------------------------------------------------
+
+    def _pallas_planes(self, planes):
+        """Map the call planes to the Pallas kernel's (y, uv) inputs, or
+        None when this input doesn't qualify."""
+        if self.output != "rgb_u8" or self.method not in ("lanczos", "bilinear"):
+            return None
+        fmt = self.src_format
+        if fmt == F.NV12 and len(planes) == 2:
+            return planes
+        if fmt in (F.NV12, F.YUV420) and len(planes) == 1:
+            packed = planes[0]
+            h = packed.shape[-2] * 2 // 3
+            w = packed.shape[-1]
+            y = packed[..., :h, :]
+            if fmt == F.NV12:
+                return y, packed[..., h:, :]
+            lead = packed.shape[:-2]
+            c = packed[..., h:, :]
+            u = c[..., : h // 4, :].reshape(*lead, h // 2, w // 2)
+            v = c[..., h // 4:, :].reshape(*lead, h // 2, w // 2)
+            uv = jnp.stack([u, v], axis=-1).reshape(*lead, h // 2, w)
+            return y, uv
+        if fmt == F.YUV420 and len(planes) == 3:
+            y, u, v = planes
+            uv = jnp.stack([u, v], axis=-1).reshape(
+                *u.shape[:-1], u.shape[-1] * 2
+            )
+            return y, uv
+        return None
+
+    def _run_pallas(self, y, uv):
+        from .pallas_fused import fused_nv12_resize_rgb_pallas
+
+        out = fused_nv12_resize_rgb_pallas(
+            y, uv,
+            out_h=self.out_h, out_w=self.out_w,
+            space=self.space, rng=self.range, method=self.method,
+        )
+        return jnp.moveaxis(out, -3, -1)  # planar → NHWC like the XLA path
+
+    def _run_xla(self, *planes):
         return decode_postproc(
             *planes,
             src_format=self.src_format,
@@ -230,3 +290,74 @@ class FusedPipeline:
             mean=self.mean,
             std=self.std,
         )
+
+    def _pick(self, planes, pallas_in):
+        """Time both kernels once for this shape (RTT-cancelling slope)."""
+        import time
+
+        import jax
+
+        def slope(fn, args):
+            def chained(iters):
+                @jax.jit
+                def f(*a):
+                    def body(c, i):
+                        o = fn(a[0] + i.astype(jnp.uint8), *a[1:])
+                        return c + o.astype(jnp.uint32).sum(), None
+                    acc, _ = jax.lax.scan(
+                        body, jnp.uint32(0), jnp.arange(iters)
+                    )
+                    return acc
+                return f
+
+            lo, hi = chained(4), chained(24)
+            int(lo(*args)); int(hi(*args))  # compile
+            t_lo = min(_walltime(lambda: int(lo(*args))) for _ in range(2))
+            t_hi = min(_walltime(lambda: int(hi(*args))) for _ in range(2))
+            return max(t_hi - t_lo, 1e-9)
+
+        staged = [jax.device_put(np.asarray(p)) for p in planes]
+        pallas_staged = [jax.device_put(np.asarray(p)) for p in pallas_in]
+        t_xla = slope(lambda p0, *rest: self._run_xla(p0, *rest), staged)
+        t_pal = slope(lambda y, uv: self._run_pallas(y, uv), pallas_staged)
+        return "pallas" if t_pal < t_xla else "xla"
+
+    def __call__(self, *planes):
+        choice = self.kernel
+        pallas_in = None
+        if choice in ("auto", "pallas"):
+            pallas_in = self._pallas_planes(planes)
+            if pallas_in is not None:
+                from .pallas_fused import fused_pallas_supported
+
+                y = pallas_in[0]
+                if not fused_pallas_supported(y.shape[-1], self.out_h):
+                    pallas_in = None
+            if pallas_in is not None:
+                import jax
+
+                if jax.devices()[0].platform == "cpu":
+                    pallas_in = None  # interpret mode: never a speed win
+        if choice == "pallas":
+            if pallas_in is None:
+                raise ValueError(
+                    "pallas kernel unavailable for this input "
+                    "(needs NV12/YUV420 u8, rgb_u8 output, aligned shapes, "
+                    "TPU backend)"
+                )
+            return self._run_pallas(*pallas_in)
+        if choice == "auto" and pallas_in is not None:
+            key = tuple(p.shape for p in planes)
+            if key not in self._picked:
+                self._picked[key] = self._pick(planes, pallas_in)
+            if self._picked[key] == "pallas":
+                return self._run_pallas(*pallas_in)
+        return self._run_xla(*planes)
+
+
+def _walltime(fn) -> float:
+    import time
+
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0

@@ -58,14 +58,40 @@ def _f32(x):
     return x.astype(jnp.int32).astype(jnp.float32)
 
 
+# ---- split-precision MXU strategy -----------------------------------------
+# A full-f32 ("highest") MXU dot costs ~6 bf16 passes. But the pixel
+# operands here are uint8 — EXACT in bf16's 8-bit mantissa. Splitting only
+# the resize matrix into hi+lo bf16 halves (m ≈ hi + lo, |lo| ≤ 2^-8|m|,
+# residual ≤ 2^-16|m|) makes  dot(hi, x) + dot(lo, x)  accurate to ~2e-3
+# of an 8-bit code at 2 passes instead of 6. K2's inputs are f32
+# intermediates, so there BOTH operands are split and the lo×lo term
+# dropped (3 passes). Net ~2.5x less MXU work than f32-highest at the same
+# ≤1-ULP-vs-float64-golden budget (tests/test_interop_metrics_pallas.py).
+
+
+def _split_bf16_host(m: np.ndarray):
+    import ml_dtypes
+
+    hi = m.astype(ml_dtypes.bfloat16)
+    lo = (m - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
+
+
+def _bf16(x):
+    return x.astype(jnp.int32).astype(jnp.bfloat16)  # exact for u8
+
+
 def _k1_factory():
-    def kernel(y_ref, uv_ref, rm_ref, rc_ref, yo_ref, uvo_ref):
-        y = _f32(y_ref[0])  # (Hp, LANES)
-        uv = _f32(uv_ref[0])  # (Hp/2, LANES)
-        yo_ref[0] = jnp.dot(rm_ref[...], y, preferred_element_type=jnp.float32)
+    def kernel(y_ref, uv_ref, rmh_ref, rml_ref, rch_ref, rcl_ref, yo_ref,
+               uvo_ref):
+        y = _bf16(y_ref[0])  # (Hp, LANES), exact
+        uv = _bf16(uv_ref[0])  # (Hp/2, LANES), exact
+        yo_ref[0] = jnp.dot(
+            rmh_ref[...], y, preferred_element_type=jnp.float32
+        ) + jnp.dot(rml_ref[...], y, preferred_element_type=jnp.float32)
         uvo_ref[0] = jnp.dot(
-            rc_ref[...], uv, preferred_element_type=jnp.float32
-        )
+            rch_ref[...], uv, preferred_element_type=jnp.float32
+        ) + jnp.dot(rcl_ref[...], uv, preferred_element_type=jnp.float32)
 
     return kernel
 
@@ -76,7 +102,17 @@ def _k2_factory(space: ColorSpace, rng: ColorRange, out_w: int, swap: bool):
     off = np.asarray(off, np.float32)
     chans = [0, 1, 2] if not swap else [2, 1, 0]
 
-    def kernel(y_ref, uv_ref, cm_ref, out_ref):
+    def split_dot(x, cmh, cml):
+        # x f32 → hi+lo bf16; drop the lo×lo term (≤2^-16 relative)
+        xh = x.astype(jnp.bfloat16)
+        xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (
+            jnp.dot(xh, cmh, preferred_element_type=jnp.float32)
+            + jnp.dot(xh, cml, preferred_element_type=jnp.float32)
+            + jnp.dot(xl, cmh, preferred_element_type=jnp.float32)
+        )
+
+    def kernel(y_ref, uv_ref, cmh_ref, cml_ref, out_ref):
         from jax.experimental.pallas import tpu as pltpu
 
         y = y_ref[0]  # (OUT_H, W) f32
@@ -88,10 +124,11 @@ def _k2_factory(space: ColorSpace, rng: ColorRange, out_w: int, swap: bool):
         # column matrix then equals the collapsed-matrix result exactly
         u = jnp.where(even, uv, pltpu.roll(uv, 1, 1))
         v = jnp.where(even, pltpu.roll(uv, w - 1, 1), uv)
-        cmt = cm_ref[...]  # (W, OUT_WP)
-        yr = jnp.dot(y, cmt, preferred_element_type=jnp.float32) - off[0]
-        ur = jnp.dot(u, cmt, preferred_element_type=jnp.float32) - off[1]
-        vr = jnp.dot(v, cmt, preferred_element_type=jnp.float32) - off[2]
+        cmh = cmh_ref[...]  # (W, OUT_WP) bf16 hi
+        cml = cml_ref[...]  # (W, OUT_WP) bf16 lo
+        yr = split_dot(y, cmh, cml) - off[0]
+        ur = split_dot(u, cmh, cml) - off[1]
+        vr = split_dot(v, cmh, cml) - off[2]
         for i, c in enumerate(chans):
             val = m[c, 0] * yr + m[c, 1] * ur + m[c, 2] * vr
             val = jnp.clip(jnp.rint(val), 0.0, 255.0)
@@ -146,8 +183,8 @@ def fused_nv12_resize_rgb_pallas(
     rc_np[:, : h // 2] = (
         resize_matrix(h, out_h, method).reshape(out_h, h // 2, 2).sum(-1)
     )
-    rm = jnp.asarray(rm_np)
-    rc = jnp.asarray(rc_np)
+    rmh, rml = map(jnp.asarray, _split_bf16_host(rm_np))
+    rch, rcl = map(jnp.asarray, _split_bf16_host(rc_np))
 
     k1 = pl.pallas_call(
         _k1_factory(),
@@ -158,6 +195,10 @@ def fused_nv12_resize_rgb_pallas(
             pl.BlockSpec((1, hp2, lanes), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((out_h, hp), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_h, hp), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_h, hp2), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((out_h, hp2), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -174,12 +215,12 @@ def fused_nv12_resize_rgb_pallas(
         ],
         interpret=interpret,
     )
-    y1, uv1 = k1(y, uv, rm, rc)
+    y1, uv1 = k1(y, uv, rmh, rml, rch, rcl)
 
     out_wp = _round_up(out_w, 128)
     cm_np = np.zeros((w, out_wp), np.float32)
     cm_np[:, :out_w] = resize_matrix(w, out_w, method).T
-    cmt = jnp.asarray(cm_np)
+    cmh, cml = map(jnp.asarray, _split_bf16_host(cm_np))
 
     k2 = pl.pallas_call(
         _k2_factory(ColorSpace(space), ColorRange(rng), out_w, swap),
@@ -191,13 +232,15 @@ def fused_nv12_resize_rgb_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w, out_wp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, out_wp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 3, out_h, out_wp), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 3, out_h, out_wp), jnp.uint8),
         interpret=interpret,
     )
-    out = k2(y1, uv1, cmt)
+    out = k2(y1, uv1, cmh, cml)
     return out[..., :out_w]
 
 
