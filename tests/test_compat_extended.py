@@ -123,3 +123,51 @@ def test_real_capabilities_from_libav(test_mp4):
     # H.264 spec level ceiling, not a hardcoded 8192x8192 square
     assert caps[nvc.NV_DEC_CAPS.MAX_WIDTH] == 8192
     assert caps[nvc.NV_DEC_CAPS.MAX_HEIGHT] == 4320
+
+
+def test_encode_from_tensor_roundtrip(tmp_path):
+    """EncodeFromNVCVImage analog (ref PyNvEncoder.cpp:401-460): encode
+    straight from torch / jax tensors, decode back, check PSNR."""
+    import jax.numpy as jnp
+    import torch
+
+    W, H, N = 320, 240, 8
+    rng = np.random.default_rng(7)
+    ys = np.arange(H, dtype=np.uint16)[:, None]
+    xs = np.arange(W, dtype=np.uint16)[None, :]
+    frames = [
+        (((ys * 3 + xs + 11 * i) % 256).astype(np.uint8)) for i in range(N)
+    ]
+    enc = nvc.PyNvEncoder(
+        {"codec": "h264", "preset": "P1", "s": f"{W}x{H}",
+         "bitrate": "2M", "gop": "4"}, 0
+    )
+    stream = bytearray()
+    pkt = np.ndarray(0, np.uint8)
+    for i, yp in enumerate(frames):
+        full = np.concatenate(
+            [yp.ravel(), np.full(W * H // 2, 128, np.uint8)]
+        ).reshape(H * 3 // 2, W)
+        # alternate torch / jax input objects
+        t = torch.from_numpy(full) if i % 2 == 0 else jnp.asarray(full)
+        if enc.EncodeFromNVCVImage(t, pkt):
+            stream += pkt.tobytes()
+    while enc.FlushSinglePacket(pkt):
+        stream += pkt.tobytes()
+    es = tmp_path / "t.h264"
+    es.write_bytes(bytes(stream))
+
+    dec = nvc.PyNvDecoder(str(es), 0)
+    got = []
+    f = np.ndarray(0, np.uint8)
+    while dec.DecodeSingleFrame(f):
+        got.append(f.reshape(H * 3 // 2, W)[:H].copy())
+    assert len(got) == N
+    for orig, rec in zip(frames, got):
+        mse = np.mean((orig.astype(np.float64) - rec.astype(np.float64)) ** 2)
+        psnr = 10 * np.log10(255.0**2 / max(mse, 1e-9))
+        assert psnr > 30, psnr
+
+    # contract: is_nvcv_image=False -> returns False (reference behavior)
+    t = torch.zeros((H * 3 // 2, W), dtype=torch.uint8)
+    assert enc.EncodeFromNVCVImage(t, pkt, False) is False

@@ -197,3 +197,41 @@ def test_fused_packed_layouts_bit_exact():
         packednv, src_format=PixelFormat.NV12, **kw))
     np.testing.assert_array_equal(a, b)
     np.testing.assert_array_equal(b, c)
+
+
+def test_fused_pipeline_4k():
+    """Large-frame handling (SURVEY §5 long-context analog): a 3840x2160
+    frame through the fused pipeline, checked against the float64 golden."""
+    from videoprocessingframework_tpu.ops import colorspace as cspace
+
+    H, W, OH, OW = 2160, 3840, 224, 224
+    r = np.random.default_rng(5)
+    y = r.integers(0, 256, (1, H, W), np.uint8)
+    u = r.integers(0, 256, (1, H // 2, W // 2), np.uint8)
+    v = r.integers(0, 256, (1, H // 2, W // 2), np.uint8)
+    packed = np.concatenate(
+        [y.reshape(1, -1), u.reshape(1, -1), v.reshape(1, -1)], 1
+    ).reshape(1, H * 3 // 2, W)
+    pipe = FusedPipeline(
+        PixelFormat.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
+        out_size=(OW, OH), kernel="xla",
+    )
+    out = np.asarray(pipe(packed))
+    assert out.shape == (1, OH, OW, 3)
+
+    rm = resize_matrix(H, OH, "lanczos").astype(np.float64)
+    cm = resize_matrix(W, OW, "lanczos").astype(np.float64)
+    uu = np.repeat(np.repeat(u, 2, 1), 2, 2).astype(np.float64)
+    vv = np.repeat(np.repeat(v, 2, 1), 2, 2).astype(np.float64)
+
+    def rsz(p):
+        return np.einsum("oh,nhw->now", rm, p) @ cm.T
+
+    M, OFF = cspace.rgb_from_ycbcr_matrix(ColorSpace.BT_709, ColorRange.MPEG)
+    M, OFF = np.asarray(M, np.float64), np.asarray(OFF, np.float64)
+    ycc = np.stack(
+        [rsz(y.astype(np.float64)) - OFF[0], rsz(uu) - OFF[1],
+         rsz(vv) - OFF[2]], -1
+    )
+    want = np.clip(np.rint(np.einsum("...c,dc->...d", ycc, M)), 0, 255)
+    assert np.abs(out.astype(int) - want.astype(int)).max() <= 1

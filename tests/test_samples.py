@@ -129,3 +129,11 @@ def test_sample_batch_inference(test_mp4):
     out = _run("sample_batch_inference.py", test_mp4, "--streams", "1",
                "--batch", "4")
     assert "classified" in out
+
+
+@pytest.mark.slow
+def test_sample_aot_compile(test_mp4, tmp_path):
+    out = _run("sample_aot_compile.py", test_mp4, "--batch", "4",
+               "--engine", str(tmp_path / "engine.xla"))
+    assert "engine compiled" in out
+    assert "served" in out

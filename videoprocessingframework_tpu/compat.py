@@ -344,6 +344,21 @@ class CudaBuffer:
         return np.asarray(self._array)
 
 
+def _tensor_to_numpy(tensor) -> np.ndarray:
+    """Materialize any DLPack exporter (torch/jax/numpy/...) as a host
+    numpy array for the host encoder."""
+    if isinstance(tensor, np.ndarray):
+        return tensor
+    mod = type(tensor).__module__
+    if mod.startswith("torch"):
+        return tensor.detach().cpu().numpy()
+    if mod.startswith("jax"):
+        return np.asarray(tensor)
+    if hasattr(tensor, "__dlpack__"):
+        return np.from_dlpack(tensor)
+    return np.asarray(tensor)
+
+
 @functools.lru_cache(maxsize=1)
 def _donating_copy_jit():
     import jax
@@ -765,6 +780,38 @@ class PyNvEncoder:
     def EncodeSingleFrame(self, frame: np.ndarray, packet: np.ndarray,
                           sei=None, sync=False, append=False) -> bool:
         return self._encode(np.asarray(frame), packet, sei, sync, append)
+
+    def EncodeFromNVCVImage(self, image, packet: np.ndarray,
+                            is_nvcv_image: bool = True) -> bool:
+        """Encode directly from an external tensor object — the analog of
+        the reference's NVCV-image encode (PyNvEncoder.cpp:401-460, which
+        accepts any ``__cuda_array_interface__`` image). Here any DLPack
+        exporter works: a ``torch.Tensor``, ``jax.Array``, numpy array, or
+        an object exposing ``__dlpack__``. The tensor must hold one packed
+        frame in the encoder's input format layout (e.g. NV12:
+        (H*3/2, W) uint8).
+
+        Matches the reference contract of returning False (with a message)
+        when ``is_nvcv_image`` is not set."""
+        if not is_nvcv_image:
+            import sys
+
+            print("Please set the boolean to true", file=sys.stderr)
+            return False
+        return self.EncodeFromTensor(image, packet)
+
+    def EncodeFromTensor(self, tensor, packet: np.ndarray, sei=None,
+                         sync: bool = False, append: bool = False) -> bool:
+        """Encode one frame straight from a torch/jax/numpy tensor (DLPack;
+        no intermediate Surface object)."""
+        arr = _tensor_to_numpy(tensor)
+        if arr.dtype != np.uint8 and arr.dtype != np.uint16:
+            raise TypeError(
+                f"EncodeFromTensor: expected uint8/uint16 frame data, got "
+                f"{arr.dtype}"
+            )
+        return self._encode(np.ascontiguousarray(arr), packet, sei, sync,
+                            append)
 
     def FlushSinglePacket(self, packet: np.ndarray) -> bool:
         out = self._enc.flush_single_packet()
