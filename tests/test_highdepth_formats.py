@@ -119,3 +119,50 @@ def test_transfer_helpers():
             got.append(int(np.asarray(r)[0, 0]))
     got += [int(np.asarray(r)[0, 0]) for r in dbuf.drain()]
     assert got == [0, 1, 2, 3, 4]
+
+
+def test_gray12_encode_decode_roundtrip():
+    """12-bit gray path: MSB-aligned u16 frames → hevc gray12le → decode →
+    MSB-aligned u16 (reference GRAY12LE analog, FfmpegSwDecoder.cpp:141-252)."""
+    from videoprocessingframework_tpu.core.enums import CodecId, PixelFormat
+    from videoprocessingframework_tpu.io import VideoEncoder
+    from videoprocessingframework_tpu.io.decoder import VideoDecoder
+
+    W, H, N = 320, 240, 6
+    rng = np.random.default_rng(11)
+    frames = []
+    ys = np.arange(H, dtype=np.uint32)[:, None]
+    xs = np.arange(W, dtype=np.uint32)[None, :]
+    for i in range(N):
+        f12 = ((ys * 16 + xs * 4 + i * 101) % 4096).astype(np.uint16)
+        frames.append((f12 << 4).astype(np.uint16))  # MSB-aligned
+
+    enc = VideoEncoder(
+        {"codec": "hevc", "fmt": "GRAY12", "s": f"{W}x{H}",
+         "preset": "P1", "bitrate": "4M", "gop": "3", "qmin": "1",
+         "qmax": "10"}
+    )
+    packets = []
+    for f in frames:
+        out = enc.encode(f.view(np.uint8).ravel())
+        if out is not None:
+            packets.append(out[0])
+    packets.extend(p for p, _ in enc.flush())
+
+    dec = VideoDecoder(CodecId.HEVC)
+    got = []
+    buf = np.empty(W * H * 2, np.uint8)
+    for pkt in packets:
+        f = dec.decode_packet(pkt, out=buf)
+        if f is not None:
+            assert f.format == PixelFormat.GRAY12
+            got.append(buf.view(np.uint16).reshape(H, W).copy())
+    while dec.flush_frame(out=buf) is not None:
+        got.append(buf.view(np.uint16).reshape(H, W).copy())
+    assert len(got) == N
+    for orig, rec in zip(frames, got):
+        # lossy codec: check 12-bit PSNR is sane, and the MSB alignment
+        err = orig.astype(np.float64) - rec.astype(np.float64)
+        psnr = 10 * np.log10(65535.0**2 / max((err ** 2).mean(), 1e-9))
+        assert psnr > 40, psnr
+        assert (rec & 0xF).max() == 0  # MSB-aligned 12-bit payload

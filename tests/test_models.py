@@ -54,3 +54,74 @@ def test_checkpoint_roundtrip(tmp_path):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_torchvision_weight_converter_roundtrip():
+    """load_torch_resnet50: a torchvision-format state_dict (synthesized
+    from a live flax tree via the exact reverse mapping) converts back to
+    an identical variable tree, and the model runs with it."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from videoprocessingframework_tpu.models import init_params, resnet50
+    from videoprocessingframework_tpu.models.weights import (
+        load_torch_resnet50,
+    )
+
+    model = resnet50()
+    variables = init_params(model, (1, 224, 224, 3))
+    params, stats = variables["params"], variables["batch_stats"]
+
+    sd = {}
+
+    def conv_back(k):
+        return torch.from_numpy(
+            np.asarray(k, np.float32).transpose(3, 2, 0, 1).copy()
+        )
+
+    def bn_back(prefix, p, s):
+        sd[prefix + ".weight"] = torch.from_numpy(
+            np.asarray(p["scale"], np.float32).copy())
+        sd[prefix + ".bias"] = torch.from_numpy(
+            np.asarray(p["bias"], np.float32).copy())
+        sd[prefix + ".running_mean"] = torch.from_numpy(
+            np.asarray(s["mean"], np.float32).copy())
+        sd[prefix + ".running_var"] = torch.from_numpy(
+            np.asarray(s["var"], np.float32).copy())
+
+    sd["conv1.weight"] = conv_back(params["stem_conv"]["kernel"])
+    bn_back("bn1", params["stem_bn"], stats["stem_bn"])
+    for i, n in enumerate((3, 4, 6, 3)):
+        for j in range(n):
+            blk = f"stage{i + 1}_block{j + 1}"
+            for k in (1, 2, 3):
+                sd[f"layer{i + 1}.{j}.conv{k}.weight"] = conv_back(
+                    params[blk][f"conv{k}"]["kernel"])
+                bn_back(f"layer{i + 1}.{j}.bn{k}", params[blk][f"bn{k}"],
+                        stats[blk][f"bn{k}"])
+            if "proj_conv" in params[blk]:
+                sd[f"layer{i + 1}.{j}.downsample.0.weight"] = conv_back(
+                    params[blk]["proj_conv"]["kernel"])
+                bn_back(f"layer{i + 1}.{j}.downsample.1",
+                        params[blk]["proj_bn"], stats[blk]["proj_bn"])
+    sd["fc.weight"] = torch.from_numpy(
+        np.asarray(params["classifier"]["kernel"], np.float32).T.copy())
+    sd["fc.bias"] = torch.from_numpy(
+        np.asarray(params["classifier"]["bias"], np.float32).copy())
+
+    converted = load_torch_resnet50(sd)
+
+    # identical tree structure and values
+    flat_a = jax.tree_util.tree_leaves_with_path(variables)
+    flat_b = jax.tree_util.tree_leaves_with_path(converted)
+    assert [p for p, _ in flat_a] == [p for p, _ in flat_b]
+    for (pa, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-2, atol=1e-2, err_msg=str(pa),
+        )
+
+    x = np.random.default_rng(0).random((1, 224, 224, 3), np.float32)
+    out = model.apply(converted, x, train=False)
+    assert out.shape == (1, 1000) and np.isfinite(np.asarray(out)).all()

@@ -261,6 +261,16 @@ struct Decoder {
       copy_plane(current->data[0], current->linesize[0], h, w, dst);
       return VPF_OK;
     }
+    if (fmt == VPF_FMT_GRAY12 && src_fmt == AV_PIX_FMT_GRAY12) {
+      // gray12le (LSB) → MSB-aligned 16-bit, mirroring the P1x convention
+      uint16_t* out = (uint16_t*)dst;
+      for (int r = 0; r < h; r++) {
+        const uint16_t* srow =
+            (const uint16_t*)(current->data[0] + (size_t)r * current->linesize[0]);
+        for (int c = 0; c < w; c++) out[(size_t)r * w + c] = srow[c] << 4;
+      }
+      return VPF_OK;
+    }
     if (fmt == VPF_FMT_YUV422 &&
         (src_fmt == AV_PIX_FMT_YUV422P || src_fmt == AV_PIX_FMT_YUVJ422P)) {
       copy_plane(current->data[0], current->linesize[0], h, w, dst);

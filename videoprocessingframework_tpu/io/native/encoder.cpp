@@ -183,6 +183,15 @@ struct Encoder {
             VPF_ERR, "10-bit input requires the hevc encoder");
       pix = AV_PIX_FMT_YUV420P10;
       in_fmt = VPF_FMT_P10;
+    } else if (fmt == "GRAY12") {
+      // 12-bit grayscale: packed 16-bit MSB-aligned input, encoded as
+      // gray12le (hevc/libx265 supports it; reference analog is the
+      // GRAY12LE path in FfmpegSwDecoder.cpp:141-252).
+      if (codec_name != "hevc" && codec_name != "HEVC")
+        return vpf_set_error(
+            VPF_ERR, "GRAY12 input requires the hevc encoder");
+      pix = AV_PIX_FMT_GRAY12;
+      in_fmt = VPF_FMT_GRAY12;
     } else {
       return vpf_set_error(VPF_ERR, "unsupported input fmt: %s", fmt.c_str());
     }
@@ -366,6 +375,19 @@ struct Encoder {
                  up + (size_t)r * cw, cw);
           memcpy(frame->data[2] + (size_t)r * frame->linesize[2],
                  vp + (size_t)r * cw, cw);
+        }
+        return VPF_OK;
+      }
+      case VPF_FMT_GRAY12: {
+        // MSB-aligned 16-bit packed input → gray12le (LSB-aligned)
+        if (size < need * 2)
+          return vpf_set_error(VPF_ERR, "GRAY12 frame too small");
+        const uint16_t* sy = (const uint16_t*)src;
+        for (int r = 0; r < h; r++) {
+          uint16_t* drow =
+              (uint16_t*)(frame->data[0] + (size_t)r * frame->linesize[0]);
+          const uint16_t* srow = sy + (size_t)r * w;
+          for (int c = 0; c < w; c++) drow[c] = srow[c] >> 4;
         }
         return VPF_OK;
       }
