@@ -189,3 +189,36 @@ def test_multidevice_stream_pipeline(test_mp4, gt):
     np.testing.assert_array_equal(
         np.concatenate(outs), np.concatenate(ref)
     )
+
+
+def test_multihost_video_pipeline_single_process(test_mp4, gt):
+    """MultiHostVideoPipeline on the single-process 8-device CPU mesh:
+    globally-sharded output, bit-identical to the single-device path,
+    ragged tail dropped for SPMD lockstep."""
+    from videoprocessingframework_tpu.parallel.multihost import (
+        MultiHostVideoPipeline,
+    )
+
+    post = FusedPipeline(
+        PixelFormat.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
+        out_size=(64, 32), kernel="xla",
+    )
+    pipe = MultiHostVideoPipeline([test_mp4], post, batch_size_per_host=8)
+    outs = [np.asarray(o) for o in pipe.batches()]
+    pipe.close()
+    full_batches = gt["num_frames"] // 8
+    assert len(outs) == full_batches  # ragged tail dropped
+    assert pipe.frames_local == full_batches * 8
+
+    from videoprocessingframework_tpu.io import NativeDecodePool
+
+    ref_pool = NativeDecodePool(
+        [test_mp4], batch_size=8, out_format=PixelFormat.YUV420
+    )
+    ref = []
+    for o in ref_pool.batches(post):
+        a = np.asarray(o)
+        if a.shape[0] == 8:
+            ref.append(a)
+    ref_pool.close()
+    np.testing.assert_array_equal(np.concatenate(outs), np.concatenate(ref))

@@ -4,4 +4,8 @@ from .multidevice import (  # noqa: F401
     MultiDeviceStreamPipeline,
     ShardedVideoPipeline,
 )
+from .multihost import (  # noqa: F401
+    GlobalBatchAssembler,
+    MultiHostVideoPipeline,
+)
 from . import train  # noqa: F401
