@@ -171,3 +171,28 @@ def test_encode_from_tensor_roundtrip(tmp_path):
     # contract: is_nvcv_image=False -> returns False (reference behavior)
     t = torch.zeros((H * 3 // 2, W), dtype=torch.uint8)
     assert enc.EncodeFromNVCVImage(t, pkt, False) is False
+
+
+def test_decode_surface_from_packet_nvcv_output(test_mp4):
+    """NVCV-output overload (ref PyNvDecoder.cpp:822-923 /
+    SampleTypeConversionTest.py): trailing bool returns framework tensors
+    (zero-copy DLPack views of the decoded planes)."""
+    import torch
+
+    dmx = nvc.PyFFmpegDemuxer(test_mp4)
+    dec = nvc.PyNvDecoder(
+        dmx.Width(), dmx.Height(), dmx.Format(), dmx.Codec(), 0
+    )
+    packet = np.ndarray(0, np.uint8)
+    pd_in, pd_out = nvc.PacketData(), nvc.PacketData()
+    tensors = None
+    while dmx.DemuxSinglePacket(packet):
+        dmx.LastPacketData(pd_in)
+        out = dec.DecodeSurfaceFromPacket(pd_in, packet, pd_out, True)
+        if isinstance(out, list):
+            tensors = out
+            break
+    assert tensors is not None
+    assert all(isinstance(t, torch.Tensor) for t in tensors)
+    assert tensors[0].shape[0] == dmx.Height()
+    assert tensors[0].dtype == torch.uint8

@@ -607,12 +607,29 @@ class PyNvDecoder:
         return enc_pkt, packet, pkt_out
 
     def DecodeSurfaceFromPacket(self, *args) -> Surface:
+        # NVCV-output overload (ref PyNvDecoder.cpp:822-923): a trailing
+        # bool requests a framework-tensor view. The reference builds a
+        # torch tensor via __cuda_array_interface__; here the planes ARE
+        # device arrays, so we return a list of torch tensors (zero-copy
+        # DLPack per plane) — SampleTypeConversionTest analog.
+        nvcv_check = None
+        if args and isinstance(args[-1], bool):
+            nvcv_check = args[-1]
+            args = args[:-1]
         enc_pkt, packet, pkt_out = self._from_packet(args)
         frame = self._decode(None, None, pkt_out, packet=packet,
                              enc_pkt_data=enc_pkt)
         if frame is None:
             return Surface._empty(self._format)
-        return Surface(frame.to_surface(_device(self._gpu_id)))
+        surf = Surface(frame.to_surface(_device(self._gpu_id)))
+        if nvcv_check:
+            import torch
+
+            return [
+                torch.from_dlpack(surf.PlanePtr(i))
+                for i in range(surf.NumPlanes())
+            ]
+        return surf
 
     def DecodeFrameFromPacket(self, frame: np.ndarray, *args) -> bool:
         enc_pkt, packet, pkt_out = self._from_packet(args)
