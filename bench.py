@@ -60,72 +60,102 @@ def make_clip(path: pathlib.Path, width: int, height: int, frames: int) -> None:
     path.write_bytes(bytes(stream))
 
 
-def device_kernel_fps(y, uv, out_h, out_w):
-    """Kernel-only throughput with inputs resident in HBM.
+def device_slope_fps(fn, example, lo_n=10, hi_n=110, repeats=3,
+                     extra_args=()):
+    """Device throughput of ``fn(batch)`` with data resident in HBM.
 
-    Chains kernel invocations inside one jit (lax.scan) with
-    iteration-dependent inputs (so XLA cannot hoist the body) and
-    materializes a dependent scalar. The host fetch of that scalar costs a
-    full link round trip — tens of ms through the relay tunnel — so one
-    timed run under-reports device throughput by ~10x. Timing TWO
-    iteration counts and using the SLOPE cancels the constant RTT:
+    Chains invocations inside one jit (lax.scan) with iteration-dependent
+    inputs (so XLA cannot hoist the body) and materializes a dependent
+    scalar. The host fetch of that scalar costs a full link round trip —
+    tens of ms through the relay tunnel — so one timed run under-reports
+    device throughput by ~10x. Timing TWO iteration counts and using the
+    SLOPE cancels the constant RTT:
         device_time_per_iter = (t(hi) - t(lo)) / (hi - lo).
+
+    Returns (fps, input_GB_per_s). ``fn`` must be shape-stable and already
+    warmed for ``example``'s shape (autotuned pipelines cache their pick).
     """
     import jax
     import jax.numpy as jnp
 
-    from videoprocessingframework_tpu.core.enums import (
-        ColorRange,
-        ColorSpace,
-        PixelFormat,
-    )
-    from videoprocessingframework_tpu.ops.fused import decode_postproc
-
-    dev = jax.devices()[0]
-    yd = jax.device_put(y, dev)
-    uvd = jax.device_put(uv, dev)
+    xd = jax.device_put(np.asarray(example), jax.devices()[0])
+    extra = [jax.device_put(a) for a in extra_args]
 
     def chained(iters):
         @jax.jit
-        def fn(y, uv):
+        def f(x, *ex):
             def body(c, i):
-                out = decode_postproc(
-                    y + i.astype(jnp.uint8),
-                    uv,
-                    src_format=PixelFormat.NV12,
-                    space=ColorSpace.BT_709,
-                    rng=ColorRange.MPEG,
-                    out_h=out_h,
-                    out_w=out_w,
-                    output="rgb_u8",
-                )
-                return c + out.astype(jnp.uint32).sum(), None
+                out = fn((x + i).astype(x.dtype), *ex)
+                return c + jnp.asarray(out).astype(jnp.float32).sum(), None
 
-            acc, _ = jax.lax.scan(body, jnp.uint32(0), jnp.arange(iters))
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
             return acc
 
-        return fn
+        return f
 
-    lo_n, hi_n = 10, 110
     lo_fn, hi_fn = chained(lo_n), chained(hi_n)
-    int(lo_fn(yd, uvd))  # compile
-    int(hi_fn(yd, uvd))  # compile
-    t_lo = min(
-        _timed(lambda: int(lo_fn(yd, uvd))) for _ in range(3)
-    )
-    t_hi = min(
-        _timed(lambda: int(hi_fn(yd, uvd))) for _ in range(3)
-    )
+    float(lo_fn(xd, *extra))  # compile
+    float(hi_fn(xd, *extra))  # compile
+    t_lo = min(_timed(lambda: float(lo_fn(xd, *extra))) for _ in range(repeats))
+    t_hi = min(_timed(lambda: float(hi_fn(xd, *extra))) for _ in range(repeats))
     per_iter = max((t_hi - t_lo) / (hi_n - lo_n), 1e-9)
-    n = y.shape[0]
-    in_bytes = y.nbytes + uv.nbytes
-    return n / per_iter, in_bytes / per_iter / 1e9
+    n = example.shape[0]
+    return n / per_iter, example.nbytes / per_iter / 1e9
 
 
 def _timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
     return time.perf_counter() - t0
+
+
+def transcode_metrics(clip, width, height, frames=48):
+    """Host transcode loop (decode → re-encode) fps + recon PSNR — the
+    SampleMeasureVideoQuality analog (BASELINE.md configs[4])."""
+    from videoprocessingframework_tpu.core.enums import PixelFormat
+    from videoprocessingframework_tpu.io import VideoEncoder
+    from videoprocessingframework_tpu.io.decoder import VideoReader
+
+    r = VideoReader(str(clip))
+    r.decoder.output_format = PixelFormat.YUV420
+    enc = VideoEncoder(
+        {"codec": "h264", "preset": "P1", "fmt": "YUV420",
+         "s": f"{width}x{height}", "bitrate": "8M", "gop": "30"}
+    )
+    buf = np.empty((height * 3 // 2, width), np.uint8)
+    stream = bytearray()
+    n = 0
+    originals = []
+    t0 = time.perf_counter()
+    while n < frames:
+        f = r.decode(out=buf)
+        if f is None:
+            break
+        if n < 8:
+            originals.append(buf[:height].copy())
+        out = enc.encode(buf)
+        if out is not None:
+            stream += out[0].tobytes()
+        n += 1
+    for pkt, _ in enc.flush():
+        stream += pkt.tobytes()
+    dt = time.perf_counter() - t0
+    fps = n / dt if dt else 0.0
+
+    # decode the re-encoded stream, PSNR of the first frames' luma
+    es = BENCH_DIR / "transcode_check.h264"
+    es.write_bytes(bytes(stream))
+    r2 = VideoReader(str(es))
+    r2.decoder.output_format = PixelFormat.YUV420
+    psnrs = []
+    for orig in originals:
+        f = r2.decode(out=buf)
+        if f is None:
+            break
+        err = orig.astype(np.float64) - buf[:height].astype(np.float64)
+        mse = max((err**2).mean(), 1e-9)
+        psnrs.append(10 * np.log10(255.0**2 / mse))
+    return fps, (float(np.mean(psnrs)) if psnrs else 0.0)
 
 
 def main() -> int:
@@ -186,8 +216,6 @@ def main() -> int:
     # warm up the fused kernel for the packed batch shape before timing
     dummy_packed = np.zeros((args.batch, height * 3 // 2, width), np.uint8)
     jax.block_until_ready(postproc(dummy_packed))
-    dummy_y = np.zeros((args.batch, height, width), np.uint8)
-    dummy_uv = np.zeros((args.batch, height // 2, width), np.uint8)
 
     # Host↔device link throughput varies over minutes on tunneled hosts
     # ("weather") AND ramps up with sustained traffic (measured: first
@@ -319,7 +347,40 @@ def main() -> int:
         "host_decode" if acquire_ms > dispatch_ms else "transfer+kernel"
     )
 
-    kfps, kgbs = device_kernel_fps(dummy_y, dummy_uv, 224, 224)
+    # device-resident throughput of the PRODUCT postproc path (autotuned)
+    kfps, kgbs = device_slope_fps(postproc, dummy_packed)
+
+    # BASELINE.md "E2E ResNet fps": fused preprocess + ResNet-50 forward,
+    # data resident (the SampleTorchResnet device-side analog)
+    resnet_fps = 0.0
+    if not args.quick:
+        try:
+            from videoprocessingframework_tpu.models import (
+                init_params,
+                resnet50,
+            )
+
+            model = resnet50()
+            variables = init_params(model, (1, 224, 224, 3))
+            pre_norm = FusedPipeline(
+                PixelFormat.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
+                out_size=(224, 224), output="normalized", kernel="xla",
+            )
+            resnet_fps, _ = device_slope_fps(
+                lambda x, v: model.apply(v, pre_norm(x), train=False),
+                dummy_packed, lo_n=5, hi_n=25,
+                extra_args=(variables,),
+            )
+        except Exception:
+            pass
+
+    # BASELINE.md transcode+quality config: host re-encode loop + PSNR
+    try:
+        transcode_fps, transcode_psnr = transcode_metrics(
+            clip, width, height
+        )
+    except Exception:
+        transcode_fps, transcode_psnr = 0.0, 0.0
 
     result = {
         "metric": "1080p decode→NV12→RGB→resize aggregate fps (1 chip)"
@@ -339,6 +400,9 @@ def main() -> int:
             "bottleneck": bottleneck,
             "kernel_only_fps": round(kfps, 1),
             "kernel_input_gbps": round(kgbs, 3),
+            "resnet_device_fps": round(resnet_fps, 1),
+            "transcode_fps": round(transcode_fps, 1),
+            "transcode_psnr_db": round(transcode_psnr, 2),
             "stage_ms": {
                 k: round(v["mean_ms"], 3) for k, v in pipe.timer.summary().items()
             },
