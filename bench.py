@@ -60,7 +60,7 @@ def make_clip(path: pathlib.Path, width: int, height: int, frames: int) -> None:
     path.write_bytes(bytes(stream))
 
 
-def device_slope_fps(fn, example, lo_n=10, hi_n=110, repeats=3,
+def device_slope_fps(fn, example, lo_n=50, hi_n=350, repeats=4,
                      extra_args=()):
     """Device throughput of ``fn(batch)`` with data resident in HBM.
 
@@ -71,6 +71,9 @@ def device_slope_fps(fn, example, lo_n=10, hi_n=110, repeats=3,
     device throughput by ~10x. Timing TWO iteration counts and using the
     SLOPE cancels the constant RTT:
         device_time_per_iter = (t(hi) - t(lo)) / (hi - lo).
+
+    Chains must be LONG (total device time ≫ tunnel jitter): lo=10/hi=110
+    was measured reading up to ~2x optimistic on ~30 µs kernels.
 
     Returns (fps, input_GB_per_s). ``fn`` must be shape-stable and already
     warmed for ``example``'s shape (autotuned pipelines cache their pick).
@@ -368,7 +371,7 @@ def main() -> int:
             )
             resnet_fps, _ = device_slope_fps(
                 lambda x, v: model.apply(v, pre_norm(x), train=False),
-                dummy_packed, lo_n=5, hi_n=25,
+                dummy_packed, lo_n=10, hi_n=60,
                 extra_args=(variables,),
             )
         except Exception:

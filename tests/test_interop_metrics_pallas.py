@@ -165,7 +165,7 @@ def test_pallas_fused_resize_interpret_bit_exact():
             decode_postproc(
                 y, uv, src_format=PixelFormat.NV12,
                 space=ColorSpace.BT_709, rng=ColorRange.MPEG,
-                out_h=32, out_w=48, output="rgb_u8",
+                out_h=32, out_w=48, output="rgb_u8", compute="highest",
             )
         ), -1, 1,
     )

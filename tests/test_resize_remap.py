@@ -235,3 +235,64 @@ def test_fused_pipeline_4k():
     )
     want = np.clip(np.rint(np.einsum("...c,dc->...d", ycc, M)), 0, 255)
     assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_fused_split_bf16_one_ulp_vs_golden():
+    """The default split-bf16 resize (2-pass u8 stage + 3-pass bit-masked
+    f32 stage, ops/fused.py:_resize_plane2d) must stay within 1 u8 ULP of
+    the float64 golden for both filter methods, odd sizes, both stage
+    orders (down/up mix forces rows-first and cols-first)."""
+    from videoprocessingframework_tpu.ops import colorspace as cspace
+
+    r = np.random.default_rng(11)
+    for (H, W, OH, OW), method in [
+        ((132, 252, 56, 40), "lanczos"),    # downscale, cols-first
+        ((96, 64, 44, 120), "bilinear"),    # W upscale, rows-first
+    ]:
+        y = r.integers(0, 256, (2, H, W), np.uint8)
+        u = r.integers(0, 256, (2, H // 2, W // 2), np.uint8)
+        v = r.integers(0, 256, (2, H // 2, W // 2), np.uint8)
+
+        rm = resize_matrix(H, OH, method).astype(np.float64)
+        cm = resize_matrix(W, OW, method).astype(np.float64)
+        uu = np.repeat(np.repeat(u, 2, 1), 2, 2).astype(np.float64)
+        vv = np.repeat(np.repeat(v, 2, 1), 2, 2).astype(np.float64)
+
+        def rsz(p):
+            return np.einsum("oh,nhw->now", rm, p) @ cm.T
+
+        M, OFF = cspace.rgb_from_ycbcr_matrix(
+            ColorSpace.BT_709, ColorRange.MPEG
+        )
+        M, OFF = np.asarray(M, np.float64), np.asarray(OFF, np.float64)
+        ycc = np.stack(
+            [rsz(y.astype(np.float64)) - OFF[0], rsz(uu) - OFF[1],
+             rsz(vv) - OFF[2]], -1
+        )
+        want = np.clip(
+            np.rint(np.einsum("...c,dc->...d", ycc, M)), 0, 255
+        ).astype(int)
+
+        kw = dict(
+            src_format=PixelFormat.YUV420, space=ColorSpace.BT_709,
+            rng=ColorRange.MPEG, out_h=OH, out_w=OW, method=method,
+            output="rgb_u8",
+        )
+        split = np.asarray(
+            decode_postproc(y, u, v, compute="split_bf16", **kw)
+        ).astype(int)
+        hi = np.asarray(
+            decode_postproc(y, u, v, compute="highest", **kw)
+        ).astype(int)
+        assert np.abs(split - want).max() <= 1, method
+        assert np.abs(hi - want).max() <= 1, method
+
+
+def test_fused_compute_mode_validation():
+    y = RNG.integers(0, 256, (1, 16, 16), np.uint8)
+    uv = RNG.integers(0, 256, (1, 8, 16), np.uint8)
+    with pytest.raises(ValueError, match="compute"):
+        decode_postproc(
+            y, uv, src_format=F.NV12, space=ColorSpace.BT_709,
+            rng=ColorRange.MPEG, out_h=8, out_w=8, compute="bogus",
+        )

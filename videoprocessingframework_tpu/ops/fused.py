@@ -52,12 +52,86 @@ def _resize_f32(img, h_out, w_out, method):
     return jnp.einsum("pw,...hwc->...hpc", c, t, precision="highest")
 
 
-def _resize_plane2d(x, rmat, cmat, dtype):
-    """(N, H, W) → (N, out_h, out_w) via the two resize matmuls."""
+def _bf16_split_const(m):
+    """hi+lo bf16 decomposition of a constant matrix (residual ≤ 2⁻¹⁶·|m|)."""
+    hi = m.astype(jnp.bfloat16)
+    lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _bf16_split_f32(t):
+    """Elision-proof hi+lo split of an f32 activation.
+
+    ``thi`` keeps the top 16 bits of each float (exactly
+    bf16-representable, so the bf16 cast is lossless), and
+    ``tlo = t − thi`` is exact in f32 and loses ≤ 2⁻¹⁷ relative when
+    rounded to bf16. The naive ``t − f32(bf16(t))`` split is removed by
+    XLA's excess-precision simplification (the f32→bf16→f32 round trip
+    folds to identity), which silently degrades the split to plain bf16
+    rounding — measured ~0.17 mean u8 error at 1080p→224. Bit-masking
+    the mantissa cannot be elided.
+    """
+    bits = jax.lax.bitcast_convert_type(t, jnp.uint32)
+    thi_f32 = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    return thi_f32.astype(jnp.bfloat16), (t - thi_f32).astype(jnp.bfloat16)
+
+
+_ROWS_EQ = "oh,nhw->now"
+_COLS_EQ = "pw,nhw->nhp"
+
+
+def _resize_plane2d(x, rmat, cmat, dtype, mode="highest"):
+    """(N, H, W) → (N, out_h, out_w) via the two resize matmuls.
+
+    Contraction order (rows-first vs cols-first) is chosen by MAC count —
+    for a 1080p→224² downscale cols-first saves ~10% because the second
+    stage then contracts the short H axis.
+
+    mode "split_bf16" (integer inputs only) runs the MXU work as hi+lo
+    bf16 passes: stage 1 needs only the matrix split because u8 pixels
+    are exact in bf16 (2 passes), stage 2 splits the f32 intermediate
+    with the bit-mask trick and drops the lo×lo term (3 passes).
+    Measured ≤1 u8 ULP vs the float64 golden (error ≈ 0.008 in u8
+    units) at ~2.4× less MXU work than f32-highest's 6-pass dots —
+    1.52× end-to-end on v5e at 1080p→224².
+    """
+    oh, ow = rmat.shape[0], cmat.shape[0]
+    hin, win = x.shape[-2], x.shape[-1]
+    rows_first = oh * hin * win + oh * win * ow <= (
+        hin * win * ow + oh * hin * ow
+    )
+    if mode == "split_bf16" and jnp.issubdtype(x.dtype, jnp.integer) and (
+        dtype == jnp.float32
+    ):
+        def stage1(xi, m, eq):
+            hi, lo = _bf16_split_const(m)
+            xb = xi.astype(jnp.bfloat16)
+            return jnp.einsum(
+                eq, hi, xb, preferred_element_type=jnp.float32
+            ) + jnp.einsum(eq, lo, xb, preferred_element_type=jnp.float32)
+
+        def stage2(t, m, eq):
+            mhi, mlo = _bf16_split_const(m)
+            thi, tlo = _bf16_split_f32(t)
+            return (
+                jnp.einsum(eq, mhi, thi, preferred_element_type=jnp.float32)
+                + jnp.einsum(eq, mhi, tlo, preferred_element_type=jnp.float32)
+                + jnp.einsum(eq, mlo, thi, preferred_element_type=jnp.float32)
+            )
+
+        if rows_first:
+            return stage2(stage1(x, rmat, _ROWS_EQ), cmat, _COLS_EQ)
+        return stage2(stage1(x, cmat, _COLS_EQ), rmat, _ROWS_EQ)
+
     rmat = rmat.astype(dtype)
     cmat = cmat.astype(dtype)
-    t = jnp.einsum("oh,nhw->now", rmat, x.astype(dtype), precision="highest")
-    return jnp.einsum("pw,nhw->nhp", cmat, t, precision="highest")
+    if rows_first:
+        t = jnp.einsum(_ROWS_EQ, rmat, x.astype(dtype), precision="highest")
+        return jnp.einsum(_COLS_EQ, cmat, t, precision="highest")
+    t = jnp.einsum(_COLS_EQ, cmat, x.astype(dtype), precision="highest")
+    return jnp.einsum(_ROWS_EQ, rmat, t, precision="highest")
 
 
 def _chroma_collapse(mat: jnp.ndarray) -> jnp.ndarray:
@@ -87,6 +161,7 @@ def _chroma_collapse(mat: jnp.ndarray) -> jnp.ndarray:
         "std",
         "swap",
         "compute_dtype",
+        "compute",
     ),
 )
 def decode_postproc(
@@ -102,13 +177,19 @@ def decode_postproc(
     std: Sequence[float] = IMAGENET_STD,
     swap: bool = False,
     compute_dtype=jnp.float32,
+    compute: str = "auto",
 ):
     """Fused (N-batched) decode post-processing.
 
     planes: NV12 → (y, uv); YUV420 → (y, u, v); YUV444 → (y, u, v).
     output: 'rgb_u8' (N,H,W,3 u8) | 'rgb_f32' ([0,1]) |
             'normalized' (NHWC f32) | 'normalized_nchw' (NCHW f32).
+    compute: 'auto' (split-bf16 resize for u8 sources at f32 compute —
+            ≤1 u8 ULP, ~1.5x faster) | 'split_bf16' | 'highest'.
     """
+    if compute not in ("auto", "split_bf16", "highest"):
+        raise ValueError(f"unknown compute mode {compute!r}")
+    mode = "split_bf16" if compute == "auto" else compute
     fmt = PixelFormat(src_format)
     if fmt in (F.NV12, F.NV12_PLANAR) and len(planes) == 1:
         # packed layout: one (N, H·3/2, W) buffer (y rows then uv rows) —
@@ -158,15 +239,15 @@ def decode_postproc(
         # resized straight from its native half resolution.
         rmat = jnp.asarray(resize_matrix(h_in, out_h, method))
         cmat = jnp.asarray(resize_matrix(w_in, out_w, method))
-        y = _resize_plane2d(y, rmat, cmat, compute_dtype)
+        y = _resize_plane2d(y, rmat, cmat, compute_dtype, mode)
         if subsampled:
             rc = _chroma_collapse(rmat)
             cc = _chroma_collapse(cmat)
-            u = _resize_plane2d(u, rc, cc, compute_dtype)
-            v = _resize_plane2d(v, rc, cc, compute_dtype)
+            u = _resize_plane2d(u, rc, cc, compute_dtype, mode)
+            v = _resize_plane2d(v, rc, cc, compute_dtype, mode)
         else:
-            u = _resize_plane2d(u, rmat, cmat, compute_dtype)
-            v = _resize_plane2d(v, rmat, cmat, compute_dtype)
+            u = _resize_plane2d(u, rmat, cmat, compute_dtype, mode)
+            v = _resize_plane2d(v, rmat, cmat, compute_dtype, mode)
     elif subsampled:
         u, v = _upsample2(u), _upsample2(v)
 
@@ -197,16 +278,18 @@ class FusedPipeline:
 
     ``kernel`` selects the device implementation:
 
-    * ``"xla"`` — the jitted XLA resize-before-CSC program (f32-highest).
+    * ``"xla"`` — the jitted XLA resize-before-CSC program. Its resize
+      matmuls default to the split-bf16 decomposition (``compute="auto"``
+      → ≤1 u8 ULP vs float64, ~2.4x less MXU work than f32-highest;
+      pass ``compute="highest"`` for the 6-pass f32 dots).
     * ``"pallas"`` — the hand-tiled split-bf16 Pallas kernel pair
-      (ops/pallas_fused.py; ≤1 u8 ULP vs the float64 golden, ~2.5x less
-      MXU work than f32-highest).
+      (ops/pallas_fused.py; ≤1 u8 ULP vs the float64 golden).
     * ``"auto"`` (default) — when the shape/format/output qualify for the
       Pallas path on a TPU backend, time both once per input shape with an
       RTT-cancelling two-point measurement and cache the winner; otherwise
-      XLA. (Measured on v5e: XLA ≈ 28 µs/frame vs Pallas ≈ 33 µs at
-      1080p→224, so auto currently picks XLA there — the hook exists
-      because the balance is hardware-generation dependent.)
+      XLA. (Measured on v5e at 1080p→224², batch 8, random input:
+      XLA split-bf16 ≈ 35 µs/frame, Pallas ≈ 50 µs, XLA f32-highest
+      ≈ 53 µs — auto picks the XLA split path there.)
     """
 
     def __init__(
@@ -221,6 +304,7 @@ class FusedPipeline:
         std: Sequence[float] = tuple(IMAGENET_STD),
         device=None,
         kernel: str = "auto",
+        compute: str = "auto",
     ):
         self.src_format = PixelFormat(src_format)
         self.space = ColorSpace(color_space)
@@ -234,6 +318,7 @@ class FusedPipeline:
         if kernel not in ("auto", "xla", "pallas"):
             raise ValueError(f"kernel must be auto|xla|pallas, got {kernel!r}")
         self.kernel = kernel
+        self.compute = compute
         self._picked = {}  # input-shape key -> "xla" | "pallas"
 
     # -- kernel selection ---------------------------------------------------
@@ -289,6 +374,7 @@ class FusedPipeline:
             output=self.output,
             mean=self.mean,
             std=self.std,
+            compute=self.compute,
         )
 
     def _pick(self, planes, pallas_in):
@@ -310,7 +396,7 @@ class FusedPipeline:
                     return acc
                 return f
 
-            lo, hi = chained(4), chained(24)
+            lo, hi = chained(10), chained(60)
             int(lo(*args)); int(hi(*args))  # compile
             t_lo = min(_walltime(lambda: int(lo(*args))) for _ in range(2))
             t_hi = min(_walltime(lambda: int(hi(*args))) for _ in range(2))
