@@ -196,3 +196,63 @@ def test_decode_surface_from_packet_nvcv_output(test_mp4):
     assert all(isinstance(t, torch.Tensor) for t in tensors)
     assert tensors[0].shape[0] == dmx.Height()
     assert tensors[0].dtype == torch.uint8
+
+
+def test_caps_enums_full_reference_vocabulary(test_mp4):
+    """The caps enums carry the reference's full member vocabulary at the
+    reference ordinals (NV_DEC_CAPS: Tasks.hpp:83-98 / PyNvDecoder.cpp:675;
+    NV_ENC_CAPS: nvEncodeAPI.h NV_ENC_CAPS / PyNvEncoder.cpp:471-523), and
+    Capabilities() fills every key."""
+    dec_expect = {
+        "BIT_DEPTH_MINUS_8": 0, "IS_CODEC_SUPPORTED": 1,
+        "OUTPUT_FORMAT_MASK": 2, "MAX_WIDTH": 3, "MAX_HEIGHT": 4,
+        "MAX_MB_COUNT": 5, "MIN_WIDTH": 6, "MIN_HEIGHT": 7,
+        "IS_HIST_SUPPORTED": 8, "HIST_COUNT_BIT_DEPTH": 9,
+        "HIST_COUNT_BINS": 10,
+    }
+    assert {m.name: m.value for m in nvc.NV_DEC_CAPS} == dec_expect
+
+    enc_expect = {
+        "NUM_MAX_BFRAMES": 0, "SUPPORTED_RATECONTROL_MODES": 1,
+        "SUPPORT_FIELD_ENCODING": 2, "SUPPORT_MONOCHROME": 3,
+        "SUPPORT_FMO": 4, "SUPPORT_QPELMV": 5, "SUPPORT_BDIRECT_MODE": 6,
+        "SUPPORT_CABAC": 7, "SUPPORT_ADAPTIVE_TRANSFORM": 8,
+        "SUPPORT_STEREO_MVC": 9, "NUM_MAX_TEMPORAL_LAYERS": 10,
+        "SUPPORT_HIERARCHICAL_PFRAMES": 11,
+        "SUPPORT_HIERARCHICAL_BFRAMES": 12, "LEVEL_MAX": 13,
+        "LEVEL_MIN": 14, "SEPARATE_COLOUR_PLANE": 15, "WIDTH_MAX": 16,
+        "HEIGHT_MAX": 17, "SUPPORT_TEMPORAL_SVC": 18,
+        "SUPPORT_DYN_RES_CHANGE": 19, "SUPPORT_DYN_BITRATE_CHANGE": 20,
+        "SUPPORT_DYN_FORCE_CONSTQP": 21, "SUPPORT_DYN_RCMODE_CHANGE": 22,
+        "SUPPORT_SUBFRAME_READBACK": 23, "SUPPORT_CONSTRAINED_ENCODING": 24,
+        "SUPPORT_INTRA_REFRESH": 25, "SUPPORT_CUSTOM_VBV_BUF_SIZE": 26,
+        "SUPPORT_DYNAMIC_SLICE_MODE": 27, "SUPPORT_REF_PIC_INVALIDATION": 28,
+        "PREPROC_SUPPORT": 29, "ASYNC_ENCODE_SUPPORT": 30, "MB_NUM_MAX": 31,
+        "MB_PER_SEC_MAX": 32, "SUPPORT_YUV444_ENCODE": 33,
+        "SUPPORT_LOSSLESS_ENCODE": 34, "SUPPORT_SAO": 35,
+        "SUPPORT_MEONLY_MODE": 36, "SUPPORT_LOOKAHEAD": 37,
+        "SUPPORT_TEMPORAL_AQ": 38, "SUPPORT_10BIT_ENCODE": 39,
+        "NUM_MAX_LTR_FRAMES": 40, "SUPPORT_WEIGHTED_PREDICTION": 41,
+        "DYNAMIC_QUERY_ENCODER_CAPACITY": 42, "SUPPORT_BFRAME_REF_MODE": 43,
+        "SUPPORT_EMPHASIS_LEVEL_MAP": 44, "WIDTH_MIN": 45, "HEIGHT_MIN": 46,
+        "SUPPORT_MULTIPLE_REF_FRAMES": 47,
+        "SUPPORT_ALPHA_LAYER_ENCODING": 48, "EXPOSED_COUNT": 51,
+    }
+    assert {m.name: m.value for m in nvc.NV_ENC_CAPS} == enc_expect
+
+    enc = nvc.PyNvEncoder(
+        {"codec": "hevc", "preset": "P1", "s": "320x240", "bitrate": "1M"}, 0
+    )
+    caps = enc.Capabilities()
+    missing = set(nvc.NV_ENC_CAPS) - {nvc.NV_ENC_CAPS.EXPOSED_COUNT} - set(caps)
+    assert not missing
+    assert caps[nvc.NV_ENC_CAPS.SUPPORT_SAO] == 1          # HEVC feature
+    assert caps[nvc.NV_ENC_CAPS.SUPPORT_YUV444_ENCODE] == 1
+    assert caps[nvc.NV_ENC_CAPS.SUPPORTED_RATECONTROL_MODES] == 0x7
+
+    dec = nvc.PyNvDecoder(test_mp4, 0)
+    dcaps = dec.Capabilities()
+    assert set(dcaps) == set(nvc.NV_DEC_CAPS)
+    assert dcaps[nvc.NV_DEC_CAPS.OUTPUT_FORMAT_MASK] & 1   # NV12 always
+    assert dcaps[nvc.NV_DEC_CAPS.MAX_MB_COUNT] == (8192 // 16) * (4320 // 16)
+    assert dcaps[nvc.NV_DEC_CAPS.IS_HIST_SUPPORTED] == 0

@@ -47,25 +47,79 @@ import enum
 
 
 class NV_DEC_CAPS(enum.IntEnum):
-    """Decoder capability keys (reference NV_DEC_CAPS analog)."""
+    """Decoder capability keys — same members and ordinals as the
+    reference binding (PyNvDecoder.cpp:675-689 over Tasks.hpp:83-98)."""
 
     BIT_DEPTH_MINUS_8 = 0
     IS_CODEC_SUPPORTED = 1
-    MAX_WIDTH = 2
-    MAX_HEIGHT = 3
-    MIN_WIDTH = 4
-    MIN_HEIGHT = 5
+    OUTPUT_FORMAT_MASK = 2
+    MAX_WIDTH = 3
+    MAX_HEIGHT = 4
+    MAX_MB_COUNT = 5
+    MIN_WIDTH = 6
+    MIN_HEIGHT = 7
+    IS_HIST_SUPPORTED = 8
+    HIST_COUNT_BIT_DEPTH = 9
+    HIST_COUNT_BINS = 10
 
 
 class NV_ENC_CAPS(enum.IntEnum):
-    """Encoder capability keys (reference NV_ENC_CAPS analog)."""
+    """Encoder capability keys — same members and ordinals as the
+    reference binding (PyNvEncoder.cpp:471-523 over nvEncodeAPI.h's
+    NV_ENC_CAPS). NUM_ENCODER_ENGINES/SINGLE_SLICE_INTRA_REFRESH are not
+    exposed by the reference binding either; EXPOSED_COUNT keeps its C
+    ordinal (51)."""
 
     NUM_MAX_BFRAMES = 0
-    SUPPORT_LOOKAHEAD = 1
-    SUPPORT_REORDERED_OUTPUT = 2
-    WIDTH_MAX = 3
-    HEIGHT_MAX = 4
-    SUPPORT_10BIT_ENCODE = 5
+    SUPPORTED_RATECONTROL_MODES = 1
+    SUPPORT_FIELD_ENCODING = 2
+    SUPPORT_MONOCHROME = 3
+    SUPPORT_FMO = 4
+    SUPPORT_QPELMV = 5
+    SUPPORT_BDIRECT_MODE = 6
+    SUPPORT_CABAC = 7
+    SUPPORT_ADAPTIVE_TRANSFORM = 8
+    SUPPORT_STEREO_MVC = 9
+    NUM_MAX_TEMPORAL_LAYERS = 10
+    SUPPORT_HIERARCHICAL_PFRAMES = 11
+    SUPPORT_HIERARCHICAL_BFRAMES = 12
+    LEVEL_MAX = 13
+    LEVEL_MIN = 14
+    SEPARATE_COLOUR_PLANE = 15
+    WIDTH_MAX = 16
+    HEIGHT_MAX = 17
+    SUPPORT_TEMPORAL_SVC = 18
+    SUPPORT_DYN_RES_CHANGE = 19
+    SUPPORT_DYN_BITRATE_CHANGE = 20
+    SUPPORT_DYN_FORCE_CONSTQP = 21
+    SUPPORT_DYN_RCMODE_CHANGE = 22
+    SUPPORT_SUBFRAME_READBACK = 23
+    SUPPORT_CONSTRAINED_ENCODING = 24
+    SUPPORT_INTRA_REFRESH = 25
+    SUPPORT_CUSTOM_VBV_BUF_SIZE = 26
+    SUPPORT_DYNAMIC_SLICE_MODE = 27
+    SUPPORT_REF_PIC_INVALIDATION = 28
+    PREPROC_SUPPORT = 29
+    ASYNC_ENCODE_SUPPORT = 30
+    MB_NUM_MAX = 31
+    MB_PER_SEC_MAX = 32
+    SUPPORT_YUV444_ENCODE = 33
+    SUPPORT_LOSSLESS_ENCODE = 34
+    SUPPORT_SAO = 35
+    SUPPORT_MEONLY_MODE = 36
+    SUPPORT_LOOKAHEAD = 37
+    SUPPORT_TEMPORAL_AQ = 38
+    SUPPORT_10BIT_ENCODE = 39
+    NUM_MAX_LTR_FRAMES = 40
+    SUPPORT_WEIGHTED_PREDICTION = 41
+    DYNAMIC_QUERY_ENCODER_CAPACITY = 42
+    SUPPORT_BFRAME_REF_MODE = 43
+    SUPPORT_EMPHASIS_LEVEL_MAP = 44
+    WIDTH_MIN = 45
+    HEIGHT_MIN = 46
+    SUPPORT_MULTIPLE_REF_FRAMES = 47
+    SUPPORT_ALPHA_LAYER_ENCODING = 48
+    EXPOSED_COUNT = 51
 
 
 def GetNumGpus() -> int:
@@ -521,17 +575,37 @@ class PyNvDecoder:
         (cuvidGetDecoderCaps validation)."""
         from .io.decoder import codec_caps
 
-        caps = codec_caps(self._reader.decoder.codec, encoder=False)
+        from .core.enums import CodecId
+
+        codec = self._reader.decoder.codec
+        caps = codec_caps(codec, encoder=False)
         stream_depth = 8
         if self._reader.demuxer is not None:
             stream_depth = self._reader.demuxer.bit_depth or 8
+        # output-format bitmask, reference bit layout (cudaVideoSurfaceFormat):
+        # bit0 NV12, bit1 P016 (high bit depth), bit2 YUV444, bit3 YUV444_16
+        has444 = codec in (CodecId.H264, CodecId.HEVC, CodecId.VP9)
+        fmt_mask = 1
+        if caps["supports_10bit"]:
+            fmt_mask |= 2
+        if has444:
+            fmt_mask |= 4
+            if caps["supports_10bit"]:
+                fmt_mask |= 8
         return {
             NV_DEC_CAPS.BIT_DEPTH_MINUS_8: max(0, stream_depth - 8),
             NV_DEC_CAPS.IS_CODEC_SUPPORTED: caps["is_supported"],
+            NV_DEC_CAPS.OUTPUT_FORMAT_MASK: fmt_mask,
             NV_DEC_CAPS.MAX_WIDTH: caps["max_width"],
             NV_DEC_CAPS.MAX_HEIGHT: caps["max_height"],
+            NV_DEC_CAPS.MAX_MB_COUNT: (caps["max_width"] // 16)
+            * (caps["max_height"] // 16),
             NV_DEC_CAPS.MIN_WIDTH: caps["min_width"],
             NV_DEC_CAPS.MIN_HEIGHT: caps["min_height"],
+            # the SW decode path has no histogram engine
+            NV_DEC_CAPS.IS_HIST_SUPPORTED: 0,
+            NV_DEC_CAPS.HIST_COUNT_BIT_DEPTH: 0,
+            NV_DEC_CAPS.HIST_COUNT_BINS: 0,
         }
 
     # -- decode core ------------------------------------------------------------
@@ -751,25 +825,58 @@ class PyNvEncoder:
         return self._enc.frame_size_in_bytes()
 
     def Capabilities(self) -> Dict[NV_ENC_CAPS, int]:
-        """Real encoder capabilities for this session's codec, queried from
-        libav (io.decoder.codec_caps): 10-bit support from the encoder's
-        actual pix_fmt list, lookahead from its private option table,
-        reordering from AV_CODEC_CAP_DELAY."""
+        """Encoder capabilities for this session's codec: the full
+        reference key vocabulary (every NV_ENC_CAPS member except the
+        EXPOSED_COUNT sentinel), with values describing this framework's
+        SW encode backend honestly — real libav queries
+        (io.decoder.codec_caps: pix_fmt list for 10-bit, private option
+        table for lookahead, AV_CODEC_CAP_DELAY for reordering, dimension
+        limits) plus per-codec feature facts for what the option
+        vocabulary actually exposes. Features the SW path does not expose
+        report 0, exactly like absent HW features do in the reference."""
         from .core.enums import CodecId
         from .io.decoder import codec_caps
 
         codec = CodecId[self._enc.opts.get("codec", "h264").upper()]
         caps = codec_caps(codec, encoder=True)
-        return {
-            NV_ENC_CAPS.NUM_MAX_BFRAMES: caps["max_bframes"],
-            NV_ENC_CAPS.SUPPORT_LOOKAHEAD: caps["supports_lookahead"],
-            NV_ENC_CAPS.SUPPORT_REORDERED_OUTPUT: caps[
-                "supports_reordered_output"
-            ],
-            NV_ENC_CAPS.WIDTH_MAX: caps["max_width"],
-            NV_ENC_CAPS.HEIGHT_MAX: caps["max_height"],
-            NV_ENC_CAPS.SUPPORT_10BIT_ENCODE: caps["supports_10bit"],
-        }
+        h26x = codec in (CodecId.H264, CodecId.HEVC)
+        bframes = caps["max_bframes"]
+        mb_max = (caps["max_width"] // 16) * (caps["max_height"] // 16)
+        K = NV_ENC_CAPS
+        out = {k: 0 for k in K if k != K.EXPOSED_COUNT}
+        out.update({
+            K.NUM_MAX_BFRAMES: bframes,
+            # constqp | vbr | cbr — the rc modes the option vocab maps
+            K.SUPPORTED_RATECONTROL_MODES: 0x1 | 0x2 | 0x4,
+            K.SUPPORT_MONOCHROME: int(codec == CodecId.HEVC),  # gray12 path
+            K.SUPPORT_QPELMV: int(h26x),
+            K.SUPPORT_BDIRECT_MODE: int(codec == CodecId.H264),
+            K.SUPPORT_CABAC: int(h26x),
+            K.SUPPORT_ADAPTIVE_TRANSFORM: int(codec == CodecId.H264),
+            K.SUPPORT_HIERARCHICAL_PFRAMES: int(h26x),
+            K.SUPPORT_HIERARCHICAL_BFRAMES: int(h26x and bframes > 0),
+            K.LEVEL_MAX: 62 if h26x else 0,
+            K.LEVEL_MIN: 10 if h26x else 0,
+            K.WIDTH_MAX: caps["max_width"],
+            K.HEIGHT_MAX: caps["max_height"],
+            # Reconfigure(reset_encoder) handles these mid-stream
+            K.SUPPORT_DYN_RES_CHANGE: 1,
+            K.SUPPORT_DYN_BITRATE_CHANGE: 1,
+            K.SUPPORT_CUSTOM_VBV_BUF_SIZE: 1,  # vbvbufsize option
+            K.MB_NUM_MAX: mb_max,
+            K.SUPPORT_YUV444_ENCODE: int(h26x or codec == CodecId.VP9),
+            K.SUPPORT_LOSSLESS_ENCODE: int(h26x),  # constqp initqp=0
+            K.SUPPORT_SAO: int(codec == CodecId.HEVC),
+            K.SUPPORT_LOOKAHEAD: caps["supports_lookahead"],
+            K.SUPPORT_TEMPORAL_AQ: int(h26x),  # temporalaq option
+            K.SUPPORT_10BIT_ENCODE: caps["supports_10bit"],
+            K.SUPPORT_WEIGHTED_PREDICTION: int(h26x),
+            K.SUPPORT_BFRAME_REF_MODE: int(h26x and bframes > 0),
+            K.WIDTH_MIN: caps["min_width"],
+            K.HEIGHT_MIN: caps["min_height"],
+            K.SUPPORT_MULTIPLE_REF_FRAMES: int(h26x),  # numrefl0/l1
+        })
+        return out
 
     def _encode(self, data, packet, sei, sync, append) -> bool:
         out = self._enc.encode(
