@@ -141,9 +141,12 @@ def test_yuv420_rgb_planar_converter_pair():
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
 
 
-def test_pallas_fused_resize_interpret_bit_exact():
-    """Experimental two-kernel fused resize+CSC (ops/pallas_fused.py):
-    bit-exact vs the XLA fused path in interpret mode."""
+def test_pallas_fused_resize_interpret_one_ulp_vs_xla():
+    """Two-kernel fused resize+CSC (ops/pallas_fused.py) vs the XLA
+    f32-highest path in interpret mode: within 1 u8 ULP. (Bit-exactness
+    between the two held before the banded-K2 rewrite only by accident of
+    summation order — both paths are independently pinned to ≤1 ULP vs
+    the float64 golden, which is the actual contract.)"""
     from videoprocessingframework_tpu.ops.fused import decode_postproc
     from videoprocessingframework_tpu.ops.pallas_fused import (
         fused_nv12_resize_rgb_pallas,
@@ -169,7 +172,7 @@ def test_pallas_fused_resize_interpret_bit_exact():
             )
         ), -1, 1,
     )
-    np.testing.assert_array_equal(a, b)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
 
 
 def test_pallas_fused_one_ulp_vs_float64_golden():
@@ -216,3 +219,58 @@ def test_pallas_fused_one_ulp_vs_float64_golden():
     )
     want = np.clip(np.rint(np.einsum("...c,dc->...d", ycc, M)), 0, 255)
     assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_pallas_planar_banded_one_ulp_vs_golden():
+    """Planar YUV420 Pallas pair (banded K1 + half-grid-chroma K2) vs the
+    float64 golden at a banded-eligible shape, interpret mode."""
+    from videoprocessingframework_tpu.ops import colorspace as cspace
+    from videoprocessingframework_tpu.ops.pallas_fused import (
+        fused_pallas_planar_supported,
+        fused_yuv420_resize_rgb_pallas,
+    )
+    from videoprocessingframework_tpu.ops.resize import resize_matrix
+
+    r = np.random.default_rng(9)
+    B, H, W, OH, OW = 2, 256, 512, 64, 48
+    assert fused_pallas_planar_supported(H, W, OH, OW)
+    y = r.integers(0, 256, (B, H, W), np.uint8)
+    u = r.integers(0, 256, (B, H // 2, W // 2), np.uint8)
+    v = r.integers(0, 256, (B, H // 2, W // 2), np.uint8)
+
+    out = np.asarray(
+        fused_yuv420_resize_rgb_pallas(
+            y, u, v, out_h=OH, out_w=OW,
+            space=ColorSpace.BT_709, rng=ColorRange.MPEG, interpret=True,
+        )
+    )
+    out = np.moveaxis(out, 1, -1)
+
+    rm = resize_matrix(H, OH, "lanczos").astype(np.float64)
+    cm = resize_matrix(W, OW, "lanczos").astype(np.float64)
+    uu = np.repeat(np.repeat(u, 2, 1), 2, 2).astype(np.float64)
+    vv = np.repeat(np.repeat(v, 2, 1), 2, 2).astype(np.float64)
+
+    def rsz(p):
+        return np.einsum("oh,nhw->now", rm, p) @ cm.T
+
+    M, OFF = cspace.rgb_from_ycbcr_matrix(ColorSpace.BT_709, ColorRange.MPEG)
+    M, OFF = np.asarray(M, np.float64), np.asarray(OFF, np.float64)
+    ycc = np.stack(
+        [rsz(y.astype(np.float64)) - OFF[0], rsz(uu) - OFF[1],
+         rsz(vv) - OFF[2]], -1
+    )
+    want = np.clip(np.rint(np.einsum("...c,dc->...d", ycc, M)), 0, 255)
+    assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_pallas_planar_unsupported_shapes():
+    from videoprocessingframework_tpu.ops.pallas_fused import (
+        fused_pallas_planar_supported,
+    )
+
+    assert not fused_pallas_planar_supported(64, 512, 64, 64)   # too short
+    assert not fused_pallas_planar_supported(256, 500, 64, 64)  # W % 128
+    assert not fused_pallas_planar_supported(256, 512, 63, 64)  # out_h % 8
+    # 1080p -> 224 (the product shape) must be eligible
+    assert fused_pallas_planar_supported(1080, 1920, 224, 224)

@@ -324,39 +324,55 @@ class FusedPipeline:
     # -- kernel selection ---------------------------------------------------
 
     def _pallas_planes(self, planes):
-        """Map the call planes to the Pallas kernel's (y, uv) inputs, or
-        None when this input doesn't qualify."""
+        """Map the call planes to a Pallas kernel entry: ("planar", y, u,
+        v) for YUV420 sources (chroma stays planar end to end — an XLA
+        interleave into NV12 layout costs a ~20 µs/frame lane relayout at
+        1080p, measured) or ("nv12", y, uv) for NV12 sources; None when
+        this input doesn't qualify."""
         if self.output != "rgb_u8" or self.method not in ("lanczos", "bilinear"):
             return None
         fmt = self.src_format
         if fmt == F.NV12 and len(planes) == 2:
-            return planes
+            return ("nv12",) + tuple(planes)
         if fmt in (F.NV12, F.YUV420) and len(planes) == 1:
             packed = planes[0]
             h = packed.shape[-2] * 2 // 3
             w = packed.shape[-1]
             y = packed[..., :h, :]
             if fmt == F.NV12:
-                return y, packed[..., h:, :]
+                return "nv12", y, packed[..., h:, :]
             lead = packed.shape[:-2]
             c = packed[..., h:, :]
             u = c[..., : h // 4, :].reshape(*lead, h // 2, w // 2)
             v = c[..., h // 4:, :].reshape(*lead, h // 2, w // 2)
-            uv = jnp.stack([u, v], axis=-1).reshape(*lead, h // 2, w)
-            return y, uv
+            return "planar", y, u, v
         if fmt == F.YUV420 and len(planes) == 3:
-            y, u, v = planes
-            uv = jnp.stack([u, v], axis=-1).reshape(
-                *u.shape[:-1], u.shape[-1] * 2
-            )
-            return y, uv
+            return ("planar",) + tuple(planes)
         return None
 
-    def _run_pallas(self, y, uv):
-        from .pallas_fused import fused_nv12_resize_rgb_pallas
+    def _pallas_ok(self, pallas_in):
+        from .pallas_fused import (
+            fused_pallas_planar_supported,
+            fused_pallas_supported,
+        )
 
-        out = fused_nv12_resize_rgb_pallas(
-            y, uv,
+        mode, y = pallas_in[0], pallas_in[1]
+        if mode == "planar":
+            return fused_pallas_planar_supported(
+                y.shape[-2], y.shape[-1], self.out_h, self.out_w, self.method
+            )
+        return fused_pallas_supported(y.shape[-1], self.out_h)
+
+    def _run_pallas(self, mode, *planes):
+        from .pallas_fused import (
+            fused_nv12_resize_rgb_pallas,
+            fused_yuv420_resize_rgb_pallas,
+        )
+
+        fn = (fused_yuv420_resize_rgb_pallas if mode == "planar"
+              else fused_nv12_resize_rgb_pallas)
+        out = fn(
+            *planes,
             out_h=self.out_h, out_w=self.out_w,
             space=self.space, rng=self.range, method=self.method,
         )
@@ -403,9 +419,12 @@ class FusedPipeline:
             return max(t_hi - t_lo, 1e-9)
 
         staged = [jax.device_put(np.asarray(p)) for p in planes]
-        pallas_staged = [jax.device_put(np.asarray(p)) for p in pallas_in]
+        mode = pallas_in[0]
+        pallas_staged = [jax.device_put(np.asarray(p)) for p in pallas_in[1:]]
         t_xla = slope(lambda p0, *rest: self._run_xla(p0, *rest), staged)
-        t_pal = slope(lambda y, uv: self._run_pallas(y, uv), pallas_staged)
+        t_pal = slope(
+            lambda *ps: self._run_pallas(mode, *ps), pallas_staged
+        )
         return "pallas" if t_pal < t_xla else "xla"
 
     def __call__(self, *planes):
@@ -413,12 +432,8 @@ class FusedPipeline:
         pallas_in = None
         if choice in ("auto", "pallas"):
             pallas_in = self._pallas_planes(planes)
-            if pallas_in is not None:
-                from .pallas_fused import fused_pallas_supported
-
-                y = pallas_in[0]
-                if not fused_pallas_supported(y.shape[-1], self.out_h):
-                    pallas_in = None
+            if pallas_in is not None and not self._pallas_ok(pallas_in):
+                pallas_in = None
             if pallas_in is not None:
                 import jax
 

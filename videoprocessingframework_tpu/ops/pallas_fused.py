@@ -96,43 +96,189 @@ def _k1_factory():
     return kernel
 
 
-def _k2_factory(space: ColorSpace, rng: ColorRange, out_w: int, swap: bool):
+# ---- banded K1 -------------------------------------------------------------
+# The row matrices are K-tap banded (Lanczos: 6 of ~1088 entries per row
+# nonzero), so a dense (OUT_H, Hp) dot wastes ~100x MACs. When the frame
+# is tall enough, each 8-output-row tile's support fits in a 128-row
+# (64 for half-res chroma) input window whose start is aligned to the u8
+# sublane tile (32): the row stage becomes T clean (8, WIN)@(WIN, LANES)
+# MXU passes — ~8-20x less MXU work, bit-identical weights (extracted
+# from the same dense matrix; the alignment slack columns are exact
+# zeros). XLA cannot do this transform: expressed as strided slices at
+# the HLO level it loses to relayouts (tools/exp_banded.py) — only a
+# hand-tiled kernel keeps the windows in VMEM.
+
+_BAND_TILE = 8
+
+
+def _band_starts(mask: np.ndarray, win: int, align: int, tile: int):
+    """Aligned per-tile window starts covering each ``tile``-row group's
+    support of a banded matrix, or None when any group doesn't fit."""
+    n_out, n_in = mask.shape
+    if n_out % tile or n_in < win:
+        return None
+    t_cnt = n_out // tile
+    starts = np.zeros(t_cnt, np.int64)
+    for t in range(t_cnt):
+        rows = mask[t * tile: (t + 1) * tile]
+        cols = np.flatnonzero(rows.any(axis=0))
+        lo = 0 if cols.size == 0 else int(cols[0])
+        hi = win if cols.size == 0 else int(cols[-1]) + 1
+        s = min((lo // align) * align, n_in - win)
+        if s % align or hi - s > win:
+            return None
+        starts[t] = s
+    return starts
+
+
+def _extract_bands(mat: np.ndarray, starts, win: int, tile: int):
+    bands = np.zeros((len(starts), tile, win), mat.dtype)
+    for t, s in enumerate(starts):
+        bands[t] = mat[t * tile: (t + 1) * tile, s: s + win]
+    return bands
+
+
+def _band_plan(mat: np.ndarray, win: int, align: int = 32):
+    """Split (n_out, n_in) banded ``mat`` into per-8-row-tile windows.
+
+    Returns (starts, bands) with starts[t] aligned to ``align`` and
+    bands[t] = mat[8t:8t+8, starts[t]:starts[t]+win], or None when any
+    tile's support does not fit in ``win`` rows."""
+    starts = _band_starts(mat != 0, win, align, _BAND_TILE)
+    if starts is None:
+        return None
+    return starts, _extract_bands(mat, starts, win, _BAND_TILE)
+
+
+def _banded_rows(x_bf16, bh_ref, bl_ref, starts, win, t_cnt, o_ref, o_idx):
+    """T unrolled (8, win)@(win, LANES) MXU passes writing 8 rows each."""
+    for t in range(t_cnt):
+        wx = x_bf16[starts[t]: starts[t] + win, :]
+        o_ref[o_idx, t * _BAND_TILE: (t + 1) * _BAND_TILE, :] = jnp.dot(
+            bh_ref[t], wx, preferred_element_type=jnp.float32
+        ) + jnp.dot(bl_ref[t], wx, preferred_element_type=jnp.float32)
+
+
+def _k1_banded_factory(starts_y, starts_c, win_y, win_c, t_cnt):
+    sy = [int(s) for s in starts_y]
+    sc = [int(s) for s in starts_c]
+
+    def kernel(y_ref, uv_ref, byh_ref, byl_ref, bch_ref, bcl_ref, yo_ref,
+               uvo_ref):
+        y = _bf16(y_ref[0])  # (Hp, LANES), exact
+        uv = _bf16(uv_ref[0])  # (Hp/2, LANES), exact
+        _banded_rows(y, byh_ref, byl_ref, sy, win_y, t_cnt, yo_ref, 0)
+        _banded_rows(uv, bch_ref, bcl_ref, sc, win_c, t_cnt, uvo_ref, 0)
+
+    return kernel
+
+
+def _k1_planar_factory(starts_y, starts_c, win_y, win_c, t_cnt):
+    sy = [int(s) for s in starts_y]
+    sc = [int(s) for s in starts_c]
+
+    def kernel(y_ref, u_ref, v_ref, byh_ref, byl_ref, bch_ref, bcl_ref,
+               yo_ref, uo_ref, vo_ref):
+        y = _bf16(y_ref[0])
+        u = _bf16(u_ref[0])
+        v = _bf16(v_ref[0])
+        _banded_rows(y, byh_ref, byl_ref, sy, win_y, t_cnt, yo_ref, 0)
+        _banded_rows(u, bch_ref, bcl_ref, sc, win_c, t_cnt, uo_ref, 0)
+        _banded_rows(v, bch_ref, bcl_ref, sc, win_c, t_cnt, vo_ref, 0)
+
+    return kernel
+
+
+def _split_dot(x, cmh, cml):
+    # x f32 → hi+lo bf16; drop the lo×lo term (≤2^-16 relative). The
+    # activation split here is safe from XLA's excess-precision elision
+    # because Mosaic compiles the kernel body, not XLA.
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (
+        jnp.dot(xh, cmh, preferred_element_type=jnp.float32)
+        + jnp.dot(xh, cml, preferred_element_type=jnp.float32)
+        + jnp.dot(xl, cmh, preferred_element_type=jnp.float32)
+    )
+
+
+def _col_windows(mask: np.ndarray, n_in: int):
+    """Smallest 128-step column window admitting aligned per-tile starts.
+    Always succeeds: win == n_in degenerates to the dense dot."""
+    for win in list(range(128, n_in, 128)) + [n_in]:
+        starts = _band_starts(mask, win, 128, 128)
+        if starts is not None:
+            return starts, win
+    raise AssertionError("unreachable: win == n_in always fits")
+
+
+def _k2_planar_factory(space: ColorSpace, rng: ColorRange, out_w: int,
+                       swap: bool, ystarts, ywin, cstarts, cwin, n_tiles):
+    """Column-resize + CSC on planar f32 intermediates. Chroma is resized
+    straight on its half-resolution grid (the horizontal 2x replicate
+    upsample is pre-collapsed into the matrix — exact), so chroma dots
+    contract half the columns of the interleaved variant."""
     m, off = cs.rgb_from_ycbcr_matrix(space, rng)
     m = np.asarray(m, np.float32)
     off = np.asarray(off, np.float32)
     chans = [0, 1, 2] if not swap else [2, 1, 0]
+    ys = [int(s) for s in ystarts]
+    csx = [int(s) for s in cstarts]
 
-    def split_dot(x, cmh, cml):
-        # x f32 → hi+lo bf16; drop the lo×lo term (≤2^-16 relative)
-        xh = x.astype(jnp.bfloat16)
-        xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-        return (
-            jnp.dot(xh, cmh, preferred_element_type=jnp.float32)
-            + jnp.dot(xh, cml, preferred_element_type=jnp.float32)
-            + jnp.dot(xl, cmh, preferred_element_type=jnp.float32)
-        )
+    def kernel(y_ref, u_ref, v_ref, cyh_ref, cyl_ref, cch_ref, ccl_ref,
+               out_ref):
+        y = y_ref[0]
+        u = u_ref[0]
+        v = v_ref[0]
+        for p in range(n_tiles):
+            yw = y[:, ys[p]: ys[p] + ywin]
+            uw = u[:, csx[p]: csx[p] + cwin]
+            vw = v[:, csx[p]: csx[p] + cwin]
+            yr = _split_dot(yw, cyh_ref[p], cyl_ref[p]) - off[0]
+            ur = _split_dot(uw, cch_ref[p], ccl_ref[p]) - off[1]
+            vr = _split_dot(vw, cch_ref[p], ccl_ref[p]) - off[2]
+            for i, c in enumerate(chans):
+                val = m[c, 0] * yr + m[c, 1] * ur + m[c, 2] * vr
+                val = jnp.clip(jnp.rint(val), 0.0, 255.0)
+                out_ref[0, i, :, p * 128: (p + 1) * 128] = val.astype(
+                    jnp.int32
+                ).astype(jnp.uint8)
 
-    def kernel(y_ref, uv_ref, cmh_ref, cml_ref, out_ref):
-        from jax.experimental.pallas import tpu as pltpu
+    return kernel
 
+
+def _k2_factory(space: ColorSpace, rng: ColorRange, out_w: int, swap: bool,
+                cstarts, win_w, n_tiles):
+    """Column-resize + CSC. Chroma stays lane-interleaved: dotting the raw
+    UV row with even/odd-masked column matrices (pair-summed collapsed
+    weights at even / odd source lanes, zeros elsewhere) IS the exact
+    half-grid chroma resize — no roll/where expansion needed. Output
+    columns are produced in ``n_tiles`` tiles of 128; each tile contracts
+    only its ``win_w``-wide source window (the column matrices are banded
+    too)."""
+    m, off = cs.rgb_from_ycbcr_matrix(space, rng)
+    m = np.asarray(m, np.float32)
+    off = np.asarray(off, np.float32)
+    chans = [0, 1, 2] if not swap else [2, 1, 0]
+    starts = [int(s) for s in cstarts]
+
+    def kernel(y_ref, uv_ref, cyh_ref, cyl_ref, ceh_ref, cel_ref, coh_ref,
+               col_ref, out_ref):
         y = y_ref[0]  # (OUT_H, W) f32
         uv = uv_ref[0]
-        w = uv.shape[-1]
-        lane = jax.lax.broadcasted_iota(jnp.int32, uv.shape, 1)
-        even = (lane % 2) == 0
-        # horizontal expand of interleaved chroma: matmul with the full
-        # column matrix then equals the collapsed-matrix result exactly
-        u = jnp.where(even, uv, pltpu.roll(uv, 1, 1))
-        v = jnp.where(even, pltpu.roll(uv, w - 1, 1), uv)
-        cmh = cmh_ref[...]  # (W, OUT_WP) bf16 hi
-        cml = cml_ref[...]  # (W, OUT_WP) bf16 lo
-        yr = split_dot(y, cmh, cml) - off[0]
-        ur = split_dot(u, cmh, cml) - off[1]
-        vr = split_dot(v, cmh, cml) - off[2]
-        for i, c in enumerate(chans):
-            val = m[c, 0] * yr + m[c, 1] * ur + m[c, 2] * vr
-            val = jnp.clip(jnp.rint(val), 0.0, 255.0)
-            out_ref[0, i] = val.astype(jnp.int32).astype(jnp.uint8)
+        for p in range(n_tiles):
+            ws = starts[p]
+            yw = y[:, ws: ws + win_w]
+            uvw = uv[:, ws: ws + win_w]
+            yr = _split_dot(yw, cyh_ref[p], cyl_ref[p]) - off[0]
+            ur = _split_dot(uvw, ceh_ref[p], cel_ref[p]) - off[1]
+            vr = _split_dot(uvw, coh_ref[p], col_ref[p]) - off[2]
+            for i, c in enumerate(chans):
+                val = m[c, 0] * yr + m[c, 1] * ur + m[c, 2] * vr
+                val = jnp.clip(jnp.rint(val), 0.0, 255.0)
+                out_ref[0, i, :, p * 128: (p + 1) * 128] = val.astype(
+                    jnp.int32
+                ).astype(jnp.uint8)
 
     return kernel
 
@@ -183,66 +329,254 @@ def fused_nv12_resize_rgb_pallas(
     rc_np[:, : h // 2] = (
         resize_matrix(h, out_h, method).reshape(out_h, h // 2, 2).sum(-1)
     )
-    rmh, rml = map(jnp.asarray, _split_bf16_host(rm_np))
-    rch, rcl = map(jnp.asarray, _split_bf16_host(rc_np))
-
-    k1 = pl.pallas_call(
-        _k1_factory(),
-        grid=(b, w // lanes),
-        in_specs=[
-            pl.BlockSpec((1, hp, lanes), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hp2, lanes), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_h, hp), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_h, hp), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_h, hp2), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_h, hp2), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, out_h, lanes), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, out_h, lanes), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, out_h, w), jnp.float32),
-            jax.ShapeDtypeStruct((b, out_h, w), jnp.float32),
-        ],
-        interpret=interpret,
-    )
-    y1, uv1 = k1(y, uv, rmh, rml, rch, rcl)
+    win_y, win_c = 128, 64
+    plan_y = _band_plan(rm_np, win_y)
+    plan_c = _band_plan(rc_np, win_c)
+    stripe_specs = [
+        pl.BlockSpec((1, hp, lanes), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hp2, lanes), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, out_h, lanes), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, out_h, lanes), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, out_h, w), jnp.float32),
+        jax.ShapeDtypeStruct((b, out_h, w), jnp.float32),
+    ]
+    if plan_y is not None and plan_c is not None:
+        t_cnt = out_h // _BAND_TILE
+        byh, byl = map(jnp.asarray, _split_bf16_host(plan_y[1]))
+        bch, bcl = map(jnp.asarray, _split_bf16_host(plan_c[1]))
+        band_spec = lambda t, n, wn: pl.BlockSpec(  # noqa: E731
+            (t, n, wn), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        k1 = pl.pallas_call(
+            _k1_banded_factory(plan_y[0], plan_c[0], win_y, win_c, t_cnt),
+            grid=(b, w // lanes),
+            in_specs=stripe_specs + [
+                band_spec(t_cnt, _BAND_TILE, win_y),
+                band_spec(t_cnt, _BAND_TILE, win_y),
+                band_spec(t_cnt, _BAND_TILE, win_c),
+                band_spec(t_cnt, _BAND_TILE, win_c),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )
+        y1, uv1 = k1(y, uv, byh, byl, bch, bcl)
+    else:
+        rmh, rml = map(jnp.asarray, _split_bf16_host(rm_np))
+        rch, rcl = map(jnp.asarray, _split_bf16_host(rc_np))
+        k1 = pl.pallas_call(
+            _k1_factory(),
+            grid=(b, w // lanes),
+            in_specs=stripe_specs + [
+                pl.BlockSpec((out_h, hp), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((out_h, hp), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((out_h, hp2), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((out_h, hp2), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )
+        y1, uv1 = k1(y, uv, rmh, rml, rch, rcl)
 
     out_wp = _round_up(out_w, 128)
-    cm_np = np.zeros((w, out_wp), np.float32)
-    cm_np[:, :out_w] = resize_matrix(w, out_w, method).T
-    cmh, cml = map(jnp.asarray, _split_bf16_host(cm_np))
+    cmat = resize_matrix(w, out_w, method)               # (out_w, w)
+    coll = cmat.reshape(out_w, w // 2, 2).sum(-1)        # half-grid chroma
+    cy_t = np.zeros((out_wp, w), np.float32)
+    cy_t[:out_w] = cmat
+    ce_t = np.zeros((out_wp, w), np.float32)
+    ce_t[:out_w, 0::2] = coll                            # u at even lanes
+    co_t = np.zeros((out_wp, w), np.float32)
+    co_t[:out_w, 1::2] = coll                            # v at odd lanes
+    mask = (cy_t != 0) | (ce_t != 0) | (co_t != 0)
+    cstarts, win_w = _col_windows(mask, w)
+    n_tiles = out_wp // 128
+    cbands = []
+    for mt in (cy_t, ce_t, co_t):
+        bd = np.ascontiguousarray(
+            np.swapaxes(_extract_bands(mt, cstarts, win_w, 128), 1, 2)
+        )  # (T, win_w, 128): ready for dot(x_window, band)
+        cbands.extend(jnp.asarray(a) for a in _split_bf16_host(bd))
 
+    cband_spec = pl.BlockSpec((n_tiles, win_w, 128), lambda i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
     k2 = pl.pallas_call(
-        _k2_factory(ColorSpace(space), ColorRange(rng), out_w, swap),
+        _k2_factory(ColorSpace(space), ColorRange(rng), out_w, swap,
+                    cstarts, win_w, n_tiles),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, out_h, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, out_h, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, out_wp), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, out_wp), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + [cband_spec] * 6,
         out_specs=pl.BlockSpec((1, 3, out_h, out_wp), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 3, out_h, out_wp), jnp.uint8),
         interpret=interpret,
     )
-    out = k2(y1, uv1, cmh, cml)
+    out = k2(y1, uv1, *cbands)
     return out[..., :out_w]
 
 
 def fused_pallas_supported(w: int, out_h: int) -> bool:
     return _lanes_for(w) > 0 and out_h % 8 == 0
+
+
+# ---- planar YUV420 front-end -----------------------------------------------
+# The decode-pool hot path packs planar YUV420 (host pack = pure row
+# memcpys). Interleaving u/v into NV12 layout for the kernel costs an XLA
+# lane-relayout (~20 µs/frame at 1080p — measured, it erased the banded-K1
+# win), so the planar pair keeps chroma planar end to end: K1 row-resizes
+# y/u/v as whole-frame VMEM blocks (grid = batch), K2 column-resizes
+# chroma on its half-resolution grid (half the chroma MACs of the
+# interleaved variant) and applies the CSC.
+
+
+def _k1p_plans(h, hp, hp2, out_h, method):
+    rm_np = np.zeros((out_h, hp), np.float32)
+    rm_np[:, :h] = resize_matrix(h, out_h, method)
+    rc_np = np.zeros((out_h, hp2), np.float32)
+    rc_np[:, : h // 2] = (
+        resize_matrix(h, out_h, method).reshape(out_h, h // 2, 2).sum(-1)
+    )
+    return _band_plan(rm_np, 128), _band_plan(rc_np, 64)
+
+
+def fused_pallas_planar_supported(h: int, w: int, out_h: int, out_w: int,
+                                  method: str = "lanczos") -> bool:
+    """Gate for :func:`fused_yuv420_resize_rgb_pallas`: banded row plans
+    must fit (128/64-row windows) and the whole-frame VMEM blocks must fit
+    on-chip."""
+    if out_h % 8 or w % 128 or h % 2 or w < 256:
+        return False
+    hp = _round_up(h, 64)
+    hp2 = hp // 2
+    if method not in ("lanczos", "bilinear", "nearest"):
+        return False
+    plan_y, plan_c = _k1p_plans(h, hp, hp2, out_h, method)
+    if plan_y is None or plan_c is None:
+        return False
+    k1_bytes = hp * w + hp2 * w + 4 * out_h * (w + w)  # u8 ins + f32 outs
+    k2_bytes = 4 * out_h * (w + w) + 3 * out_h * _round_up(out_w, 128)
+    return max(k1_bytes, k2_bytes) < 12 * 1024 * 1024
+
+
+@partial(
+    jax.jit,
+    static_argnames=("out_h", "out_w", "space", "rng", "method", "swap",
+                     "interpret"),
+)
+def fused_yuv420_resize_rgb_pallas(
+    y: jnp.ndarray,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    out_h: int,
+    out_w: int,
+    space: ColorSpace = ColorSpace.BT_709,
+    rng: ColorRange = ColorRange.MPEG,
+    method: str = "lanczos",
+    swap: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """y (B,H,W) + u,v (B,H/2,W/2) u8 → (B, 3, out_h, out_w) u8 planar RGB.
+
+    Gate with :func:`fused_pallas_planar_supported`.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w = y.shape
+    w2 = w // 2
+    hp = _round_up(h, 64)
+    hp2 = hp // 2
+    if hp != h:
+        y = jnp.pad(y, ((0, 0), (0, hp - h), (0, 0)))
+        u = jnp.pad(u, ((0, 0), (0, hp2 - h // 2), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, hp2 - h // 2), (0, 0)))
+
+    plan_y, plan_c = _k1p_plans(h, hp, hp2, out_h, method)
+    if plan_y is None or plan_c is None:
+        raise ValueError("row band plans don't fit; gate with "
+                         "fused_pallas_planar_supported")
+    t_cnt = out_h // _BAND_TILE
+    byh, byl = map(jnp.asarray, _split_bf16_host(plan_y[1]))
+    bch, bcl = map(jnp.asarray, _split_bf16_host(plan_c[1]))
+
+    def full(shape):
+        n = len(shape)
+        return pl.BlockSpec((1,) + shape,
+                            lambda i, _n=n: (i,) + (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    def const(shape):
+        n = len(shape)
+        return pl.BlockSpec(shape, lambda i, _n=n: (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    k1 = pl.pallas_call(
+        _k1_planar_factory(plan_y[0], plan_c[0], 128, 64, t_cnt),
+        grid=(b,),
+        in_specs=[
+            full((hp, w)), full((hp2, w2)), full((hp2, w2)),
+            const((t_cnt, _BAND_TILE, 128)), const((t_cnt, _BAND_TILE, 128)),
+            const((t_cnt, _BAND_TILE, 64)), const((t_cnt, _BAND_TILE, 64)),
+        ],
+        out_specs=[full((out_h, w)), full((out_h, w2)), full((out_h, w2))],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, out_h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, out_h, w2), jnp.float32),
+            jax.ShapeDtypeStruct((b, out_h, w2), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+    y1, u1, v1 = k1(y, u, v, byh, byl, bch, bcl)
+
+    out_wp = _round_up(out_w, 128)
+    cmat = resize_matrix(w, out_w, method)               # (out_w, w)
+    coll = cmat.reshape(out_w, w2, 2).sum(-1)            # (out_w, w/2)
+    cy_t = np.zeros((out_wp, w), np.float32)
+    cy_t[:out_w] = cmat
+    cc_t = np.zeros((out_wp, w2), np.float32)
+    cc_t[:out_w] = coll
+    ystarts, ywin = _col_windows(cy_t != 0, w)
+    cstarts, cwin = _col_windows(cc_t != 0, w2)
+    n_tiles = out_wp // 128
+
+    def tbands(mt, starts, win):
+        bd = np.ascontiguousarray(
+            np.swapaxes(_extract_bands(mt, starts, win, 128), 1, 2)
+        )
+        return [jnp.asarray(a) for a in _split_bf16_host(bd)]
+
+    cyh, cyl = tbands(cy_t, ystarts, ywin)
+    cch, ccl = tbands(cc_t, cstarts, cwin)
+
+    k2 = pl.pallas_call(
+        _k2_planar_factory(ColorSpace(space), ColorRange(rng), out_w, swap,
+                           ystarts, ywin, cstarts, cwin, n_tiles),
+        grid=(b,),
+        in_specs=[
+            full((out_h, w)), full((out_h, w2)), full((out_h, w2)),
+            const((n_tiles, ywin, 128)), const((n_tiles, ywin, 128)),
+            const((n_tiles, cwin, 128)), const((n_tiles, cwin, 128)),
+        ],
+        out_specs=full((3, out_h, out_wp)),
+        out_shape=jax.ShapeDtypeStruct((b, 3, out_h, out_wp), jnp.uint8),
+        interpret=interpret,
+    )
+    out = k2(y1, u1, v1, cyh, cyl, cch, ccl)
+    return out[..., :out_w]
