@@ -1,30 +1,36 @@
-"""Pallas fused NV12 → resized planar RGB: two hand-tiled kernels.
+"""Pallas fused YUV → resized planar RGB: banded hand-tiled kernels.
 
-The XLA fused pipeline (ops/fused.py) is already resize-before-CSC; this
-variant moves both resize matmuls and the CSC into Pallas so each stage
-reads its inputs from HBM exactly once:
+Reference semantics anchor: NPP CSC matrix table TasksColorCvt.cpp:142-169
++ Lanczos resize Tasks.cpp:1134-1503; fidelity bar ≤1 u8 ULP vs the
+float64 golden (tests/test_interop_metrics_pallas.py).
 
-* K1 (grid B × W/LANES): row-resize. Loads a (H, LANES) u8 column stripe
-  of luma (+ the interleaved chroma stripe at H/2), converts to f32 in
-  VMEM, and multiplies by the row interpolation matrix on the MXU. The 2×
-  vertical chroma upsample is folded into the chroma matrix (adjacent
-  column pairs summed — exact, see ops/fused._chroma_collapse).
-* K2 (grid B): column-resize + CSC. Loads the (OUT_H, W) f32 intermediates,
-  horizontally expands interleaved chroma with lane rolls (which makes a
-  plain matmul with the full column matrix equal the collapsed-matrix
-  result exactly), resizes on the MXU, applies the color matrix, writes
-  planar u8.
+Two entry points:
 
-Alignment: H is zero-padded to a multiple of 64 (zero rows paired with
-zero matrix columns — exact); W must be a multiple of LANES; OUT_W is
-computed in a 128-lane padded buffer and sliced outside the kernel.
+* ``fused_yuv420_resize_rgb_pallas`` — planar YUV420 (the decode-pool hot
+  layout). ONE kernel per frame: banded row-resize of y/u/v whole-frame
+  VMEM blocks into VMEM scratch, then banded column-resize (chroma on its
+  half-resolution grid) + CSC, planar u8 out. No f32 intermediates ever
+  touch HBM.
+* ``fused_nv12_resize_rgb_pallas`` — NV12 (interleaved chroma). Two
+  kernels: K1 (grid B × W/LANES) banded row-resize of column stripes
+  (interleaved chroma rides along, vertical 2× upsample pre-collapsed
+  into the matrix); K2 (grid B) column-resize + CSC, chroma dotted
+  directly against even/odd-masked collapsed matrices (no lane
+  expansion).
 
-Status: EXPERIMENTAL. On a v5e chip this measures only ~4% faster than
-the XLA resize-before-CSC pipeline (ops/fused.py), and the in-kernel MXU
-``jnp.dot`` runs at default (bf16-pass) precision, so compiled results can
-differ from the f32-highest XLA path by a few 8-bit ULPs. The XLA path
-remains the default; this kernel is the foundation for further in-kernel
-fusion work (see ROADMAP.md).
+The band structure (Lanczos: 6 nonzeros of ~1088 per matrix row) is what
+the hand tiling exploits: each 8-output-row tile dots one 32-aligned
+128-row (64 half-res) VMEM window — ~8-20× fewer MACs than the dense
+dot, bit-identical weights. The same transform LOSES at the XLA/HLO
+level (relayout-bound, tools/exp_banded.py). MXU passes use the
+split-bf16 trick throughout (u8 exact in bf16; f32 intermediates hi/lo
+split, lo×lo dropped).
+
+Alignment: H zero-padded to a multiple of 64 (zero rows pair with zero
+matrix columns — exact); NV12 W must be a multiple of a 128-lane stripe;
+OUT_W computed 128-lane padded and sliced outside. Measured v5e,
+1080p→224², batch 8: ~17 µs/frame planar / ~24 µs through the packed
+product path vs ~35 µs XLA split-bf16 (docs/performance.md).
 """
 
 from __future__ import annotations
@@ -150,13 +156,21 @@ def _band_plan(mat: np.ndarray, win: int, align: int = 32):
     return starts, _extract_bands(mat, starts, win, _BAND_TILE)
 
 
-def _banded_rows(x_bf16, bh_ref, bl_ref, starts, win, t_cnt, o_ref, o_idx):
-    """T unrolled (8, win)@(win, LANES) MXU passes writing 8 rows each."""
+def _banded_rows(x_bf16, bh_ref, bl_ref, starts, win, t_cnt, o_ref,
+                 o_idx=None):
+    """T unrolled (8, win)@(win, LANES) MXU passes writing 8 rows each.
+    ``o_idx`` indexes a leading batch-block dim; None writes a 2-D ref
+    (VMEM scratch)."""
     for t in range(t_cnt):
         wx = x_bf16[starts[t]: starts[t] + win, :]
-        o_ref[o_idx, t * _BAND_TILE: (t + 1) * _BAND_TILE, :] = jnp.dot(
+        rows = jnp.dot(
             bh_ref[t], wx, preferred_element_type=jnp.float32
         ) + jnp.dot(bl_ref[t], wx, preferred_element_type=jnp.float32)
+        sl = slice(t * _BAND_TILE, (t + 1) * _BAND_TILE)
+        if o_idx is None:
+            o_ref[sl, :] = rows
+        else:
+            o_ref[o_idx, sl, :] = rows
 
 
 def _k1_banded_factory(starts_y, starts_c, win_y, win_c, t_cnt):
@@ -173,18 +187,44 @@ def _k1_banded_factory(starts_y, starts_c, win_y, win_c, t_cnt):
     return kernel
 
 
-def _k1_planar_factory(starts_y, starts_c, win_y, win_c, t_cnt):
-    sy = [int(s) for s in starts_y]
-    sc = [int(s) for s in starts_c]
+def _fused_planar_factory(space: ColorSpace, rng: ColorRange, swap: bool,
+                          rstarts_y, rstarts_c, rwin_y, rwin_c, t_cnt,
+                          cstarts_y, cwin_y, cstarts_c, cwin_c, n_tiles):
+    """Whole pipeline in ONE kernel per frame: banded row-resize into VMEM
+    scratch, banded column-resize (half-grid chroma) + CSC out of it. The
+    two-kernel split round-trips ~7 MB/frame of f32 intermediates through
+    HBM at 1080p→224² — keeping them in VMEM removes that entirely."""
+    m, off = cs.rgb_from_ycbcr_matrix(space, rng)
+    m = np.asarray(m, np.float32)
+    off = np.asarray(off, np.float32)
+    chans = [0, 1, 2] if not swap else [2, 1, 0]
+    rsy = [int(s) for s in rstarts_y]
+    rsc = [int(s) for s in rstarts_c]
+    csy = [int(s) for s in cstarts_y]
+    csc = [int(s) for s in cstarts_c]
 
     def kernel(y_ref, u_ref, v_ref, byh_ref, byl_ref, bch_ref, bcl_ref,
-               yo_ref, uo_ref, vo_ref):
-        y = _bf16(y_ref[0])
-        u = _bf16(u_ref[0])
-        v = _bf16(v_ref[0])
-        _banded_rows(y, byh_ref, byl_ref, sy, win_y, t_cnt, yo_ref, 0)
-        _banded_rows(u, bch_ref, bcl_ref, sc, win_c, t_cnt, uo_ref, 0)
-        _banded_rows(v, bch_ref, bcl_ref, sc, win_c, t_cnt, vo_ref, 0)
+               cyh_ref, cyl_ref, cch_ref, ccl_ref, out_ref,
+               y1_ref, u1_ref, v1_ref):
+        _banded_rows(_bf16(y_ref[0]), byh_ref, byl_ref, rsy, rwin_y, t_cnt,
+                     y1_ref)
+        _banded_rows(_bf16(u_ref[0]), bch_ref, bcl_ref, rsc, rwin_c, t_cnt,
+                     u1_ref)
+        _banded_rows(_bf16(v_ref[0]), bch_ref, bcl_ref, rsc, rwin_c, t_cnt,
+                     v1_ref)
+        for p in range(n_tiles):
+            yw = y1_ref[:, csy[p]: csy[p] + cwin_y]
+            uw = u1_ref[:, csc[p]: csc[p] + cwin_c]
+            vw = v1_ref[:, csc[p]: csc[p] + cwin_c]
+            yr = _split_dot(yw, cyh_ref[p], cyl_ref[p]) - off[0]
+            ur = _split_dot(uw, cch_ref[p], ccl_ref[p]) - off[1]
+            vr = _split_dot(vw, cch_ref[p], ccl_ref[p]) - off[2]
+            for i, c in enumerate(chans):
+                val = m[c, 0] * yr + m[c, 1] * ur + m[c, 2] * vr
+                val = jnp.clip(jnp.rint(val), 0.0, 255.0)
+                out_ref[0, i, :, p * 128: (p + 1) * 128] = val.astype(
+                    jnp.int32
+                ).astype(jnp.uint8)
 
     return kernel
 
@@ -210,41 +250,6 @@ def _col_windows(mask: np.ndarray, n_in: int):
         if starts is not None:
             return starts, win
     raise AssertionError("unreachable: win == n_in always fits")
-
-
-def _k2_planar_factory(space: ColorSpace, rng: ColorRange, out_w: int,
-                       swap: bool, ystarts, ywin, cstarts, cwin, n_tiles):
-    """Column-resize + CSC on planar f32 intermediates. Chroma is resized
-    straight on its half-resolution grid (the horizontal 2x replicate
-    upsample is pre-collapsed into the matrix — exact), so chroma dots
-    contract half the columns of the interleaved variant."""
-    m, off = cs.rgb_from_ycbcr_matrix(space, rng)
-    m = np.asarray(m, np.float32)
-    off = np.asarray(off, np.float32)
-    chans = [0, 1, 2] if not swap else [2, 1, 0]
-    ys = [int(s) for s in ystarts]
-    csx = [int(s) for s in cstarts]
-
-    def kernel(y_ref, u_ref, v_ref, cyh_ref, cyl_ref, cch_ref, ccl_ref,
-               out_ref):
-        y = y_ref[0]
-        u = u_ref[0]
-        v = v_ref[0]
-        for p in range(n_tiles):
-            yw = y[:, ys[p]: ys[p] + ywin]
-            uw = u[:, csx[p]: csx[p] + cwin]
-            vw = v[:, csx[p]: csx[p] + cwin]
-            yr = _split_dot(yw, cyh_ref[p], cyl_ref[p]) - off[0]
-            ur = _split_dot(uw, cch_ref[p], ccl_ref[p]) - off[1]
-            vr = _split_dot(vw, cch_ref[p], ccl_ref[p]) - off[2]
-            for i, c in enumerate(chans):
-                val = m[c, 0] * yr + m[c, 1] * ur + m[c, 2] * vr
-                val = jnp.clip(jnp.rint(val), 0.0, 255.0)
-                out_ref[0, i, :, p * 128: (p + 1) * 128] = val.astype(
-                    jnp.int32
-                ).astype(jnp.uint8)
-
-    return kernel
 
 
 def _k2_factory(space: ColorSpace, rng: ColorRange, out_w: int, swap: bool,
@@ -516,35 +521,6 @@ def fused_yuv420_resize_rgb_pallas(
     byh, byl = map(jnp.asarray, _split_bf16_host(plan_y[1]))
     bch, bcl = map(jnp.asarray, _split_bf16_host(plan_c[1]))
 
-    def full(shape):
-        n = len(shape)
-        return pl.BlockSpec((1,) + shape,
-                            lambda i, _n=n: (i,) + (0,) * _n,
-                            memory_space=pltpu.VMEM)
-
-    def const(shape):
-        n = len(shape)
-        return pl.BlockSpec(shape, lambda i, _n=n: (0,) * _n,
-                            memory_space=pltpu.VMEM)
-
-    k1 = pl.pallas_call(
-        _k1_planar_factory(plan_y[0], plan_c[0], 128, 64, t_cnt),
-        grid=(b,),
-        in_specs=[
-            full((hp, w)), full((hp2, w2)), full((hp2, w2)),
-            const((t_cnt, _BAND_TILE, 128)), const((t_cnt, _BAND_TILE, 128)),
-            const((t_cnt, _BAND_TILE, 64)), const((t_cnt, _BAND_TILE, 64)),
-        ],
-        out_specs=[full((out_h, w)), full((out_h, w2)), full((out_h, w2))],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, out_h, w), jnp.float32),
-            jax.ShapeDtypeStruct((b, out_h, w2), jnp.float32),
-            jax.ShapeDtypeStruct((b, out_h, w2), jnp.float32),
-        ],
-        interpret=interpret,
-    )
-    y1, u1, v1 = k1(y, u, v, byh, byl, bch, bcl)
-
     out_wp = _round_up(out_w, 128)
     cmat = resize_matrix(w, out_w, method)               # (out_w, w)
     coll = cmat.reshape(out_w, w2, 2).sum(-1)            # (out_w, w/2)
@@ -565,18 +541,39 @@ def fused_yuv420_resize_rgb_pallas(
     cyh, cyl = tbands(cy_t, ystarts, ywin)
     cch, ccl = tbands(cc_t, cstarts, cwin)
 
-    k2 = pl.pallas_call(
-        _k2_planar_factory(ColorSpace(space), ColorRange(rng), out_w, swap,
-                           ystarts, ywin, cstarts, cwin, n_tiles),
+    def full(shape):
+        n = len(shape)
+        return pl.BlockSpec((1,) + shape,
+                            lambda i, _n=n: (i,) + (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    def const(shape):
+        n = len(shape)
+        return pl.BlockSpec(shape, lambda i, _n=n: (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    fused = pl.pallas_call(
+        _fused_planar_factory(
+            ColorSpace(space), ColorRange(rng), swap,
+            plan_y[0], plan_c[0], 128, 64, t_cnt,
+            ystarts, ywin, cstarts, cwin, n_tiles,
+        ),
         grid=(b,),
         in_specs=[
-            full((out_h, w)), full((out_h, w2)), full((out_h, w2)),
+            full((hp, w)), full((hp2, w2)), full((hp2, w2)),
+            const((t_cnt, _BAND_TILE, 128)), const((t_cnt, _BAND_TILE, 128)),
+            const((t_cnt, _BAND_TILE, 64)), const((t_cnt, _BAND_TILE, 64)),
             const((n_tiles, ywin, 128)), const((n_tiles, ywin, 128)),
             const((n_tiles, cwin, 128)), const((n_tiles, cwin, 128)),
         ],
         out_specs=full((3, out_h, out_wp)),
         out_shape=jax.ShapeDtypeStruct((b, 3, out_h, out_wp), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((out_h, w), jnp.float32),
+            pltpu.VMEM((out_h, w2), jnp.float32),
+            pltpu.VMEM((out_h, w2), jnp.float32),
+        ],
         interpret=interpret,
     )
-    out = k2(y1, u1, v1, cyh, cyl, cch, ccl)
+    out = fused(y, u, v, byh, byl, bch, bcl, cyh, cyl, cch, ccl)
     return out[..., :out_w]
