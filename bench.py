@@ -392,7 +392,7 @@ def main() -> int:
             variables = init_params(model, (1, 224, 224, 3))
             pre_norm = FusedPipeline(
                 PixelFormat.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
-                out_size=(224, 224), output="normalized", kernel="xla",
+                out_size=(224, 224), output="normalized",
             )
             resnet_fps, _ = device_slope_fps(
                 lambda x, v: model.apply(v, pre_norm(x), train=False),

@@ -296,3 +296,30 @@ def test_fused_compute_mode_validation():
             y, uv, src_format=F.NV12, space=ColorSpace.BT_709,
             rng=ColorRange.MPEG, out_h=8, out_w=8, compute="bogus",
         )
+
+
+def test_fused_pipeline_normalized_outputs_consistent():
+    """All output modes agree between kernel implementations: the XLA path
+    and (on TPU) the planar Pallas kernel share the normalized/rgb_f32
+    semantics; on CPU this pins the XLA reference values."""
+    import numpy as np
+
+    r = np.random.default_rng(21)
+    N, H, W = 2, 96, 128
+    packed = r.integers(0, 256, (N, H * 3 // 2, W), np.uint8)
+    kw = dict(out_size=(32, 24), mean=(0.485, 0.456, 0.406),
+              std=(0.229, 0.224, 0.225))
+    nhwc = FusedPipeline(F.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
+                         output="normalized", **kw)(packed)
+    nchw = FusedPipeline(F.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
+                         output="normalized_nchw", **kw)(packed)
+    f32 = FusedPipeline(F.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
+                        output="rgb_f32", **kw)(packed)
+    assert nhwc.shape == (N, 24, 32, 3)
+    assert nchw.shape == (N, 3, 24, 32)
+    np.testing.assert_allclose(
+        np.asarray(nhwc), np.moveaxis(np.asarray(nchw), 1, -1), atol=1e-6
+    )
+    # normalized == (rgb_f32 - mean)/std
+    want = (np.asarray(f32) - np.asarray(kw["mean"])) / np.asarray(kw["std"])
+    np.testing.assert_allclose(np.asarray(nhwc), want, atol=1e-5)

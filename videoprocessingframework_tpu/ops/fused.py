@@ -329,10 +329,17 @@ class FusedPipeline:
         interleave into NV12 layout costs a ~20 µs/frame lane relayout at
         1080p, measured) or ("nv12", y, uv) for NV12 sources; None when
         this input doesn't qualify."""
-        if self.output != "rgb_u8" or self.method not in ("lanczos", "bilinear"):
+        if self.method not in ("lanczos", "bilinear"):
             return None
         fmt = self.src_format
+        planar_out = self.output in (
+            "rgb_u8", "rgb_f32", "normalized", "normalized_nchw"
+        )
+        if not planar_out:
+            return None
         if fmt == F.NV12 and len(planes) == 2:
+            if self.output != "rgb_u8":
+                return None  # the NV12 kernel pair only emits u8
             return ("nv12",) + tuple(planes)
         if fmt in (F.NV12, F.YUV420) and len(planes) == 1:
             packed = planes[0]
@@ -340,6 +347,8 @@ class FusedPipeline:
             w = packed.shape[-1]
             y = packed[..., :h, :]
             if fmt == F.NV12:
+                if self.output != "rgb_u8":
+                    return None
                 return "nv12", y, packed[..., h:, :]
             lead = packed.shape[:-2]
             c = packed[..., h:, :]
@@ -369,13 +378,23 @@ class FusedPipeline:
             fused_yuv420_resize_rgb_pallas,
         )
 
-        fn = (fused_yuv420_resize_rgb_pallas if mode == "planar"
-              else fused_nv12_resize_rgb_pallas)
-        out = fn(
-            *planes,
-            out_h=self.out_h, out_w=self.out_w,
-            space=self.space, rng=self.range, method=self.method,
-        )
+        if mode == "planar":
+            kern_out = ("normalized" if self.output.startswith("normalized")
+                        else self.output)
+            out = fused_yuv420_resize_rgb_pallas(
+                *planes,
+                out_h=self.out_h, out_w=self.out_w,
+                space=self.space, rng=self.range, method=self.method,
+                output=kern_out, mean=self.mean, std=self.std,
+            )
+            if self.output == "normalized_nchw":
+                return out  # the kernel's planar layout IS NCHW
+        else:
+            out = fused_nv12_resize_rgb_pallas(
+                *planes,
+                out_h=self.out_h, out_w=self.out_w,
+                space=self.space, rng=self.range, method=self.method,
+            )
         return jnp.moveaxis(out, -3, -1)  # planar → NHWC like the XLA path
 
     def _run_xla(self, *planes):

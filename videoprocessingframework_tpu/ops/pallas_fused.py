@@ -189,11 +189,13 @@ def _k1_banded_factory(starts_y, starts_c, win_y, win_c, t_cnt):
 
 def _fused_planar_factory(space: ColorSpace, rng: ColorRange, swap: bool,
                           rstarts_y, rstarts_c, rwin_y, rwin_c, t_cnt,
-                          cstarts_y, cwin_y, cstarts_c, cwin_c, n_tiles):
+                          cstarts_y, cwin_y, cstarts_c, cwin_c, n_tiles,
+                          output="rgb_u8", mean=(0.0,) * 3, std=(1.0,) * 3):
     """Whole pipeline in ONE kernel per frame: banded row-resize into VMEM
-    scratch, banded column-resize (half-grid chroma) + CSC out of it. The
-    two-kernel split round-trips ~7 MB/frame of f32 intermediates through
-    HBM at 1080p→224² — keeping them in VMEM removes that entirely."""
+    scratch, banded column-resize (half-grid chroma) + CSC (+ optional
+    normalize) out of it. The two-kernel split round-trips ~7 MB/frame of
+    f32 intermediates through HBM at 1080p→224² — keeping them in VMEM
+    removes that entirely."""
     m, off = cs.rgb_from_ycbcr_matrix(space, rng)
     m = np.asarray(m, np.float32)
     off = np.asarray(off, np.float32)
@@ -202,6 +204,8 @@ def _fused_planar_factory(space: ColorSpace, rng: ColorRange, swap: bool,
     rsc = [int(s) for s in rstarts_c]
     csy = [int(s) for s in cstarts_y]
     csc = [int(s) for s in cstarts_c]
+    mean = [float(x) for x in mean]
+    inv_std = [1.0 / float(x) for x in std]
 
     def kernel(y_ref, u_ref, v_ref, byh_ref, byl_ref, bch_ref, bcl_ref,
                cyh_ref, cyl_ref, cch_ref, ccl_ref, out_ref,
@@ -221,10 +225,15 @@ def _fused_planar_factory(space: ColorSpace, rng: ColorRange, swap: bool,
             vr = _split_dot(vw, cch_ref[p], ccl_ref[p]) - off[2]
             for i, c in enumerate(chans):
                 val = m[c, 0] * yr + m[c, 1] * ur + m[c, 2] * vr
-                val = jnp.clip(jnp.rint(val), 0.0, 255.0)
-                out_ref[0, i, :, p * 128: (p + 1) * 128] = val.astype(
-                    jnp.int32
-                ).astype(jnp.uint8)
+                sl = (0, i, slice(None), slice(p * 128, (p + 1) * 128))
+                if output == "rgb_u8":
+                    val = jnp.clip(jnp.rint(val), 0.0, 255.0)
+                    out_ref[sl] = val.astype(jnp.int32).astype(jnp.uint8)
+                else:
+                    x = jnp.clip(val * (1.0 / 255.0), 0.0, 1.0)
+                    if output != "rgb_f32":  # normalized[_nchw]
+                        x = (x - mean[i]) * inv_std[i]
+                    out_ref[sl] = x
 
     return kernel
 
@@ -482,7 +491,7 @@ def fused_pallas_planar_supported(h: int, w: int, out_h: int, out_w: int,
 @partial(
     jax.jit,
     static_argnames=("out_h", "out_w", "space", "rng", "method", "swap",
-                     "interpret"),
+                     "interpret", "output", "mean", "std"),
 )
 def fused_yuv420_resize_rgb_pallas(
     y: jnp.ndarray,
@@ -496,11 +505,19 @@ def fused_yuv420_resize_rgb_pallas(
     method: str = "lanczos",
     swap: bool = False,
     interpret: bool = False,
+    output: str = "rgb_u8",
+    mean=(0.0, 0.0, 0.0),
+    std=(1.0, 1.0, 1.0),
 ) -> jnp.ndarray:
-    """y (B,H,W) + u,v (B,H/2,W/2) u8 → (B, 3, out_h, out_w) u8 planar RGB.
+    """y (B,H,W) + u,v (B,H/2,W/2) u8 → (B, 3, out_h, out_w) planar.
 
+    output: 'rgb_u8' (u8) | 'rgb_f32' ([0,1] f32) | 'normalized'
+    ((x−mean)/std f32, positional per output channel — matches
+    decode_postproc's post-swap convention).
     Gate with :func:`fused_pallas_planar_supported`.
     """
+    if output not in ("rgb_u8", "rgb_f32", "normalized"):
+        raise ValueError(f"unsupported output {output!r}")
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -552,11 +569,13 @@ def fused_yuv420_resize_rgb_pallas(
         return pl.BlockSpec(shape, lambda i, _n=n: (0,) * _n,
                             memory_space=pltpu.VMEM)
 
+    out_dtype = jnp.uint8 if output == "rgb_u8" else jnp.float32
     fused = pl.pallas_call(
         _fused_planar_factory(
             ColorSpace(space), ColorRange(rng), swap,
             plan_y[0], plan_c[0], 128, 64, t_cnt,
             ystarts, ywin, cstarts, cwin, n_tiles,
+            output=output, mean=mean, std=std,
         ),
         grid=(b,),
         in_specs=[
@@ -567,7 +586,7 @@ def fused_yuv420_resize_rgb_pallas(
             const((n_tiles, cwin, 128)), const((n_tiles, cwin, 128)),
         ],
         out_specs=full((3, out_h, out_wp)),
-        out_shape=jax.ShapeDtypeStruct((b, 3, out_h, out_wp), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((b, 3, out_h, out_wp), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((out_h, w), jnp.float32),
             pltpu.VMEM((out_h, w2), jnp.float32),
