@@ -274,3 +274,50 @@ def test_pallas_planar_unsupported_shapes():
     assert not fused_pallas_planar_supported(256, 512, 63, 64)  # out_h % 8
     # 1080p -> 224 (the product shape) must be eligible
     assert fused_pallas_planar_supported(1080, 1920, 224, 224)
+
+
+def test_band_plan_reconstructs_dense_matrix():
+    """Invariant behind the banded kernels: every nonzero of the dense
+    resize matrix must be captured inside some tile's window, so stacking
+    the extracted bands back at their starts reproduces the matrix
+    exactly — across scale factors, methods, and the half-grid collapse."""
+    from videoprocessingframework_tpu.ops.pallas_fused import (
+        _band_plan, _band_starts, _extract_bands,
+    )
+    from videoprocessingframework_tpu.ops.resize import resize_matrix
+
+    cases = [
+        (1080, 224, "lanczos", False), (1080, 224, "lanczos", True),
+        (720, 224, "bilinear", False), (480, 224, "lanczos", False),
+        (256, 64, "lanczos", True), (2160, 224, "lanczos", False),
+        (360, 480, "lanczos", False),  # upscale
+    ]
+    for n_in, n_out, method, half in cases:
+        mat = resize_matrix(n_in, n_out, method)
+        if half:
+            mat = mat.reshape(n_out, n_in // 2, 2).sum(-1)
+        win = 64 if half else 128
+        plan = _band_plan(mat, win)
+        if plan is None:
+            continue  # support too wide for the window: dense fallback
+        starts, bands = plan
+        rebuilt = np.zeros_like(mat)
+        for t, s in enumerate(starts):
+            rebuilt[t * 8: (t + 1) * 8, s: s + win] += bands[t]
+        np.testing.assert_array_equal(rebuilt, mat)
+
+    # column windows: same invariant at 128-col tiles / 128 alignment
+    for w, out_w in [(1920, 224), (512, 48), (1280, 224)]:
+        cmat = resize_matrix(w, out_w)
+        out_wp = (out_w + 127) // 128 * 128
+        cy = np.zeros((out_wp, w), np.float32)
+        cy[:out_w] = cmat
+        for win in list(range(128, w, 128)) + [w]:
+            starts = _band_starts(cy != 0, win, 128, 128)
+            if starts is not None:
+                break
+        bands = _extract_bands(cy, starts, win, 128)
+        rebuilt = np.zeros_like(cy)
+        for t, s in enumerate(starts):
+            rebuilt[t * 128: (t + 1) * 128, s: s + win] += bands[t]
+        np.testing.assert_array_equal(rebuilt, cy)

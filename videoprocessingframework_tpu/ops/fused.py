@@ -282,14 +282,18 @@ class FusedPipeline:
       matmuls default to the split-bf16 decomposition (``compute="auto"``
       → ≤1 u8 ULP vs float64, ~2.4x less MXU work than f32-highest;
       pass ``compute="highest"`` for the 6-pass f32 dots).
-    * ``"pallas"`` — the hand-tiled split-bf16 Pallas kernel pair
-      (ops/pallas_fused.py; ≤1 u8 ULP vs the float64 golden).
+    * ``"pallas"`` — the hand-tiled banded split-bf16 Pallas kernels
+      (ops/pallas_fused.py; ≤1 u8 ULP vs the float64 golden). Planar
+      YUV420 sources run ONE whole-frame kernel (banded row windows →
+      VMEM scratch → banded column tiles + CSC/normalize); NV12 sources
+      run the two-kernel striped variant.
     * ``"auto"`` (default) — when the shape/format/output qualify for the
       Pallas path on a TPU backend, time both once per input shape with an
       RTT-cancelling two-point measurement and cache the winner; otherwise
-      XLA. (Measured on v5e at 1080p→224², batch 8, random input:
-      XLA split-bf16 ≈ 35 µs/frame, Pallas ≈ 50 µs, XLA f32-highest
-      ≈ 53 µs — auto picks the XLA split path there.)
+      XLA. (Measured on v5e at 1080p→224², batch 8, random input: banded
+      Pallas ≈ 24 µs/frame through the packed product path (~17 µs fed
+      planar), XLA split-bf16 ≈ 35 µs, XLA f32-highest ≈ 53 µs — auto
+      picks Pallas there.)
     """
 
     def __init__(
