@@ -394,6 +394,9 @@ def main() -> int:
                 PixelFormat.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
                 out_size=(224, 224), output="normalized",
             )
+            # concrete warm-up so the kernel autotune picks OUTSIDE the
+            # slope fn's trace (inside a trace it falls back to XLA)
+            jax.block_until_ready(pre_norm(dummy_packed))
             resnet_fps, _ = device_slope_fps(
                 lambda x, v: model.apply(v, pre_norm(x), train=False),
                 dummy_packed, lo_n=10, hi_n=60,

@@ -271,7 +271,7 @@ def test_pallas_planar_unsupported_shapes():
 
     assert not fused_pallas_planar_supported(64, 512, 64, 64)   # too short
     assert not fused_pallas_planar_supported(256, 500, 64, 64)  # W % 128
-    assert not fused_pallas_planar_supported(256, 512, 63, 64)  # out_h % 8
+    assert fused_pallas_planar_supported(256, 512, 63, 64)  # any out_h
     # 1080p -> 224 (the product shape) must be eligible
     assert fused_pallas_planar_supported(1080, 1920, 224, 224)
 
@@ -321,3 +321,36 @@ def test_band_plan_reconstructs_dense_matrix():
         for t, s in enumerate(starts):
             rebuilt[t * 128: (t + 1) * 128, s: s + win] += bands[t]
         np.testing.assert_array_equal(rebuilt, cy)
+
+
+def test_pallas_planar_odd_output_sizes():
+    """out_h/out_w need no alignment: the kernel pads both (zero-support
+    band tiles / zero matrix rows — exact) and slices outside."""
+    from videoprocessingframework_tpu.ops.fused import decode_postproc
+    from videoprocessingframework_tpu.ops.pallas_fused import (
+        fused_pallas_planar_supported,
+        fused_yuv420_resize_rgb_pallas,
+    )
+
+    r = np.random.default_rng(13)
+    B, HH, WW, OH, OW = 1, 192, 384, 61, 45
+    assert fused_pallas_planar_supported(HH, WW, OH, OW)
+    y = r.integers(0, 256, (B, HH, WW), np.uint8)
+    u = r.integers(0, 256, (B, HH // 2, WW // 2), np.uint8)
+    v = r.integers(0, 256, (B, HH // 2, WW // 2), np.uint8)
+    out = np.asarray(
+        fused_yuv420_resize_rgb_pallas(
+            y, u, v, out_h=OH, out_w=OW,
+            space=ColorSpace.BT_709, rng=ColorRange.MPEG, interpret=True,
+        )
+    )
+    assert out.shape == (B, 3, OH, OW)
+    ref = np.asarray(
+        decode_postproc(
+            y, u, v, src_format=PixelFormat.YUV420,
+            space=ColorSpace.BT_709, rng=ColorRange.MPEG,
+            out_h=OH, out_w=OW, output="rgb_u8", compute="highest",
+        )
+    )
+    got = np.moveaxis(out, 1, -1)
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1

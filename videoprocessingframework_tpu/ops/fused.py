@@ -471,8 +471,15 @@ class FusedPipeline:
                 )
             return self._run_pallas(*pallas_in)
         if choice == "auto" and pallas_in is not None:
+            import jax
+
             key = tuple(p.shape for p in planes)
             if key not in self._picked:
+                if any(isinstance(p, jax.core.Tracer) for p in planes):
+                    # called under an outer trace with an unseen shape:
+                    # timing is impossible here — use XLA this time and
+                    # let a concrete warm-up call do the picking.
+                    return self._run_xla(*planes)
                 self._picked[key] = self._pick(planes, pallas_in)
             if self._picked[key] == "pallas":
                 return self._run_pallas(*pallas_in)

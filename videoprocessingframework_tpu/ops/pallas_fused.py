@@ -459,11 +459,14 @@ def fused_pallas_supported(w: int, out_h: int) -> bool:
 # interleaved variant) and applies the CSC.
 
 
-def _k1p_plans(h, hp, hp2, out_h, method):
-    rm_np = np.zeros((out_h, hp), np.float32)
-    rm_np[:, :h] = resize_matrix(h, out_h, method)
-    rc_np = np.zeros((out_h, hp2), np.float32)
-    rc_np[:, : h // 2] = (
+def _k1p_plans(h, hp, hp2, out_hp, out_h, method):
+    """Row band plans on an out_h→out_hp zero-row-padded output grid (pad
+    rows have empty support, so the padded tiles degenerate to zero
+    bands — exact; the caller slices the pad rows off)."""
+    rm_np = np.zeros((out_hp, hp), np.float32)
+    rm_np[:out_h, :h] = resize_matrix(h, out_h, method)
+    rc_np = np.zeros((out_hp, hp2), np.float32)
+    rc_np[:out_h, : h // 2] = (
         resize_matrix(h, out_h, method).reshape(out_h, h // 2, 2).sum(-1)
     )
     return _band_plan(rm_np, 128), _band_plan(rc_np, 64)
@@ -473,18 +476,19 @@ def fused_pallas_planar_supported(h: int, w: int, out_h: int, out_w: int,
                                   method: str = "lanczos") -> bool:
     """Gate for :func:`fused_yuv420_resize_rgb_pallas`: banded row plans
     must fit (128/64-row windows) and the whole-frame VMEM blocks must fit
-    on-chip."""
-    if out_h % 8 or w % 128 or h % 2 or w < 256:
+    on-chip. Any out_h/out_w (both are computed padded and sliced)."""
+    if w % 128 or h % 2 or w < 256:
         return False
     hp = _round_up(h, 64)
     hp2 = hp // 2
+    out_hp = _round_up(out_h, _BAND_TILE)
     if method not in ("lanczos", "bilinear", "nearest"):
         return False
-    plan_y, plan_c = _k1p_plans(h, hp, hp2, out_h, method)
+    plan_y, plan_c = _k1p_plans(h, hp, hp2, out_hp, out_h, method)
     if plan_y is None or plan_c is None:
         return False
-    k1_bytes = hp * w + hp2 * w + 4 * out_h * (w + w)  # u8 ins + f32 outs
-    k2_bytes = 4 * out_h * (w + w) + 3 * out_h * _round_up(out_w, 128)
+    k1_bytes = hp * w + hp2 * w + 4 * out_hp * (w + w)  # u8 ins + f32 outs
+    k2_bytes = 4 * out_hp * (w + w) + 3 * out_hp * _round_up(out_w, 128)
     return max(k1_bytes, k2_bytes) < 12 * 1024 * 1024
 
 
@@ -530,11 +534,12 @@ def fused_yuv420_resize_rgb_pallas(
         u = jnp.pad(u, ((0, 0), (0, hp2 - h // 2), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, hp2 - h // 2), (0, 0)))
 
-    plan_y, plan_c = _k1p_plans(h, hp, hp2, out_h, method)
+    out_hp = _round_up(out_h, _BAND_TILE)
+    plan_y, plan_c = _k1p_plans(h, hp, hp2, out_hp, out_h, method)
     if plan_y is None or plan_c is None:
         raise ValueError("row band plans don't fit; gate with "
                          "fused_pallas_planar_supported")
-    t_cnt = out_h // _BAND_TILE
+    t_cnt = out_hp // _BAND_TILE
     byh, byl = map(jnp.asarray, _split_bf16_host(plan_y[1]))
     bch, bcl = map(jnp.asarray, _split_bf16_host(plan_c[1]))
 
@@ -585,14 +590,14 @@ def fused_yuv420_resize_rgb_pallas(
             const((n_tiles, ywin, 128)), const((n_tiles, ywin, 128)),
             const((n_tiles, cwin, 128)), const((n_tiles, cwin, 128)),
         ],
-        out_specs=full((3, out_h, out_wp)),
-        out_shape=jax.ShapeDtypeStruct((b, 3, out_h, out_wp), out_dtype),
+        out_specs=full((3, out_hp, out_wp)),
+        out_shape=jax.ShapeDtypeStruct((b, 3, out_hp, out_wp), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((out_h, w), jnp.float32),
-            pltpu.VMEM((out_h, w2), jnp.float32),
-            pltpu.VMEM((out_h, w2), jnp.float32),
+            pltpu.VMEM((out_hp, w), jnp.float32),
+            pltpu.VMEM((out_hp, w2), jnp.float32),
+            pltpu.VMEM((out_hp, w2), jnp.float32),
         ],
         interpret=interpret,
     )
     out = fused(y, u, v, byh, byl, bch, bcl, cyh, cyl, cch, ccl)
-    return out[..., :out_w]
+    return out[..., :out_h, :out_w]
