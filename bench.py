@@ -363,14 +363,20 @@ def main() -> int:
     # effective upload+kernel throughput from the dispatch stage
     summ = timer.summary() if timer else {}
     batch_bytes = args.batch * (height * 3 // 2) * width
-    upload_gbps = 0.0
-    if "dispatch" in summ and summ["dispatch"]["total_s"]:
-        upload_gbps = (
-            batch_bytes * summ["dispatch"]["count"]
-            / summ["dispatch"]["total_s"] / 1e9
-        )
+    # device-side time per batch = async dispatch + the deferred drain
+    # (pool.batches keeps `depth` batches in flight; drain carries the
+    # upload+kernel wait)
+    dev_s = sum(
+        summ.get(k, {}).get("total_s", 0.0) for k in ("dispatch", "drain")
+    )
+    dev_count = summ.get("drain", summ.get("dispatch", {})).get("count", 0)
+    upload_gbps = (
+        batch_bytes * dev_count / dev_s / 1e9 if dev_s and dev_count else 0.0
+    )
     acquire_ms = summ.get("acquire", {}).get("mean_ms", 0.0)
-    dispatch_ms = summ.get("dispatch", {}).get("mean_ms", 0.0)
+    dispatch_ms = sum(
+        summ.get(k, {}).get("mean_ms", 0.0) for k in ("dispatch", "drain")
+    )
     bottleneck = (
         "host_decode" if acquire_ms > dispatch_ms else "transfer+kernel"
     )

@@ -114,3 +114,35 @@ def test_pool_no_drops_on_clean_stream(test_mp4):
     assert pool.frames_dropped == 0
     assert pool.drop_reason == ""
     pool.close()
+
+
+def test_pool_pipelined_depth_matches_serial(test_mp4):
+    """depth=2 (default, one deferred drain in flight) must yield the
+    SAME batches in the same order as the block-immediately depth=1 path:
+    the deferred release may not let a decode worker recycle a slot
+    before its upload completed."""
+    def collect(depth):
+        pool = NativeDecodePool([test_mp4], batch_size=8)
+        outs = [np.asarray(o).copy() for o in pool.batches(depth=depth)]
+        pool.close()
+        return outs
+
+    serial, piped = collect(1), collect(2)
+    assert len(serial) == len(piped)
+    for a, b in zip(serial, piped):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_pool_pipelined_early_close_releases_slots(test_mp4):
+    """Closing the batches() generator mid-stream must release every held
+    ring slot (the finally path), leaving the pool drainable."""
+    pool = NativeDecodePool([test_mp4], batch_size=8)
+    it = pool.batches(depth=3)
+    next(it)
+    it.close()  # two batches still held at depth=3
+    n = 0
+    while pool.acquire() is not None:
+        pool.release()
+        n += 1
+    assert n > 0  # the remaining stream drains — no slot leak deadlock
+    pool.close()

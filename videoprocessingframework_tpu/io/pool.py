@@ -62,6 +62,7 @@ class NativeDecodePool:
             max_frames_per_stream,
             n_buffers,
         )
+        self._n_buffers = n_buffers
         if not self._h:
             raise RuntimeError(f"pool create failed: {_lib.last_error()}")
         self.timer = StageTimer()
@@ -102,29 +103,63 @@ class NativeDecodePool:
             "utf-8", "replace"
         )
 
-    def batches(self, postproc: Optional[Callable] = None) -> Iterator:
-        """Yield post-processed device batches; blocks-immediately per
-        batch (see docs/performance.md on why).
+    def batches(
+        self, postproc: Optional[Callable] = None, depth: int = 2
+    ) -> Iterator:
+        """Yield post-processed device batches.
+
+        ``depth`` batches are kept in flight: batch *i* is dispatched
+        (async) before batch *i-depth+1* is blocked on and its ring slot
+        released. The block is the correctness barrier — a slot's host
+        memory is only recycled after the device has finished reading it —
+        but deferring it one batch hides the per-dispatch link round trip
+        (~40 ms on tunneled hosts) and the kernel time behind the next
+        batch's decode+dispatch. ``depth=1`` restores block-immediately.
+        Concurrent in-flight transfers share (not add) link bandwidth, so
+        at transfer-bound weather this is neutral; when decode or RTT
+        bound it overlaps the stages. Requires ``depth < n_buffers`` so
+        the decode workers keep free slots.
 
         Stage timers: ``acquire`` = waiting on the native decode workers
-        (decode-bound when large), ``dispatch`` = upload + fused kernel
-        (transfer-bound when large). Their ratio identifies the pipeline
-        bottleneck per run.
+        (decode-bound when large), ``dispatch`` = the async postproc call
+        (host staging), ``drain`` = waiting on upload + fused kernel
+        (transfer-bound when large).
         """
-        while True:
-            with self.timer.measure("acquire"):
-                batch = self.acquire()
-            if batch is None:
-                return
-            try:
+        depth = max(1, min(depth, max(1, int(getattr(self, "_n_buffers", 4)) - 1)))
+        pending: list = []  # FIFO of dispatched outs; slot release deferred
+
+        def drain_one():
+            out = pending.pop(0)
+            with self.timer.measure("drain"):
+                jax.block_until_ready(out)
+            self.release()
+            return out
+
+        try:
+            while True:
+                with self.timer.measure("acquire"):
+                    batch = self.acquire()
+                if batch is None:
+                    break
                 with self.timer.measure("dispatch"), trace_range(
                     "FusedPostproc"
                 ):
                     out = postproc(batch) if postproc else jax.device_put(batch)
+                pending.append(out)
+                if len(pending) >= depth:
+                    yield drain_one()
+            while pending:
+                yield drain_one()
+        finally:
+            # on early generator close / postproc failure, free held slots
+            # (blocking first so no in-flight transfer reads a recycled slot)
+            for out in pending:
+                try:
                     jax.block_until_ready(out)
-            finally:
+                except Exception:
+                    pass
                 self.release()
-            yield out
+            pending.clear()
 
     def close(self) -> None:
         if self._h:
