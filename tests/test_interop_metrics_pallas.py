@@ -354,3 +354,50 @@ def test_pallas_planar_odd_output_sizes():
     )
     got = np.moveaxis(out, 1, -1)
     assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_pallas_planar_two_pass_4k_one_ulp_vs_golden():
+    """4K-class frames exceed the whole-frame kernel's VMEM budget and
+    must route through the striped two-pass variant (banded row-resize
+    stripes + column/CSC kernel) — same ≤1 u8 ULP contract vs the float64
+    golden, interpret mode."""
+    from videoprocessingframework_tpu.ops import colorspace as cspace
+    from videoprocessingframework_tpu.ops.pallas_fused import (
+        _planar_layout,
+        fused_yuv420_resize_rgb_pallas,
+    )
+    from videoprocessingframework_tpu.ops.resize import resize_matrix
+
+    B, H, W, OH, OW = 1, 2160, 3840, 224, 224
+    lay = _planar_layout(H, W, OH, OW, "lanczos", 1)
+    assert lay is not None and lay["mode"] == "two_pass"
+
+    r = np.random.default_rng(11)
+    y = r.integers(0, 256, (B, H, W), np.uint8)
+    u = r.integers(0, 256, (B, H // 2, W // 2), np.uint8)
+    v = r.integers(0, 256, (B, H // 2, W // 2), np.uint8)
+
+    out = np.asarray(
+        fused_yuv420_resize_rgb_pallas(
+            y, u, v, out_h=OH, out_w=OW,
+            space=ColorSpace.BT_709, rng=ColorRange.MPEG, interpret=True,
+        )
+    )
+    out = np.moveaxis(out, 1, -1)
+
+    rm = resize_matrix(H, OH, "lanczos").astype(np.float64)
+    cm = resize_matrix(W, OW, "lanczos").astype(np.float64)
+    uu = np.repeat(np.repeat(u, 2, 1), 2, 2).astype(np.float64)
+    vv = np.repeat(np.repeat(v, 2, 1), 2, 2).astype(np.float64)
+
+    def rsz(p):
+        return np.einsum("oh,nhw->now", rm, p) @ cm.T
+
+    M, OFF = cspace.rgb_from_ycbcr_matrix(ColorSpace.BT_709, ColorRange.MPEG)
+    M, OFF = np.asarray(M, np.float64), np.asarray(OFF, np.float64)
+    ycc = np.stack(
+        [rsz(y.astype(np.float64)) - OFF[0], rsz(uu) - OFF[1],
+         rsz(vv) - OFF[2]], -1
+    )
+    want = np.clip(np.rint(np.einsum("...c,dc->...d", ycc, M)), 0, 255)
+    assert np.abs(out.astype(int) - want.astype(int)).max() <= 1

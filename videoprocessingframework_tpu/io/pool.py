@@ -144,7 +144,16 @@ class NativeDecodePool:
                 with self.timer.measure("dispatch"), trace_range(
                     "FusedPostproc"
                 ):
-                    out = postproc(batch) if postproc else jax.device_put(batch)
+                    if postproc is not None:
+                        out = postproc(batch)
+                    else:
+                        out = jax.device_put(batch)
+                        if next(iter(out.devices())).platform == "cpu":
+                            # CPU-jax device_put may zero-copy-ALIAS the
+                            # ring slot's host memory; a device-side copy
+                            # breaks the alias before the slot is recycled
+                            # (jit postproc outputs are always fresh)
+                            out = out.copy()
                 pending.append(out)
                 if len(pending) >= depth:
                     yield drain_one()

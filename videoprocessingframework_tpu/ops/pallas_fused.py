@@ -156,6 +156,18 @@ def _band_plan(mat: np.ndarray, win: int, align: int = 32):
     return starts, _extract_bands(mat, starts, win, _BAND_TILE)
 
 
+def _row_windows(mat: np.ndarray, n_in: int, max_win: int | None = None):
+    """Smallest 64-multiple row window whose aligned per-8-row-tile band
+    plan fits ``mat`` (wider scale factors — e.g. 2160→224 — need wider
+    windows than 1080p's 128). Returns (win, (starts, bands)) or None."""
+    cap = n_in if max_win is None else min(max_win, n_in)
+    for win in range(64, cap + 1, 64):
+        plan = _band_plan(mat, win)
+        if plan is not None:
+            return win, plan
+    return None
+
+
 def _banded_rows(x_bf16, bh_ref, bl_ref, starts, win, t_cnt, o_ref,
                  o_idx=None):
     """T unrolled (8, win)@(win, LANES) MXU passes writing 8 rows each.
@@ -187,6 +199,38 @@ def _k1_banded_factory(starts_y, starts_c, win_y, win_c, t_cnt):
     return kernel
 
 
+def _csc_consts(space, rng, swap, mean, std):
+    m, off = cs.rgb_from_ycbcr_matrix(space, rng)
+    m = np.asarray(m, np.float32)
+    off = np.asarray(off, np.float32)
+    chans = [0, 1, 2] if not swap else [2, 1, 0]
+    return m, off, chans, [float(x) for x in mean], \
+        [1.0 / float(x) for x in std]
+
+
+def _col_csc_emit(yw_of, uw_of, vw_of, cyh_ref, cyl_ref, cch_ref, ccl_ref,
+                  n_tiles, m, off, chans, output, mean, inv_std, out_ref):
+    """Column-resize + CSC (+ optional normalize) stage, shared by the
+    whole-frame kernel (windows sliced from VMEM scratch) and the striped
+    two-pass K2 (windows sliced from kernel inputs). ``*_of(p)`` yields
+    the (OUT_H, win) f32 source window of output-column tile ``p``."""
+    for p in range(n_tiles):
+        yr = _split_dot(yw_of(p), cyh_ref[p], cyl_ref[p]) - off[0]
+        ur = _split_dot(uw_of(p), cch_ref[p], ccl_ref[p]) - off[1]
+        vr = _split_dot(vw_of(p), cch_ref[p], ccl_ref[p]) - off[2]
+        for i, c in enumerate(chans):
+            val = m[c, 0] * yr + m[c, 1] * ur + m[c, 2] * vr
+            sl = (0, i, slice(None), slice(p * 128, (p + 1) * 128))
+            if output == "rgb_u8":
+                val = jnp.clip(jnp.rint(val), 0.0, 255.0)
+                out_ref[sl] = val.astype(jnp.int32).astype(jnp.uint8)
+            else:
+                x = jnp.clip(val * (1.0 / 255.0), 0.0, 1.0)
+                if output != "rgb_f32":  # normalized[_nchw]
+                    x = (x - mean[i]) * inv_std[i]
+                out_ref[sl] = x
+
+
 def _fused_planar_factory(space: ColorSpace, rng: ColorRange, swap: bool,
                           rstarts_y, rstarts_c, rwin_y, rwin_c, t_cnt,
                           cstarts_y, cwin_y, cstarts_c, cwin_c, n_tiles,
@@ -196,16 +240,11 @@ def _fused_planar_factory(space: ColorSpace, rng: ColorRange, swap: bool,
     normalize) out of it. The two-kernel split round-trips ~7 MB/frame of
     f32 intermediates through HBM at 1080p→224² — keeping them in VMEM
     removes that entirely."""
-    m, off = cs.rgb_from_ycbcr_matrix(space, rng)
-    m = np.asarray(m, np.float32)
-    off = np.asarray(off, np.float32)
-    chans = [0, 1, 2] if not swap else [2, 1, 0]
+    m, off, chans, mean, inv_std = _csc_consts(space, rng, swap, mean, std)
     rsy = [int(s) for s in rstarts_y]
     rsc = [int(s) for s in rstarts_c]
     csy = [int(s) for s in cstarts_y]
     csc = [int(s) for s in cstarts_c]
-    mean = [float(x) for x in mean]
-    inv_std = [1.0 / float(x) for x in std]
 
     def kernel(y_ref, u_ref, v_ref, byh_ref, byl_ref, bch_ref, bcl_ref,
                cyh_ref, cyl_ref, cch_ref, ccl_ref, out_ref,
@@ -216,24 +255,48 @@ def _fused_planar_factory(space: ColorSpace, rng: ColorRange, swap: bool,
                      u1_ref)
         _banded_rows(_bf16(v_ref[0]), bch_ref, bcl_ref, rsc, rwin_c, t_cnt,
                      v1_ref)
-        for p in range(n_tiles):
-            yw = y1_ref[:, csy[p]: csy[p] + cwin_y]
-            uw = u1_ref[:, csc[p]: csc[p] + cwin_c]
-            vw = v1_ref[:, csc[p]: csc[p] + cwin_c]
-            yr = _split_dot(yw, cyh_ref[p], cyl_ref[p]) - off[0]
-            ur = _split_dot(uw, cch_ref[p], ccl_ref[p]) - off[1]
-            vr = _split_dot(vw, cch_ref[p], ccl_ref[p]) - off[2]
-            for i, c in enumerate(chans):
-                val = m[c, 0] * yr + m[c, 1] * ur + m[c, 2] * vr
-                sl = (0, i, slice(None), slice(p * 128, (p + 1) * 128))
-                if output == "rgb_u8":
-                    val = jnp.clip(jnp.rint(val), 0.0, 255.0)
-                    out_ref[sl] = val.astype(jnp.int32).astype(jnp.uint8)
-                else:
-                    x = jnp.clip(val * (1.0 / 255.0), 0.0, 1.0)
-                    if output != "rgb_f32":  # normalized[_nchw]
-                        x = (x - mean[i]) * inv_std[i]
-                    out_ref[sl] = x
+        _col_csc_emit(
+            lambda p: y1_ref[:, csy[p]: csy[p] + cwin_y],
+            lambda p: u1_ref[:, csc[p]: csc[p] + cwin_c],
+            lambda p: v1_ref[:, csc[p]: csc[p] + cwin_c],
+            cyh_ref, cyl_ref, cch_ref, ccl_ref, n_tiles,
+            m, off, chans, output, mean, inv_std, out_ref,
+        )
+
+    return kernel
+
+
+def _k1p_striped_factory(starts, win, t_cnt):
+    """Banded row-resize of ONE planar u8 plane in column stripes:
+    (1, Hp, LANES) u8 block → (1, OUT_Hp, LANES) f32 block."""
+    s = [int(x) for x in starts]
+
+    def kernel(x_ref, bh_ref, bl_ref, o_ref):
+        _banded_rows(_bf16(x_ref[0]), bh_ref, bl_ref, s, win, t_cnt,
+                     o_ref, 0)
+
+    return kernel
+
+
+def _k2p_factory(space: ColorSpace, rng: ColorRange, swap: bool,
+                 cstarts_y, cwin_y, cstarts_c, cwin_c, n_tiles,
+                 output="rgb_u8", mean=(0.0,) * 3, std=(1.0,) * 3):
+    """Two-pass K2: column-resize + CSC from row-resized f32 planes in
+    HBM (whole-frame blocks; used when the single-kernel layout exceeds
+    VMEM — e.g. 4K sources)."""
+    m, off, chans, mean, inv_std = _csc_consts(space, rng, swap, mean, std)
+    csy = [int(s) for s in cstarts_y]
+    csc = [int(s) for s in cstarts_c]
+
+    def kernel(y1_ref, u1_ref, v1_ref, cyh_ref, cyl_ref, cch_ref, ccl_ref,
+               out_ref):
+        _col_csc_emit(
+            lambda p: y1_ref[0, :, csy[p]: csy[p] + cwin_y],
+            lambda p: u1_ref[0, :, csc[p]: csc[p] + cwin_c],
+            lambda p: v1_ref[0, :, csc[p]: csc[p] + cwin_c],
+            cyh_ref, cyl_ref, cch_ref, ccl_ref, n_tiles,
+            m, off, chans, output, mean, inv_std, out_ref,
+        )
 
     return kernel
 
@@ -462,24 +525,36 @@ def fused_pallas_supported(w: int, out_h: int) -> bool:
 def _k1p_plans(h, hp, hp2, out_hp, out_h, method):
     """Row band plans on an out_h→out_hp zero-row-padded output grid (pad
     rows have empty support, so the padded tiles degenerate to zero
-    bands — exact; the caller slices the pad rows off)."""
+    bands — exact; the caller slices the pad rows off). Window widths are
+    adaptive (smallest 64-multiple that fits — wide scale factors like
+    2160→224 need >128). Returns (rwin_y, plan_y, rwin_c, plan_c) or
+    None."""
     rm_np = np.zeros((out_hp, hp), np.float32)
     rm_np[:out_h, :h] = resize_matrix(h, out_h, method)
     rc_np = np.zeros((out_hp, hp2), np.float32)
     rc_np[:out_h, : h // 2] = (
         resize_matrix(h, out_h, method).reshape(out_h, h // 2, 2).sum(-1)
     )
-    return _band_plan(rm_np, 128), _band_plan(rc_np, 64)
+    ry = _row_windows(rm_np, hp, 512)
+    rc = _row_windows(rc_np, hp2, 512)
+    if ry is None or rc is None:
+        return None
+    return ry[0], ry[1], rc[0], rc[1]
+
+
+_VMEM_BUDGET = 14 * 1024 * 1024
 
 
 @lru_cache(maxsize=256)
 def _planar_layout(h, w, out_h, out_w, method, out_elem_bytes):
-    """Full static layout for the single planar kernel, or None when the
-    shape doesn't qualify: banded row plans, column windows + matrices,
-    and a VMEM-footprint check that sums EVERY resident buffer of the one
-    kernel (u8 inputs, f32 scratch, band constants, output at its real
-    element size). Cached: this is a pure function of shapes and is
-    consulted on every eager pipeline call."""
+    """Full static layout for the planar pipeline, or None when the shape
+    doesn't qualify. Picks ``mode="whole"`` (the single whole-frame
+    kernel — row scratch never leaves VMEM) when every resident buffer of
+    that kernel fits on-chip, else ``mode="two_pass"`` (striped banded
+    row-resize kernels per plane with f32 intermediates in HBM, then one
+    column+CSC kernel — how 4K-class frames run). The footprint check
+    sums EVERY resident buffer at its real element size. Cached: pure
+    function of shapes, consulted on every eager pipeline call."""
     if w % 128 or h % 2 or w < 256:
         return None
     if method not in ("lanczos", "bilinear", "nearest"):
@@ -489,9 +564,10 @@ def _planar_layout(h, w, out_h, out_w, method, out_elem_bytes):
     hp2 = hp // 2
     out_hp = _round_up(out_h, _BAND_TILE)
     out_wp = _round_up(out_w, 128)
-    plan_y, plan_c = _k1p_plans(h, hp, hp2, out_hp, out_h, method)
-    if plan_y is None or plan_c is None:
+    plans = _k1p_plans(h, hp, hp2, out_hp, out_h, method)
+    if plans is None:
         return None
+    rwin_y, plan_y, rwin_c, plan_c = plans
     t_cnt = out_hp // _BAND_TILE
     n_tiles = out_wp // 128
 
@@ -504,29 +580,49 @@ def _planar_layout(h, w, out_h, out_w, method, out_elem_bytes):
     ystarts, ywin = _col_windows(cy_t != 0, w)
     cstarts, cwin = _col_windows(cc_t != 0, w2)
 
-    vmem = (
-        hp * w + 2 * hp2 * w2                     # u8 input blocks
-        + 4 * out_hp * (w + 2 * w2)               # f32 row scratch
-        + out_hp * out_wp * 3 * out_elem_bytes    # output block
-        + t_cnt * _BAND_TILE * (128 + 64) * 2 * 2  # row bands (hi+lo bf16)
-        + n_tiles * (ywin + cwin) * 128 * 2 * 2   # col bands (hi+lo bf16)
-    )
-    if vmem > 14 * 1024 * 1024:
-        return None
-    return dict(
+    base = dict(
         hp=hp, hp2=hp2, out_hp=out_hp, out_wp=out_wp, t_cnt=t_cnt,
         n_tiles=n_tiles, plan_y=plan_y, plan_c=plan_c,
+        rwin_y=rwin_y, rwin_c=rwin_c,
         cy_t=cy_t, cc_t=cc_t, ystarts=ystarts, ywin=ywin,
         cstarts=cstarts, cwin=cwin,
     )
+    row_bands = t_cnt * _BAND_TILE * (rwin_y + rwin_c) * 2 * 2
+    col_bands = n_tiles * (ywin + cwin) * 128 * 2 * 2
+    out_block = out_hp * out_wp * 3 * out_elem_bytes
+    vmem_whole = (
+        hp * w + 2 * hp2 * w2                     # u8 input blocks
+        + 4 * out_hp * (w + 2 * w2)               # f32 row scratch
+        + out_block + row_bands + col_bands       # (hi+lo bf16 bands)
+    )
+    if vmem_whole <= _VMEM_BUDGET:
+        return dict(base, mode="whole")
+
+    # two-pass: striped row kernels (u8 stripe in, f32 stripe out) + one
+    # column+CSC kernel over whole-frame f32 row-resized planes
+    lanes_y = _lanes_for(w)
+    lanes_c = _lanes_for(w2)
+    if not lanes_y or not lanes_c:
+        return None
+    k1_vmem = max(
+        hp * lanes_y + 4 * out_hp * lanes_y
+        + t_cnt * _BAND_TILE * rwin_y * 2 * 2,
+        hp2 * lanes_c + 4 * out_hp * lanes_c
+        + t_cnt * _BAND_TILE * rwin_c * 2 * 2,
+    )
+    k2_vmem = 4 * out_hp * (w + 2 * w2) + out_block + col_bands
+    if max(k1_vmem, k2_vmem) > _VMEM_BUDGET:
+        return None
+    return dict(base, mode="two_pass", lanes_y=lanes_y, lanes_c=lanes_c)
 
 
 def fused_pallas_planar_supported(h: int, w: int, out_h: int, out_w: int,
                                   method: str = "lanczos",
                                   out_elem_bytes: int = 1) -> bool:
     """Gate for :func:`fused_yuv420_resize_rgb_pallas`: banded row plans
-    must fit (128/64-row windows) and ALL of the single kernel's VMEM
-    residents must fit on-chip. Any out_h/out_w (computed padded and
+    must fit and ALL resident VMEM buffers of the chosen variant (whole-
+    frame single kernel, or the striped two-pass used for 4K-class
+    frames) must fit on-chip. Any out_h/out_w (computed padded and
     sliced). Pass ``out_elem_bytes=4`` for rgb_f32/normalized outputs."""
     return _planar_layout(h, w, out_h, out_w, method, out_elem_bytes) \
         is not None
@@ -609,29 +705,85 @@ def fused_yuv420_resize_rgb_pallas(
                             memory_space=pltpu.VMEM)
 
     out_dtype = jnp.uint8 if output == "rgb_u8" else jnp.float32
-    fused = pl.pallas_call(
-        _fused_planar_factory(
+    rwin_y, rwin_c = lay["rwin_y"], lay["rwin_c"]
+
+    if lay["mode"] == "whole":
+        fused = pl.pallas_call(
+            _fused_planar_factory(
+                ColorSpace(space), ColorRange(rng), swap,
+                plan_y[0], plan_c[0], rwin_y, rwin_c, t_cnt,
+                ystarts, ywin, cstarts, cwin, n_tiles,
+                output=output, mean=mean, std=std,
+            ),
+            grid=(b,),
+            in_specs=[
+                full((hp, w)), full((hp2, w2)), full((hp2, w2)),
+                const((t_cnt, _BAND_TILE, rwin_y)),
+                const((t_cnt, _BAND_TILE, rwin_y)),
+                const((t_cnt, _BAND_TILE, rwin_c)),
+                const((t_cnt, _BAND_TILE, rwin_c)),
+                const((n_tiles, ywin, 128)), const((n_tiles, ywin, 128)),
+                const((n_tiles, cwin, 128)), const((n_tiles, cwin, 128)),
+            ],
+            out_specs=full((3, out_hp, out_wp)),
+            out_shape=jax.ShapeDtypeStruct((b, 3, out_hp, out_wp), out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((out_hp, w), jnp.float32),
+                pltpu.VMEM((out_hp, w2), jnp.float32),
+                pltpu.VMEM((out_hp, w2), jnp.float32),
+            ],
+            interpret=interpret,
+        )
+        out = fused(y, u, v, byh, byl, bch, bcl, cyh, cyl, cch, ccl)
+        return out[..., :out_h, :out_w]
+
+    # two-pass (4K-class): striped banded row-resize per plane (f32
+    # intermediates via HBM — ~8 MB/frame at 2160p→224, small next to the
+    # 12 MB u8 input), then one column+CSC kernel per frame
+    lanes_y, lanes_c = lay["lanes_y"], lay["lanes_c"]
+
+    def striped(plane, hin, lanes, plan, rwin, bh, bl):
+        const2 = lambda shape: pl.BlockSpec(  # noqa: E731 (2-D grid)
+            shape, lambda i, j, _n=len(shape): (0,) * _n,
+            memory_space=pltpu.VMEM,
+        )
+        k1 = pl.pallas_call(
+            _k1p_striped_factory(plan[0], rwin, t_cnt),
+            grid=(b, plane.shape[-1] // lanes),
+            in_specs=[
+                pl.BlockSpec((1, hin, lanes), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+                const2((t_cnt, _BAND_TILE, rwin)),
+                const2((t_cnt, _BAND_TILE, rwin)),
+            ],
+            out_specs=pl.BlockSpec((1, out_hp, lanes),
+                                   lambda i, j: (i, 0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, out_hp, plane.shape[-1]), jnp.float32
+            ),
+            interpret=interpret,
+        )
+        return k1(plane, bh, bl)
+
+    y1 = striped(y, hp, lanes_y, plan_y, rwin_y, byh, byl)
+    u1 = striped(u, hp2, lanes_c, plan_c, rwin_c, bch, bcl)
+    v1 = striped(v, hp2, lanes_c, plan_c, rwin_c, bch, bcl)
+    k2 = pl.pallas_call(
+        _k2p_factory(
             ColorSpace(space), ColorRange(rng), swap,
-            plan_y[0], plan_c[0], 128, 64, t_cnt,
             ystarts, ywin, cstarts, cwin, n_tiles,
             output=output, mean=mean, std=std,
         ),
         grid=(b,),
         in_specs=[
-            full((hp, w)), full((hp2, w2)), full((hp2, w2)),
-            const((t_cnt, _BAND_TILE, 128)), const((t_cnt, _BAND_TILE, 128)),
-            const((t_cnt, _BAND_TILE, 64)), const((t_cnt, _BAND_TILE, 64)),
+            full((out_hp, w)), full((out_hp, w2)), full((out_hp, w2)),
             const((n_tiles, ywin, 128)), const((n_tiles, ywin, 128)),
             const((n_tiles, cwin, 128)), const((n_tiles, cwin, 128)),
         ],
         out_specs=full((3, out_hp, out_wp)),
         out_shape=jax.ShapeDtypeStruct((b, 3, out_hp, out_wp), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((out_hp, w), jnp.float32),
-            pltpu.VMEM((out_hp, w2), jnp.float32),
-            pltpu.VMEM((out_hp, w2), jnp.float32),
-        ],
         interpret=interpret,
     )
-    out = fused(y, u, v, byh, byl, bch, bcl, cyh, cyl, cch, ccl)
+    out = k2(y1, u1, v1, cyh, cyl, cch, ccl)
     return out[..., :out_h, :out_w]
