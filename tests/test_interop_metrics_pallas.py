@@ -401,3 +401,38 @@ def test_pallas_planar_two_pass_4k_one_ulp_vs_golden():
     )
     want = np.clip(np.rint(np.einsum("...c,dc->...d", ycc, M)), 0, 255)
     assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_pallas_nv12_fused_output_modes_consistent():
+    """The NV12-source fused kernel's rgb_f32 / normalized outputs share
+    the u8 path's float pipeline: normalized == (rgb_f32 − mean)/std
+    exactly, and rint(rgb_f32·255) is within 1 code of the u8 output."""
+    from videoprocessingframework_tpu.ops.pallas_fused import (
+        fused_nv12_resize_rgb_pallas,
+        fused_pallas_supported,
+    )
+
+    H2, W2, OH, OW = 256, 512, 64, 64
+    assert fused_pallas_supported(W2, OH)
+    r = np.random.default_rng(13)
+    y = r.integers(0, 256, (1, H2, W2), np.uint8)
+    uv = r.integers(0, 256, (1, H2 // 2, W2), np.uint8)
+    mean, std = (0.5, 0.4, 0.3), (0.2, 0.25, 0.3)
+    kw = dict(out_h=OH, out_w=OW, space=ColorSpace.BT_709,
+              rng=ColorRange.MPEG, interpret=True)
+    u8 = np.asarray(fused_nv12_resize_rgb_pallas(y, uv, **kw))
+    f32 = np.asarray(
+        fused_nv12_resize_rgb_pallas(y, uv, output="rgb_f32", **kw)
+    )
+    norm = np.asarray(
+        fused_nv12_resize_rgb_pallas(
+            y, uv, output="normalized", mean=mean, std=std, **kw
+        )
+    )
+    assert f32.dtype == norm.dtype == np.float32 and u8.dtype == np.uint8
+    want = (f32 - np.asarray(mean)[:, None, None]) \
+        / np.asarray(std)[:, None, None]
+    np.testing.assert_allclose(norm, want.astype(np.float32), atol=1e-5)
+    assert np.abs(
+        np.rint(f32 * 255.0).astype(int) - u8.astype(int)
+    ).max() <= 1

@@ -347,8 +347,6 @@ class FusedPipeline:
         if not planar_out:
             return None
         if fmt == F.NV12 and len(planes) == 2:
-            if self.output != "rgb_u8":
-                return None  # the NV12 kernel pair only emits u8
             return ("nv12",) + tuple(planes)
         if fmt in (F.NV12, F.YUV420) and len(planes) == 1:
             packed = planes[0]
@@ -356,8 +354,6 @@ class FusedPipeline:
             w = packed.shape[-1]
             y = packed[..., :h, :]
             if fmt == F.NV12:
-                if self.output != "rgb_u8":
-                    return None
                 return "nv12", y, packed[..., h:, :]
             lead = packed.shape[:-2]
             c = packed[..., h:, :]
@@ -389,23 +385,18 @@ class FusedPipeline:
             fused_yuv420_resize_rgb_pallas,
         )
 
-        if mode == "planar":
-            kern_out = ("normalized" if self.output.startswith("normalized")
-                        else self.output)
-            out = fused_yuv420_resize_rgb_pallas(
-                *planes,
-                out_h=self.out_h, out_w=self.out_w,
-                space=self.space, rng=self.range, method=self.method,
-                output=kern_out, mean=self.mean, std=self.std,
-            )
-            if self.output == "normalized_nchw":
-                return out  # the kernel's planar layout IS NCHW
-        else:
-            out = fused_nv12_resize_rgb_pallas(
-                *planes,
-                out_h=self.out_h, out_w=self.out_w,
-                space=self.space, rng=self.range, method=self.method,
-            )
+        kern = (fused_yuv420_resize_rgb_pallas if mode == "planar"
+                else fused_nv12_resize_rgb_pallas)
+        kern_out = ("normalized" if self.output.startswith("normalized")
+                    else self.output)
+        out = kern(
+            *planes,
+            out_h=self.out_h, out_w=self.out_w,
+            space=self.space, rng=self.range, method=self.method,
+            output=kern_out, mean=self.mean, std=self.std,
+        )
+        if self.output == "normalized_nchw":
+            return out  # the kernel's planar layout IS NCHW
         return jnp.moveaxis(out, -3, -1)  # planar → NHWC like the XLA path
 
     def _run_xla(self, *planes):
@@ -475,11 +466,11 @@ class FusedPipeline:
             if pallas_in is None:
                 raise ValueError(
                     "pallas kernel unavailable for this input (needs "
-                    "NV12/YUV420 u8 batched planes on a TPU backend; "
-                    "NV12 sources: rgb_u8 output and W divisible by a "
-                    "128-lane stripe; planar YUV420 sources: any of "
-                    "rgb_u8/rgb_f32/normalized outputs, W % 128 == 0, "
-                    "and the frame must fit the kernel's VMEM budget)"
+                    "NV12/YUV420 u8 batched planes on a TPU backend with "
+                    "rgb_u8/rgb_f32/normalized output; NV12 sources need "
+                    "W divisible by a 128-lane stripe; planar YUV420 "
+                    "sources need W % 128 == 0 and a band/VMEM-feasible "
+                    "layout)"
                 )
             return self._run_pallas(*pallas_in)
         if choice == "auto" and pallas_in is not None:

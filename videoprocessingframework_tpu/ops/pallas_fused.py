@@ -221,14 +221,19 @@ def _col_csc_emit(yw_of, uw_of, vw_of, cyh_ref, cyl_ref, cch_ref, ccl_ref,
         for i, c in enumerate(chans):
             val = m[c, 0] * yr + m[c, 1] * ur + m[c, 2] * vr
             sl = (0, i, slice(None), slice(p * 128, (p + 1) * 128))
-            if output == "rgb_u8":
-                val = jnp.clip(jnp.rint(val), 0.0, 255.0)
-                out_ref[sl] = val.astype(jnp.int32).astype(jnp.uint8)
-            else:
-                x = jnp.clip(val * (1.0 / 255.0), 0.0, 1.0)
-                if output != "rgb_f32":  # normalized[_nchw]
-                    x = (x - mean[i]) * inv_std[i]
-                out_ref[sl] = x
+            _store_channel(out_ref, sl, val, output, mean[i], inv_std[i])
+
+
+def _store_channel(out_ref, sl, val, output, mean_i, inv_std_i):
+    """Store one RGB channel tile in the requested output mode."""
+    if output == "rgb_u8":
+        val = jnp.clip(jnp.rint(val), 0.0, 255.0)
+        out_ref[sl] = val.astype(jnp.int32).astype(jnp.uint8)
+    else:
+        x = jnp.clip(val * (1.0 / 255.0), 0.0, 1.0)
+        if output != "rgb_f32":  # normalized[_nchw]
+            x = (x - mean_i) * inv_std_i
+        out_ref[sl] = x
 
 
 def _fused_planar_factory(space: ColorSpace, rng: ColorRange, swap: bool,
@@ -325,7 +330,8 @@ def _col_windows(mask: np.ndarray, n_in: int):
 
 
 def _k2_factory(space: ColorSpace, rng: ColorRange, out_w: int, swap: bool,
-                cstarts, win_w, n_tiles):
+                cstarts, win_w, n_tiles, output="rgb_u8",
+                mean=(0.0,) * 3, std=(1.0,) * 3):
     """Column-resize + CSC. Chroma stays lane-interleaved: dotting the raw
     UV row with even/odd-masked column matrices (pair-summed collapsed
     weights at even / odd source lanes, zeros elsewhere) IS the exact
@@ -333,10 +339,7 @@ def _k2_factory(space: ColorSpace, rng: ColorRange, out_w: int, swap: bool,
     columns are produced in ``n_tiles`` tiles of 128; each tile contracts
     only its ``win_w``-wide source window (the column matrices are banded
     too)."""
-    m, off = cs.rgb_from_ycbcr_matrix(space, rng)
-    m = np.asarray(m, np.float32)
-    off = np.asarray(off, np.float32)
-    chans = [0, 1, 2] if not swap else [2, 1, 0]
+    m, off, chans, mean, inv_std = _csc_consts(space, rng, swap, mean, std)
     starts = [int(s) for s in cstarts]
 
     def kernel(y_ref, uv_ref, cyh_ref, cyl_ref, ceh_ref, cel_ref, coh_ref,
@@ -352,10 +355,8 @@ def _k2_factory(space: ColorSpace, rng: ColorRange, out_w: int, swap: bool,
             vr = _split_dot(uvw, coh_ref[p], col_ref[p]) - off[2]
             for i, c in enumerate(chans):
                 val = m[c, 0] * yr + m[c, 1] * ur + m[c, 2] * vr
-                val = jnp.clip(jnp.rint(val), 0.0, 255.0)
-                out_ref[0, i, :, p * 128: (p + 1) * 128] = val.astype(
-                    jnp.int32
-                ).astype(jnp.uint8)
+                sl = (0, i, slice(None), slice(p * 128, (p + 1) * 128))
+                _store_channel(out_ref, sl, val, output, mean[i], inv_std[i])
 
     return kernel
 
@@ -363,7 +364,7 @@ def _k2_factory(space: ColorSpace, rng: ColorRange, out_w: int, swap: bool,
 @partial(
     jax.jit,
     static_argnames=("out_h", "out_w", "space", "rng", "method", "swap",
-                     "interpret"),
+                     "interpret", "output", "mean", "std"),
 )
 def fused_nv12_resize_rgb_pallas(
     y: jnp.ndarray,
@@ -376,12 +377,18 @@ def fused_nv12_resize_rgb_pallas(
     method: str = "lanczos",
     swap: bool = False,
     interpret: bool = False,
+    output: str = "rgb_u8",
+    mean=(0.0, 0.0, 0.0),
+    std=(1.0, 1.0, 1.0),
 ) -> jnp.ndarray:
-    """y (B,H,W) u8 + uv (B,H/2,W) u8 → (B, 3, out_h, out_w) u8 planar RGB.
+    """y (B,H,W) u8 + uv (B,H/2,W) u8 → (B, 3, out_h, out_w) planar RGB.
 
-    Requires W % LANES == 0 and out_h % 8 == 0; use
+    output: 'rgb_u8' (u8) | 'rgb_f32' ([0,1] f32) | 'normalized'
+    ((x−mean)/std f32). Requires W % LANES == 0 and out_h % 8 == 0; use
     :func:`fused_pallas_supported` to gate.
     """
+    if output not in ("rgb_u8", "rgb_f32", "normalized"):
+        raise ValueError(f"unsupported output {output!r}")
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -491,7 +498,8 @@ def fused_nv12_resize_rgb_pallas(
                               memory_space=pltpu.VMEM)
     k2 = pl.pallas_call(
         _k2_factory(ColorSpace(space), ColorRange(rng), out_w, swap,
-                    cstarts, win_w, n_tiles),
+                    cstarts, win_w, n_tiles, output=output,
+                    mean=mean, std=std),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, out_h, w), lambda i: (i, 0, 0),
@@ -501,7 +509,10 @@ def fused_nv12_resize_rgb_pallas(
         ] + [cband_spec] * 6,
         out_specs=pl.BlockSpec((1, 3, out_h, out_wp), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 3, out_h, out_wp), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, 3, out_h, out_wp),
+            jnp.uint8 if output == "rgb_u8" else jnp.float32,
+        ),
         interpret=interpret,
     )
     out = k2(y1, uv1, *cbands)
