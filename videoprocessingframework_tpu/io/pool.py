@@ -129,9 +129,10 @@ class NativeDecodePool:
         pending: list = []  # FIFO of dispatched outs; slot release deferred
 
         def drain_one():
-            out = pending.pop(0)
-            with self.timer.measure("drain"):
-                jax.block_until_ready(out)
+            out = pending[0]  # pop only after the block: if it raises,
+            with self.timer.measure("drain"):  # the finally still frees
+                jax.block_until_ready(out)     # this slot
+            pending.pop(0)
             self.release()
             return out
 
