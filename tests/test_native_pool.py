@@ -146,3 +146,30 @@ def test_pool_pipelined_early_close_releases_slots(test_mp4):
         n += 1
     assert n > 0  # the remaining stream drains — no slot leak deadlock
     pool.close()
+
+
+def test_pool_planar_views_match_packed(test_mp4):
+    """The planar (y, u, v) view feed (auto-enabled for YUV420 pools with
+    a matching FusedPipeline) must produce bit-identical outputs to the
+    packed single-buffer feed — the views are pure reinterpretations of
+    the same ring bytes."""
+    post = FusedPipeline(
+        PixelFormat.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
+        out_size=(64, 32),
+    )
+
+    def collect(planar_views):
+        pool = NativeDecodePool(
+            [test_mp4], batch_size=8, out_format=PixelFormat.YUV420
+        )
+        outs = [
+            np.asarray(o).copy()
+            for o in pool.batches(post, planar_views=planar_views)
+        ]
+        pool.close()
+        return outs
+
+    packed, planar = collect(False), collect(None)  # None → auto-enables
+    assert len(packed) == len(planar) > 0
+    for a, b in zip(packed, planar):
+        np.testing.assert_array_equal(a, b)

