@@ -51,3 +51,23 @@ def test_packet_round_trip(codec_name, codec_id):
     while dec.flush_frame() is not None:
         frames += 1
     assert frames == N_FRAMES
+
+
+def test_av1_encoder_does_not_leak_realtime_scheduling():
+    """SVT-AV1 promotes the calling thread to SCHED_FIFO during init; the
+    native encoder must restore the caller's policy (a leaked RT policy
+    starves every subprocess of the embedding process — observed as
+    600s sample-test timeouts — and can livelock process exit)."""
+    os_sched = pytest.importorskip("os")
+    if not hasattr(os_sched, "sched_getscheduler"):
+        pytest.skip("no sched introspection on this platform")
+    before = os_sched.sched_getscheduler(0)
+    try:
+        enc = VideoEncoder(
+            {"codec": "av1", "s": f"{W}x{H}", "bitrate": "2M"}
+        )
+        enc.encode(_frame(0), sync=True)
+        list(enc.flush())
+    except Exception as e:
+        pytest.skip(f"av1 encoder unavailable: {e}")
+    assert os_sched.sched_getscheduler(0) == before

@@ -239,3 +239,29 @@ inline int vpf_cr_from_av(AVColorRange cr) {
     default: return VPF_CR_UDEF;
   }
 }
+
+// Some codec libraries (notably SVT-AV1) promote the CALLING THREAD to
+// SCHED_FIFO during init and never restore it. On a shared host that
+// silently turns the whole embedding process realtime: child processes
+// starve (RT throttling leaves them ~5% CPU) and even process exit can
+// livelock in the kernel at RT priority. Scope-guard any avcodec call
+// that may hand control to such a library so the caller's scheduling
+// policy survives.
+#include <pthread.h>
+
+class VpfSchedPolicyGuard {
+ public:
+  VpfSchedPolicyGuard() {
+    ok_ = pthread_getschedparam(pthread_self(), &policy_, &param_) == 0;
+  }
+  ~VpfSchedPolicyGuard() {
+    if (ok_) pthread_setschedparam(pthread_self(), policy_, &param_);
+  }
+  VpfSchedPolicyGuard(const VpfSchedPolicyGuard&) = delete;
+  VpfSchedPolicyGuard& operator=(const VpfSchedPolicyGuard&) = delete;
+
+ private:
+  int policy_ = 0;
+  sched_param param_{};
+  bool ok_ = false;
+};

@@ -80,7 +80,11 @@ struct Decoder {
     avctx->thread_count = threads;  // 0 = auto
     avctx->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
     if (export_mvs) avctx->flags2 |= AV_CODEC_FLAG2_EXPORT_MVS;
-    int ret = avcodec_open2(avctx, codec, nullptr);
+    int ret;
+    {
+      VpfSchedPolicyGuard sched_guard;  // SVT-AV1 et al. leak SCHED_FIFO
+      ret = avcodec_open2(avctx, codec, nullptr);
+    }
     if (ret < 0) return vpf_set_av_error(VPF_ERR, "avcodec_open2", ret);
     eos_sent = false;
     return VPF_OK;

@@ -301,7 +301,11 @@ struct Encoder {
 
     if (zero_latency) avctx->thread_count = 1;
 
-    int ret = avcodec_open2(avctx, codec, nullptr);
+    int ret;
+    {
+      VpfSchedPolicyGuard sched_guard;  // SVT-AV1 et al. leak SCHED_FIFO
+      ret = avcodec_open2(avctx, codec, nullptr);
+    }
     if (ret < 0) return vpf_set_av_error(VPF_ERR, "avcodec_open2(enc)", ret);
 
     frame = av_frame_alloc();
