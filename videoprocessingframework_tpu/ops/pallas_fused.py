@@ -7,10 +7,13 @@ float64 golden (tests/test_interop_metrics_pallas.py).
 Two entry points:
 
 * ``fused_yuv420_resize_rgb_pallas`` — planar YUV420 (the decode-pool hot
-  layout). ONE kernel per frame: banded row-resize of y/u/v whole-frame
-  VMEM blocks into VMEM scratch, then banded column-resize (chroma on its
-  half-resolution grid) + CSC, planar u8 out. No f32 intermediates ever
-  touch HBM.
+  layout). ONE kernel per frame when the whole-frame layout fits VMEM:
+  banded row-resize of y/u/v whole-frame VMEM blocks into VMEM scratch,
+  then banded column-resize (chroma on its half-resolution grid) + CSC,
+  planar out; no f32 intermediates ever touch HBM. 4K-class frames
+  auto-route through a striped TWO-PASS variant (per-plane banded
+  row-resize stripes with f32 intermediates via HBM, then one
+  column+CSC kernel) — 1.47x over XLA at 2160p→224².
 * ``fused_nv12_resize_rgb_pallas`` — NV12 (interleaved chroma). Two
   kernels: K1 (grid B × W/LANES) banded row-resize of column stripes
   (interleaved chroma rides along, vertical 2× upsample pre-collapsed
