@@ -29,6 +29,7 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..core.enums import PixelFormat
 from ..utils.tracing import StageTimer, trace_range
 from .mesh import make_mesh
 
@@ -93,7 +94,6 @@ class MultiDeviceStreamPipeline:
         loop: bool = False,
         max_frames_per_stream: int = 0,
     ):
-        from ..core.enums import PixelFormat
         from ..io.pool import NativeDecodePool
 
         self.devices = list(devices if devices is not None else jax.devices())
@@ -141,8 +141,19 @@ class MultiDeviceStreamPipeline:
             with self.timer.measure("dispatch"), trace_range(
                 "FusedPostproc"
             ):
-                staged = jax.device_put(batch, dev)
-                out = self.postproc(staged)
+                # planar YUV420 + matching postproc: stage free (y, u, v)
+                # plane views so the device never pays the packed→planar
+                # relayout (same contract as NativeDecodePool.batches)
+                if (
+                    self.pool.out_format == PixelFormat.YUV420
+                    and getattr(self.postproc, "src_format", None)
+                    == PixelFormat.YUV420
+                ):
+                    planes = self.pool._planar_views(batch)
+                else:
+                    planes = (batch,)
+                staged = [jax.device_put(p, dev) for p in planes]
+                out = self.postproc(*staged)
             pending.append((out, batch.shape[0]))
             if len(pending) >= self._held_max:
                 yield retire()
