@@ -137,3 +137,10 @@ def test_sample_aot_compile(test_mp4, tmp_path):
                "--engine", str(tmp_path / "engine.xla"))
     assert "engine compiled" in out
     assert "served" in out
+
+
+def test_sample_device_transcode(test_mp4, tmp_path):
+    out = _run("sample_device_transcode.py", test_mp4,
+               str(tmp_path / "d.h264"), "--size", "424x232",
+               "--frames", "24")
+    assert "device-transcoded 24 frames" in out

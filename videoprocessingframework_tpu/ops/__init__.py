@@ -3,4 +3,9 @@ from .convert import SurfaceConverter  # noqa: F401
 from .resize import SurfaceResizer, resize_plane  # noqa: F401
 from .remap import SurfaceRemaper, remap_image  # noqa: F401
 from .normalize import normalize, IMAGENET_MEAN, IMAGENET_STD  # noqa: F401
-from .fused import FusedPipeline, decode_postproc  # noqa: F401
+from .fused import (  # noqa: F401
+    FusedPipeline,
+    decode_postproc,
+    encode_feed,
+    planes_to_host_packed,
+)
