@@ -147,41 +147,58 @@ def _extract_bands(mat: np.ndarray, starts, win: int, tile: int):
     return bands
 
 
-def _band_plan(mat: np.ndarray, win: int, align: int = 32):
-    """Split (n_out, n_in) banded ``mat`` into per-8-row-tile windows.
+def _band_plan(mat: np.ndarray, win: int, align: int = 32,
+               tile: int = _BAND_TILE):
+    """Split (n_out, n_in) banded ``mat`` into per-``tile``-row windows.
 
     Returns (starts, bands) with starts[t] aligned to ``align`` and
-    bands[t] = mat[8t:8t+8, starts[t]:starts[t]+win], or None when any
-    tile's support does not fit in ``win`` rows."""
-    starts = _band_starts(mat != 0, win, align, _BAND_TILE)
+    bands[t] = mat[tile·t : tile·(t+1), starts[t]:starts[t]+win], or None
+    when any tile's support does not fit in ``win`` rows."""
+    starts = _band_starts(mat != 0, win, align, tile)
     if starts is None:
         return None
-    return starts, _extract_bands(mat, starts, win, _BAND_TILE)
+    return starts, _extract_bands(mat, starts, win, tile)
 
 
-def _row_windows(mat: np.ndarray, n_in: int, max_win: int | None = None):
-    """Smallest 64-multiple row window whose aligned per-8-row-tile band
+def _row_windows(mat: np.ndarray, n_in: int, max_win: int | None = None,
+                 align: int = 32, tile: int = _BAND_TILE):
+    """Smallest 64-multiple row window whose aligned per-``tile``-row band
     plan fits ``mat`` (wider scale factors — e.g. 2160→224 — need wider
     windows than 1080p's 128). Returns (win, (starts, bands)) or None."""
     cap = n_in if max_win is None else min(max_win, n_in)
     for win in range(64, cap + 1, 64):
-        plan = _band_plan(mat, win)
+        plan = _band_plan(mat, win, align, tile)
         if plan is not None:
             return win, plan
     return None
 
 
+# Row-tile candidates for the planar kernels, tried in order of estimated
+# MXU pass latency. The systolic array streams one pass per tile whose
+# cost is ~(N + K) cycles REGARDLESS of the tile's output-row count (M ≤
+# 128), so an (8, win) tile wastes 15/16 of each pass: 16-row tiles at
+# 16-row alignment (the native bf16 sublane tile, so the window slices
+# stay tile-aligned) halve the pass count at identical MACs and
+# bit-identical weights. (tile, align) pairs; 8/32 is the conservative
+# fallback every shape admits a plan for.
+_ROW_TILES = ((16, 16), (8, 32))
+
+
+def _passes(t_cnt, win):
+    return t_cnt * -(-win // 128)  # ceil(win/128) MXU passes per tile
+
+
 def _banded_rows(x_bf16, bh_ref, bl_ref, starts, win, t_cnt, o_ref,
-                 o_idx=None):
-    """T unrolled (8, win)@(win, LANES) MXU passes writing 8 rows each.
-    ``o_idx`` indexes a leading batch-block dim; None writes a 2-D ref
-    (VMEM scratch)."""
+                 o_idx=None, tile=_BAND_TILE):
+    """T unrolled (tile, win)@(win, LANES) MXU passes writing ``tile``
+    rows each. ``o_idx`` indexes a leading batch-block dim; None writes a
+    2-D ref (VMEM scratch)."""
     for t in range(t_cnt):
         wx = x_bf16[starts[t]: starts[t] + win, :]
         rows = jnp.dot(
             bh_ref[t], wx, preferred_element_type=jnp.float32
         ) + jnp.dot(bl_ref[t], wx, preferred_element_type=jnp.float32)
-        sl = slice(t * _BAND_TILE, (t + 1) * _BAND_TILE)
+        sl = slice(t * tile, (t + 1) * tile)
         if o_idx is None:
             o_ref[sl, :] = rows
         else:
@@ -242,7 +259,8 @@ def _store_channel(out_ref, sl, val, output, mean_i, inv_std_i):
 def _fused_planar_factory(space: ColorSpace, rng: ColorRange, swap: bool,
                           rstarts_y, rstarts_c, rwin_y, rwin_c, t_cnt,
                           cstarts_y, cwin_y, cstarts_c, cwin_c, n_tiles,
-                          output="rgb_u8", mean=(0.0,) * 3, std=(1.0,) * 3):
+                          output="rgb_u8", mean=(0.0,) * 3, std=(1.0,) * 3,
+                          tile=_BAND_TILE):
     """Whole pipeline in ONE kernel per frame: banded row-resize into VMEM
     scratch, banded column-resize (half-grid chroma) + CSC (+ optional
     normalize) out of it. The two-kernel split round-trips ~7 MB/frame of
@@ -258,11 +276,11 @@ def _fused_planar_factory(space: ColorSpace, rng: ColorRange, swap: bool,
                cyh_ref, cyl_ref, cch_ref, ccl_ref, out_ref,
                y1_ref, u1_ref, v1_ref):
         _banded_rows(_bf16(y_ref[0]), byh_ref, byl_ref, rsy, rwin_y, t_cnt,
-                     y1_ref)
+                     y1_ref, tile=tile)
         _banded_rows(_bf16(u_ref[0]), bch_ref, bcl_ref, rsc, rwin_c, t_cnt,
-                     u1_ref)
+                     u1_ref, tile=tile)
         _banded_rows(_bf16(v_ref[0]), bch_ref, bcl_ref, rsc, rwin_c, t_cnt,
-                     v1_ref)
+                     v1_ref, tile=tile)
         _col_csc_emit(
             lambda p: y1_ref[:, csy[p]: csy[p] + cwin_y],
             lambda p: u1_ref[:, csc[p]: csc[p] + cwin_c],
@@ -274,14 +292,14 @@ def _fused_planar_factory(space: ColorSpace, rng: ColorRange, swap: bool,
     return kernel
 
 
-def _k1p_striped_factory(starts, win, t_cnt):
+def _k1p_striped_factory(starts, win, t_cnt, tile=_BAND_TILE):
     """Banded row-resize of ONE planar u8 plane in column stripes:
     (1, Hp, LANES) u8 block → (1, OUT_Hp, LANES) f32 block."""
     s = [int(x) for x in starts]
 
     def kernel(x_ref, bh_ref, bl_ref, o_ref):
         _banded_rows(_bf16(x_ref[0]), bh_ref, bl_ref, s, win, t_cnt,
-                     o_ref, 0)
+                     o_ref, 0, tile=tile)
 
     return kernel
 
@@ -536,24 +554,32 @@ def fused_pallas_supported(w: int, out_h: int) -> bool:
 # interleaved variant) and applies the CSC.
 
 
-def _k1p_plans(h, hp, hp2, out_hp, out_h, method):
+def _k1p_plans(h, hp, hp2, out_h, method):
     """Row band plans on an out_h→out_hp zero-row-padded output grid (pad
     rows have empty support, so the padded tiles degenerate to zero
     bands — exact; the caller slices the pad rows off). Window widths are
     adaptive (smallest 64-multiple that fits — wide scale factors like
-    2160→224 need >128). Returns (rwin_y, plan_y, rwin_c, plan_c) or
-    None."""
-    rm_np = np.zeros((out_hp, hp), np.float32)
-    rm_np[:out_h, :h] = resize_matrix(h, out_h, method)
-    rc_np = np.zeros((out_hp, hp2), np.float32)
-    rc_np[:out_h, : h // 2] = (
-        resize_matrix(h, out_h, method).reshape(out_h, h // 2, 2).sum(-1)
-    )
-    ry = _row_windows(rm_np, hp, 512)
-    rc = _row_windows(rc_np, hp2, 512)
-    if ry is None or rc is None:
-        return None
-    return ry[0], ry[1], rc[0], rc[1]
+    2160→224 need >128), and the row-tile height is chosen from
+    ``_ROW_TILES`` by estimated MXU pass count. Returns
+    (tile, out_hp, rwin_y, plan_y, rwin_c, plan_c) or None."""
+    rm_full = resize_matrix(h, out_h, method)
+    rc_full = rm_full.reshape(out_h, h // 2, 2).sum(-1)
+    best = None
+    for tile, align in _ROW_TILES:
+        out_hp = _round_up(out_h, tile)
+        rm_np = np.zeros((out_hp, hp), np.float32)
+        rm_np[:out_h, :h] = rm_full
+        rc_np = np.zeros((out_hp, hp2), np.float32)
+        rc_np[:out_h, : h // 2] = rc_full
+        ry = _row_windows(rm_np, hp, 512, align, tile)
+        rc = _row_windows(rc_np, hp2, 512, align, tile)
+        if ry is None or rc is None:
+            continue
+        t_cnt = out_hp // tile
+        cost = _passes(t_cnt, ry[0]) + 2 * _passes(t_cnt, rc[0])
+        if best is None or cost < best[0]:
+            best = (cost, tile, out_hp, ry[0], ry[1], rc[0], rc[1])
+    return None if best is None else best[1:]
 
 
 _VMEM_BUDGET = 14 * 1024 * 1024
@@ -576,13 +602,12 @@ def _planar_layout(h, w, out_h, out_w, method, out_elem_bytes):
     w2 = w // 2
     hp = _round_up(h, 64)
     hp2 = hp // 2
-    out_hp = _round_up(out_h, _BAND_TILE)
     out_wp = _round_up(out_w, 128)
-    plans = _k1p_plans(h, hp, hp2, out_hp, out_h, method)
+    plans = _k1p_plans(h, hp, hp2, out_h, method)
     if plans is None:
         return None
-    rwin_y, plan_y, rwin_c, plan_c = plans
-    t_cnt = out_hp // _BAND_TILE
+    tile, out_hp, rwin_y, plan_y, rwin_c, plan_c = plans
+    t_cnt = out_hp // tile
     n_tiles = out_wp // 128
 
     cmat = resize_matrix(w, out_w, method)               # (out_w, w)
@@ -596,12 +621,12 @@ def _planar_layout(h, w, out_h, out_w, method, out_elem_bytes):
 
     base = dict(
         hp=hp, hp2=hp2, out_hp=out_hp, out_wp=out_wp, t_cnt=t_cnt,
-        n_tiles=n_tiles, plan_y=plan_y, plan_c=plan_c,
+        tile=tile, n_tiles=n_tiles, plan_y=plan_y, plan_c=plan_c,
         rwin_y=rwin_y, rwin_c=rwin_c,
         cy_t=cy_t, cc_t=cc_t, ystarts=ystarts, ywin=ywin,
         cstarts=cstarts, cwin=cwin,
     )
-    row_bands = t_cnt * _BAND_TILE * (rwin_y + rwin_c) * 2 * 2
+    row_bands = t_cnt * tile * (rwin_y + rwin_c) * 2 * 2
     col_bands = n_tiles * (ywin + cwin) * 128 * 2 * 2
     out_block = out_hp * out_wp * 3 * out_elem_bytes
     vmem_whole = (
@@ -620,9 +645,9 @@ def _planar_layout(h, w, out_h, out_w, method, out_elem_bytes):
         return None
     k1_vmem = max(
         hp * lanes_y + 4 * out_hp * lanes_y
-        + t_cnt * _BAND_TILE * rwin_y * 2 * 2,
+        + t_cnt * tile * rwin_y * 2 * 2,
         hp2 * lanes_c + 4 * out_hp * lanes_c
-        + t_cnt * _BAND_TILE * rwin_c * 2 * 2,
+        + t_cnt * tile * rwin_c * 2 * 2,
     )
     k2_vmem = 4 * out_hp * (w + 2 * w2) + out_block + col_bands
     if max(k1_vmem, k2_vmem) > _VMEM_BUDGET:
@@ -727,15 +752,15 @@ def fused_yuv420_resize_rgb_pallas(
                 ColorSpace(space), ColorRange(rng), swap,
                 plan_y[0], plan_c[0], rwin_y, rwin_c, t_cnt,
                 ystarts, ywin, cstarts, cwin, n_tiles,
-                output=output, mean=mean, std=std,
+                output=output, mean=mean, std=std, tile=lay["tile"],
             ),
             grid=(b,),
             in_specs=[
                 full((hp, w)), full((hp2, w2)), full((hp2, w2)),
-                const((t_cnt, _BAND_TILE, rwin_y)),
-                const((t_cnt, _BAND_TILE, rwin_y)),
-                const((t_cnt, _BAND_TILE, rwin_c)),
-                const((t_cnt, _BAND_TILE, rwin_c)),
+                const((t_cnt, lay["tile"], rwin_y)),
+                const((t_cnt, lay["tile"], rwin_y)),
+                const((t_cnt, lay["tile"], rwin_c)),
+                const((t_cnt, lay["tile"], rwin_c)),
                 const((n_tiles, ywin, 128)), const((n_tiles, ywin, 128)),
                 const((n_tiles, cwin, 128)), const((n_tiles, cwin, 128)),
             ],
@@ -762,13 +787,13 @@ def fused_yuv420_resize_rgb_pallas(
             memory_space=pltpu.VMEM,
         )
         k1 = pl.pallas_call(
-            _k1p_striped_factory(plan[0], rwin, t_cnt),
+            _k1p_striped_factory(plan[0], rwin, t_cnt, tile=lay["tile"]),
             grid=(b, plane.shape[-1] // lanes),
             in_specs=[
                 pl.BlockSpec((1, hin, lanes), lambda i, j: (i, 0, j),
                              memory_space=pltpu.VMEM),
-                const2((t_cnt, _BAND_TILE, rwin)),
-                const2((t_cnt, _BAND_TILE, rwin)),
+                const2((t_cnt, lay["tile"], rwin)),
+                const2((t_cnt, lay["tile"], rwin)),
             ],
             out_specs=pl.BlockSpec((1, out_hp, lanes),
                                    lambda i, j: (i, 0, j),
