@@ -205,7 +205,8 @@ def _banded_rows(x_bf16, bh_ref, bl_ref, starts, win, t_cnt, o_ref,
             o_ref[o_idx, sl, :] = rows
 
 
-def _k1_banded_factory(starts_y, starts_c, win_y, win_c, t_cnt):
+def _k1_banded_factory(starts_y, starts_c, win_y, win_c, t_cnt,
+                       tile=_BAND_TILE):
     sy = [int(s) for s in starts_y]
     sc = [int(s) for s in starts_c]
 
@@ -213,8 +214,10 @@ def _k1_banded_factory(starts_y, starts_c, win_y, win_c, t_cnt):
                uvo_ref):
         y = _bf16(y_ref[0])  # (Hp, LANES), exact
         uv = _bf16(uv_ref[0])  # (Hp/2, LANES), exact
-        _banded_rows(y, byh_ref, byl_ref, sy, win_y, t_cnt, yo_ref, 0)
-        _banded_rows(uv, bch_ref, bcl_ref, sc, win_c, t_cnt, uvo_ref, 0)
+        _banded_rows(y, byh_ref, byl_ref, sy, win_y, t_cnt, yo_ref, 0,
+                     tile=tile)
+        _banded_rows(uv, bch_ref, bcl_ref, sc, win_c, t_cnt, uvo_ref, 0,
+                     tile=tile)
 
     return kernel
 
@@ -434,9 +437,23 @@ def fused_nv12_resize_rgb_pallas(
     rc_np[:, : h // 2] = (
         resize_matrix(h, out_h, method).reshape(out_h, h // 2, 2).sum(-1)
     )
-    win_y, win_c = 128, 64
-    plan_y = _band_plan(rm_np, win_y)
-    plan_c = _band_plan(rc_np, win_c)
+    # banded row plans: adaptive window widths and tile height (see
+    # _ROW_TILES — identical MACs, fewer systolic passes at tile 16)
+    tile, win_y, plan_y, win_c, plan_c = _BAND_TILE, None, None, None, None
+    best = None
+    for cand_tile, align in _ROW_TILES:
+        if out_h % cand_tile:
+            continue
+        ry = _row_windows(rm_np, hp, 512, align, cand_tile)
+        rc = _row_windows(rc_np, hp2, 512, align, cand_tile)
+        if ry is None or rc is None:
+            continue
+        t = out_h // cand_tile
+        cost = _passes(t, ry[0]) + _passes(t, rc[0])
+        if best is None or cost < best[0]:
+            best = (cost, cand_tile, ry[0], ry[1], rc[0], rc[1])
+    if best is not None:
+        _, tile, win_y, plan_y, win_c, plan_c = best
     stripe_specs = [
         pl.BlockSpec((1, hp, lanes), lambda i, j: (i, 0, j),
                      memory_space=pltpu.VMEM),
@@ -454,20 +471,21 @@ def fused_nv12_resize_rgb_pallas(
         jax.ShapeDtypeStruct((b, out_h, w), jnp.float32),
     ]
     if plan_y is not None and plan_c is not None:
-        t_cnt = out_h // _BAND_TILE
+        t_cnt = out_h // tile
         byh, byl = map(jnp.asarray, _split_bf16_host(plan_y[1]))
         bch, bcl = map(jnp.asarray, _split_bf16_host(plan_c[1]))
         band_spec = lambda t, n, wn: pl.BlockSpec(  # noqa: E731
             (t, n, wn), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM
         )
         k1 = pl.pallas_call(
-            _k1_banded_factory(plan_y[0], plan_c[0], win_y, win_c, t_cnt),
+            _k1_banded_factory(plan_y[0], plan_c[0], win_y, win_c, t_cnt,
+                               tile=tile),
             grid=(b, w // lanes),
             in_specs=stripe_specs + [
-                band_spec(t_cnt, _BAND_TILE, win_y),
-                band_spec(t_cnt, _BAND_TILE, win_y),
-                band_spec(t_cnt, _BAND_TILE, win_c),
-                band_spec(t_cnt, _BAND_TILE, win_c),
+                band_spec(t_cnt, tile, win_y),
+                band_spec(t_cnt, tile, win_y),
+                band_spec(t_cnt, tile, win_c),
+                band_spec(t_cnt, tile, win_c),
             ],
             out_specs=out_specs,
             out_shape=out_shape,
