@@ -436,3 +436,16 @@ def test_pallas_nv12_fused_output_modes_consistent():
     assert np.abs(
         np.rint(f32 * 255.0).astype(int) - u8.astype(int)
     ).max() <= 1
+
+
+def test_planar_layout_picks_16_row_tiles_at_1080p():
+    """Pin the pass-latency optimization: a systolic pass costs ~(N+K)
+    cycles regardless of tile rows (M≤128), so the layout must prefer the
+    16-row/16-aligned tile (half the passes of 8/32 at identical MACs)
+    whenever a plan exists — it does at the product shape."""
+    from videoprocessingframework_tpu.ops.pallas_fused import _planar_layout
+
+    lay = _planar_layout(1080, 1920, 224, 224, "lanczos", 1)
+    assert lay is not None and lay["mode"] == "whole"
+    assert lay["tile"] == 16
+    assert lay["t_cnt"] == 224 // 16
