@@ -222,3 +222,26 @@ def test_multihost_video_pipeline_single_process(test_mp4, gt):
             ref.append(a)
     ref_pool.close()
     np.testing.assert_array_equal(np.concatenate(outs), np.concatenate(ref))
+
+
+def test_encode_feed_sharded_matches_single_device():
+    """Outbound fused encoder feed sharded over the data mesh must be
+    bit-identical to the single-device result (per-frame math, no
+    collectives)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from videoprocessingframework_tpu.ops.fused import encode_feed
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev, ("data",))
+    r = np.random.default_rng(17)
+    rgb = r.integers(0, 256, (2 * n_dev, 48, 64, 3), np.uint8)
+
+    single = tuple(
+        np.asarray(p) for p in encode_feed(rgb, out_h=24, out_w=32)
+    )
+    rgb_sharded = jax.device_put(rgb, NamedSharding(mesh, P("data")))
+    sharded = encode_feed(rgb_sharded, out_h=24, out_w=32)
+    assert len(sharded[0].sharding.device_set) == n_dev
+    for s, g in zip(sharded, single):
+        np.testing.assert_array_equal(np.asarray(s), g)
