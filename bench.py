@@ -216,6 +216,31 @@ def main() -> int:
 
     from videoprocessingframework_tpu.io import NativeDecodePool
 
+    # Progressive result: metrics fill in as they complete, and a SIGTERM
+    # (e.g. an outer `timeout` expiring) emits the best-so-far JSON line
+    # instead of losing the whole run — a truncated bench still records
+    # its headline. Installed BEFORE the first compile so even a kill
+    # during warm-up produces a (zero-valued) line.
+    result = {
+        "metric": "1080p decode→NV12→RGB→resize aggregate fps (1 chip)"
+        if not args.quick
+        else f"{width}x{height} decode→NV12→RGB→resize aggregate fps (quick)",
+        "value": 0.0,
+        "unit": "fps",
+        "vs_baseline": 0.0,
+        "extra": {"streams": streams, "host_cpus": ncpu},
+    }
+
+    def _emit_partial(signum, frame):
+        result["extra"]["truncated_by_signal"] = signum
+        print(json.dumps(result), flush=True)
+        os._exit(0)
+
+    if not args.quick:
+        import signal
+
+        signal.signal(signal.SIGTERM, _emit_partial)
+
     # Hot path decodes to packed *planar* YUV420 (host pack = pure row
     # memcpys; the chroma deinterleave the NV12 layout would need on the
     # host happens for free inside the fused device kernel instead).
@@ -227,16 +252,15 @@ def main() -> int:
         method="lanczos",
         output="rgb_u8",
     )
-    # warm up the fused kernel for both feed shapes before timing: the
-    # pool feeds free (y, u, v) plane views (the product path — no
-    # device-side packed→planar relayout); packed stays supported
-    dummy_packed = np.zeros((args.batch, height * 3 // 2, width), np.uint8)
+    # warm up the fused kernel (incl. its per-shape autotune) for the
+    # planar plane-view feed — the ONLY shape the bench exercises (the
+    # pool feeds free (y, u, v) views; a packed warm-up would add 2-3
+    # compiles of a path this bench never runs — minutes on the tunnel)
     dummy_planes = (
         np.zeros((args.batch, height, width), np.uint8),
         np.zeros((args.batch, height // 2, width // 2), np.uint8),
         np.zeros((args.batch, height // 2, width // 2), np.uint8),
     )
-    jax.block_until_ready(postproc(dummy_packed))
     jax.block_until_ready(postproc(*dummy_planes))
 
     # Host↔device link throughput varies over minutes on tunneled hosts
@@ -343,22 +367,27 @@ def main() -> int:
         return 0
 
     decode_only_fps = run_decode_only()
+    result["extra"]["decode_only_fps"] = round(decode_only_fps, 1)
 
     # Link weather varies over MINUTES; each run samples one window of it,
     # so back-to-back runs mostly resample the same window. Take at least
-    # 3 runs and keep sampling (up to 16 / 480 s), pausing ~20 s after any
+    # 3 runs and keep sampling (up to 14 / 330 s), pausing ~20 s after any
     # clearly-bad run so the next sample lands in a different weather
     # window — more independent shots at a good one. Best reported, all
     # recorded.
     runs = []
-    budget_s = 360.0
+    budget_s = 330.0
     bad_fps = 0.15 * max(decode_only_fps, 1.0)
     t_start = time.perf_counter()
-    for i in range(16):
+    for i in range(14):
         elapsed = time.perf_counter() - t_start
         if i >= 3 and elapsed > budget_s:
             break
         runs.append(one_run())
+        best = max(r[0].fps for r in runs)
+        result["value"] = round(best, 2)
+        result["vs_baseline"] = round(best / 500.0, 4)
+        result["extra"]["all_runs_fps"] = [round(r[0].fps, 1) for r in runs]
         if (
             not args.quick  # weather only exists on the tunneled link
             and i >= 2
@@ -386,8 +415,6 @@ def main() -> int:
                 if dt > 0:
                     best = max(best, frames / dt)
         return best
-    pipe = type("P", (), {"timer": timer})  # stage summary for reporting
-
     # effective upload+kernel throughput from the dispatch stage
     summ = timer.summary() if timer else {}
     batch_bytes = args.batch * (height * 3 // 2) * width
@@ -409,9 +436,25 @@ def main() -> int:
         "host_decode" if acquire_ms > dispatch_ms else "transfer+kernel"
     )
 
+    result["value"] = round(stats.fps, 2)
+    result["vs_baseline"] = round(stats.fps / 500.0, 4)
+    result["extra"].update(
+        frames=stats.frames_decoded,
+        wall_s=round(stats.wall_s, 3),
+        all_runs_fps=[round(s.fps, 1) for s in runs],
+        best_window_fps=round(best_window_fps(runs), 1),
+        upload_gbps=round(upload_gbps, 3),
+        bottleneck=bottleneck,
+        stage_ms={
+            k: round(v["mean_ms"], 3) for k, v in timer.summary().items()
+        } if timer else {},
+    )
+
     # device-resident throughput of the PRODUCT postproc path (planar
     # plane views, as the pool feeds it; autotuned)
     kfps, kgbs = device_slope_fps(postproc, dummy_planes)
+    result["extra"]["kernel_only_fps"] = round(kfps, 1)
+    result["extra"]["kernel_input_gbps"] = round(kgbs, 3)
 
     # BASELINE.md "E2E ResNet fps": fused preprocess + ResNet-50 forward,
     # data resident (the SampleTorchResnet device-side analog)
@@ -445,7 +488,7 @@ def main() -> int:
                 lambda y, u, v, p: model.apply(
                     p, pre_norm(y, u, v), train=False
                 ),
-                resnet_planes, lo_n=10, hi_n=40,
+                resnet_planes, lo_n=10, hi_n=30,
                 extra_args=(variables,),
             )
         except Exception:
@@ -459,33 +502,9 @@ def main() -> int:
     except Exception:
         transcode_fps, transcode_psnr = 0.0, 0.0
 
-    result = {
-        "metric": "1080p decode→NV12→RGB→resize aggregate fps (1 chip)"
-        if not args.quick
-        else f"{width}x{height} decode→NV12→RGB→resize aggregate fps (quick)",
-        "value": round(stats.fps, 2),
-        "unit": "fps",
-        "vs_baseline": round(stats.fps / 500.0, 4),
-        "extra": {
-            "streams": streams,
-            "frames": stats.frames_decoded,
-            "wall_s": round(stats.wall_s, 3),
-            "all_runs_fps": [round(s.fps, 1) for s in runs],
-            "best_window_fps": round(best_window_fps(runs), 1),
-            "host_cpus": ncpu,
-            "decode_only_fps": round(decode_only_fps, 1),
-            "upload_gbps": round(upload_gbps, 3),
-            "bottleneck": bottleneck,
-            "kernel_only_fps": round(kfps, 1),
-            "kernel_input_gbps": round(kgbs, 3),
-            "resnet_device_fps": round(resnet_fps, 1),
-            "transcode_fps": round(transcode_fps, 1),
-            "transcode_psnr_db": round(transcode_psnr, 2),
-            "stage_ms": {
-                k: round(v["mean_ms"], 3) for k, v in pipe.timer.summary().items()
-            },
-        },
-    }
+    result["extra"]["resnet_device_fps"] = round(resnet_fps, 1)
+    result["extra"]["transcode_fps"] = round(transcode_fps, 1)
+    result["extra"]["transcode_psnr_db"] = round(transcode_psnr, 2)
     print(json.dumps(result))
     return 0
 
