@@ -291,9 +291,9 @@ class FusedPipeline:
       Pallas path on a TPU backend, time both once per input shape with an
       RTT-cancelling two-point measurement and cache the winner; otherwise
       XLA. (Measured on v5e at 1080p→224², batch 8, random input: banded
-      Pallas ≈ 24 µs/frame through the packed product path (~17 µs fed
-      planar), XLA split-bf16 ≈ 35 µs, XLA f32-highest ≈ 53 µs — auto
-      picks Pallas there.)
+      Pallas ≈ 17 µs/frame fed planar — the product path; the decode
+      pool passes free plane views — ~24 µs fed packed, XLA split-bf16
+      ≈ 35 µs, XLA f32-highest ≈ 53 µs — auto picks Pallas there.)
     """
 
     def __init__(
