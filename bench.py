@@ -298,12 +298,16 @@ def main() -> int:
     WARMUP_BATCHES = 2
 
     def run_native():
+        # plane-major ring: contiguous per-plane batch views → the jit
+        # stages them with ZERO host re-copies (frame-major planar views
+        # are strided — a full ~25 MB/batch copy per dispatch at 1080p)
         pool = NativeDecodePool(
             [str(clip)] * streams,
             batch_size=args.batch,
             out_format=PixelFormat.YUV420,
             loop=True,
             max_frames_per_stream=frames_per_stream,
+            plane_major=True,
         )
         it = pool.batches(postproc)
         for _ in range(WARMUP_BATCHES):
@@ -347,14 +351,15 @@ def main() -> int:
             out_format=PixelFormat.YUV420,
             loop=True,
             max_frames_per_stream=frames_per_stream,
+            plane_major=True,
         )
         t0 = time.perf_counter()
         n = 0
         while True:
-            b = pool.acquire()
+            b = pool.acquire_planes()
             if b is None:
                 break
-            n += int(b.shape[0])
+            n += int(b[0].shape[0])
             pool.release()
         dt = time.perf_counter() - t0
         pool.close()

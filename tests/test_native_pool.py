@@ -173,3 +173,68 @@ def test_pool_planar_views_match_packed(test_mp4):
     assert len(packed) == len(planar) > 0
     for a, b in zip(packed, planar):
         np.testing.assert_array_equal(a, b)
+
+
+def test_pool_plane_major_matches_frame_major(test_mp4):
+    """Plane-major ring layout ([Y×batch | U×batch | V×batch] — the
+    zero-staging-copy feed) must produce bit-identical postproc outputs
+    to the frame-major planar-view path."""
+    post = FusedPipeline(
+        PixelFormat.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
+        out_size=(64, 32),
+    )
+
+    def collect(plane_major):
+        pool = NativeDecodePool(
+            [test_mp4], batch_size=8, out_format=PixelFormat.YUV420,
+            plane_major=plane_major,
+        )
+        outs = [np.asarray(o).copy() for o in pool.batches(post)]
+        assert pool.frames_dropped == 0
+        pool.close()
+        return outs
+
+    fm, pm = collect(False), collect(True)
+    assert len(fm) == len(pm) > 0
+    for a, b in zip(fm, pm):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_pool_plane_major_raw_planes_match_reader(test_mp4):
+    """acquire_planes() views must carry the decoder's exact plane bytes
+    (incl. the ragged last batch using capacity-strided regions)."""
+    from videoprocessingframework_tpu.io.decoder import VideoReader
+
+    r = VideoReader(test_mp4)
+    r.decoder.output_format = PixelFormat.YUV420
+    frames = [np.asarray(f.data).reshape(-1).copy() for f in r.frames()]
+
+    pool = NativeDecodePool(
+        [test_mp4], batch_size=7,  # 96 % 7 != 0 → ragged tail batch
+        out_format=PixelFormat.YUV420, plane_major=True,
+    )
+    h, w = pool.height, pool.width
+    ysz = h * w
+    i = 0
+    while True:
+        planes = pool.acquire_planes()
+        if planes is None:
+            break
+        y, u, v = planes
+        for k in range(y.shape[0]):
+            ref = frames[i]
+            np.testing.assert_array_equal(y[k], ref[:ysz].reshape(h, w))
+            ref_u = ref[ysz: ysz + ysz // 4].reshape(h // 2, w // 2)
+            ref_v = ref[ysz + ysz // 4:].reshape(h // 2, w // 2)
+            np.testing.assert_array_equal(u[k], ref_u)
+            np.testing.assert_array_equal(v[k], ref_v)
+            i += 1
+        pool.release()
+    assert i == len(frames)
+    pool.close()
+
+
+def test_pool_plane_major_rejects_other_formats(test_mp4):
+    with pytest.raises(ValueError, match="YUV420"):
+        NativeDecodePool([test_mp4], out_format=PixelFormat.NV12,
+                         plane_major=True)

@@ -216,7 +216,12 @@ def load() -> C.CDLL:
         "vpf_pool_create",
         C.c_void_p,
         [C.POINTER(C.c_char_p), C.c_int, C.c_int, C.c_size_t, C.c_int,
-         C.c_int, C.c_int64, C.c_int],
+         C.c_int, C.c_int64, C.c_int, C.c_int],
+    )
+    sig(
+        "vpf_decoder_copy_frame_planar3",
+        C.c_int,
+        [C.c_void_p, _u8p, _u8p, _u8p, C.c_size_t],
     )
     sig(
         "vpf_pool_acquire_batch",

@@ -209,6 +209,35 @@ struct Decoder {
   }
 
   /* Pack `current` into dst in the requested layout. */
+  /* YUV420 frame → three caller-provided plane buffers (used by the
+   * plane-major pool ring so batched y/u/v regions stay contiguous
+   * across frames — the consumer can hand them to the device runtime
+   * with ZERO host re-copies; strided per-frame views would each cost a
+   * full staging copy). expected_luma_bytes validates slot geometry the
+   * same way copy_packed's dst_size does. */
+  int copy_planar3(uint8_t* dy, uint8_t* du, uint8_t* dv,
+                   size_t expected_luma_bytes) {
+    if (!current) return vpf_set_error(VPF_ERR, "no decoded frame to copy");
+    const AVPixelFormat src_fmt = (AVPixelFormat)current->format;
+    if (src_fmt != AV_PIX_FMT_YUV420P && src_fmt != AV_PIX_FMT_YUVJ420P)
+      return vpf_set_error(VPF_ERR, "planar3 pack needs yuv420p, got %d",
+                           (int)src_fmt);
+    const int w = current->width, h = current->height;
+    if ((size_t)w * h != expected_luma_bytes)
+      return vpf_set_error(VPF_ERR, "planar3 geometry mismatch: %dx%d", w, h);
+    const int cw = w / 2, ch = h / 2;
+    auto copy_plane = [&](const uint8_t* src, int pitch, int rows,
+                          int row_bytes, uint8_t* out) {
+      for (int r = 0; r < rows; r++)
+        memcpy(out + (size_t)r * row_bytes, src + (size_t)r * pitch,
+               row_bytes);
+    };
+    copy_plane(current->data[0], current->linesize[0], h, w, dy);
+    copy_plane(current->data[1], current->linesize[1], ch, cw, du);
+    copy_plane(current->data[2], current->linesize[2], ch, cw, dv);
+    return VPF_OK;
+  }
+
   int copy_packed(int fmt, uint8_t* dst, size_t dst_size) {
     if (!current) return vpf_set_error(VPF_ERR, "no decoded frame to copy");
     const uint64_t need = packed_size(fmt);
@@ -392,6 +421,13 @@ VPF_API int vpf_decoder_frame_desc(void* h, VpfFrameDesc* out) {
 VPF_API int vpf_decoder_copy_frame(void* h, int fmt, uint8_t* dst,
                                    size_t dst_size) {
   return static_cast<Decoder*>(h)->copy_packed(fmt, dst, dst_size);
+}
+
+VPF_API int vpf_decoder_copy_frame_planar3(void* h, uint8_t* dy,
+                                           uint8_t* du, uint8_t* dv,
+                                           size_t expected_luma_bytes) {
+  return static_cast<Decoder*>(h)->copy_planar3(dy, du, dv,
+                                                expected_luma_bytes);
 }
 
 VPF_API int vpf_decoder_motion_vectors(void* h, VpfMotionVector* dst,

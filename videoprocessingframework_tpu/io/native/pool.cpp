@@ -35,6 +35,8 @@ void vpf_decoder_destroy(void*);
 int vpf_decoder_decode(void*, const uint8_t*, size_t, const VpfPacketData*);
 int vpf_decoder_flush_frame(void*);
 int vpf_decoder_copy_frame(void*, int, uint8_t*, size_t);
+int vpf_decoder_copy_frame_planar3(void*, uint8_t*, uint8_t*, uint8_t*,
+                                   size_t);
 int vpf_decoder_frame_desc(void*, VpfFrameDesc*);
 }
 
@@ -54,6 +56,12 @@ struct Pool {
   int n_buffers = 4;
   int64_t max_frames_per_stream = 0;  // 0 = until EOF
   bool loop = false;
+  // plane-major batch layout (YUV420 only): each buffer holds
+  // [Y×batch | U×batch | V×batch] so the consumer's per-plane batch
+  // views are CONTIGUOUS — the device runtime stages them without any
+  // host re-copy (per-frame-interleaved views are strided and cost a
+  // full copy per dispatch).
+  bool plane_major = false;
 
   std::vector<Batch> ring;
   std::deque<int> fill_order;   // buffers accepting slots (front = oldest)
@@ -166,7 +174,12 @@ struct Pool {
           vpf_demuxer_close(dmx);
           return;
         }
-        uint8_t* dst = ring[b].data.data() + (size_t)s * frame_bytes;
+        uint8_t* base = ring[b].data.data();
+        uint8_t* dst = base + (size_t)s * frame_bytes;
+        const size_t ysz = frame_bytes * 2 / 3, csz = frame_bytes / 6;
+        uint8_t* dy = base + (size_t)s * ysz;
+        uint8_t* du = base + (size_t)batch * ysz + (size_t)s * csz;
+        uint8_t* dv = du + (size_t)batch * csz;
         // Batch slots have fixed geometry: a mid-stream resolution change
         // (even a shrink, which would still *fit* byte-wise) must be
         // dropped, not silently packed at the wrong layout.
@@ -183,13 +196,25 @@ struct Pool {
                           expect_w, expect_h, fd.width, fd.height);
           }
         }
-        if (!geom_ok ||
-            vpf_decoder_copy_frame(dec, out_fmt, dst, frame_bytes) != VPF_OK) {
+        bool packed_ok =
+            geom_ok &&
+            (plane_major
+                 ? vpf_decoder_copy_frame_planar3(dec, dy, du, dv, ysz) ==
+                       VPF_OK
+                 : vpf_decoder_copy_frame(dec, out_fmt, dst, frame_bytes) ==
+                       VPF_OK);
+        if (!packed_ok) {
           // geometry mismatch (e.g. resolution change): drop the slot by
           // zero-filling so the batch still completes, but COUNT it and
           // keep the first reason so callers can tell corruption from
           // content (vpf_pool_frames_dropped / vpf_pool_drop_reason).
-          memset(dst, 0, frame_bytes);
+          if (plane_major) {
+            memset(dy, 0, ysz);
+            memset(du, 0, csz);
+            memset(dv, 0, csz);
+          } else {
+            memset(dst, 0, frame_bytes);
+          }
           dropped.fetch_add(1);
           std::lock_guard<std::mutex> lk(mu);
           if (drop_reason.empty()) drop_reason = vpf_error_slot();
@@ -263,12 +288,17 @@ struct Pool {
 VPF_API void* vpf_pool_create(const char* const* urls, int n_streams,
                               int batch, size_t frame_bytes, int out_fmt,
                               int loop, int64_t max_frames_per_stream,
-                              int n_buffers) {
+                              int n_buffers, int plane_major) {
+  if (plane_major && out_fmt != VPF_FMT_YUV420) {
+    vpf_set_error(VPF_ERR, "plane_major pool requires YUV420 output");
+    return nullptr;
+  }
   auto* p = new Pool();
   for (int i = 0; i < n_streams; i++) p->urls.emplace_back(urls[i]);
   p->batch = batch;
   p->frame_bytes = frame_bytes;
   p->out_fmt = out_fmt;
+  p->plane_major = plane_major != 0;
   p->loop = loop != 0;
   p->max_frames_per_stream = max_frames_per_stream;
   p->n_buffers = n_buffers > 0 ? n_buffers : 4;

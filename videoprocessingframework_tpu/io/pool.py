@@ -35,7 +35,15 @@ class NativeDecodePool:
         loop: bool = False,
         max_frames_per_stream: int = 0,
         n_buffers: int = 4,
+        plane_major: bool = False,
     ):
+        """``plane_major`` (YUV420 only) lays each ring buffer out as
+        [Y×batch | U×batch | V×batch] so :meth:`_planar_views` returns
+        CONTIGUOUS per-plane batch arrays — the device runtime stages
+        them with zero host re-copies (the frame-major layout's views
+        are strided and cost a full ~25 MB/batch staging copy at 1080p).
+        Plane-major pools only serve the planar-view feed; the packed
+        per-frame view from :meth:`acquire` is unavailable."""
         self._lib = _lib.load()
         probe = FFmpegDemuxer(sources[0])
         self.width = probe.width
@@ -49,6 +57,9 @@ class NativeDecodePool:
             out_format, self.width, self.height
         )
         self._rows = self.frame_bytes // self.width
+        if plane_major and self.out_format != PixelFormat.YUV420:
+            raise ValueError("plane_major pools require YUV420 output")
+        self.plane_major = bool(plane_major)
         urls = (C.c_char_p * len(sources))(
             *[str(s).encode() for s in sources]
         )
@@ -61,27 +72,58 @@ class NativeDecodePool:
             1 if loop else 0,
             max_frames_per_stream,
             n_buffers,
+            1 if plane_major else 0,
         )
         self._n_buffers = n_buffers
         if not self._h:
             raise RuntimeError(f"pool create failed: {_lib.last_error()}")
         self.timer = StageTimer()
 
-    def acquire(self) -> Optional[np.ndarray]:
-        """Next packed batch as a zero-copy (count, rows, W) view, or None
-        when all streams are drained. Call :meth:`release` when done."""
+    def _acquire_raw(self):
         data = C.POINTER(C.c_uint8)()
         count = C.c_int()
         r = self._lib.vpf_pool_acquire_batch(
             self._h, C.byref(data), C.byref(count)
         )
         if r == _lib.NEED_MORE:
-            return None
+            return None, 0
         if r != _lib.OK:
             raise RuntimeError(_lib.last_error())
-        n = count.value
+        return data, count.value
+
+    def acquire(self) -> Optional[np.ndarray]:
+        """Next packed batch as a zero-copy (count, rows, W) view, or None
+        when all streams are drained. Call :meth:`release` when done."""
+        if self.plane_major:
+            raise RuntimeError(
+                "plane-major pools have no packed per-frame layout; use "
+                "acquire_planes() / batches()"
+            )
+        data, n = self._acquire_raw()
+        if data is None:
+            return None
         flat = np.ctypeslib.as_array(data, shape=(n * self.frame_bytes,))
         return flat.reshape(n, self._rows, self.width)
+
+    def acquire_planes(self):
+        """Next batch of a plane-major pool as zero-copy CONTIGUOUS
+        (y, u, v) batch views, or None when drained. Call :meth:`release`
+        when done."""
+        if not self.plane_major:
+            raise RuntimeError("acquire_planes() needs plane_major=True")
+        data, n = self._acquire_raw()
+        if data is None:
+            return None
+        cap = self.batch_size
+        h, w = self.height, self.width
+        ysz, csz = h * w, (h // 2) * (w // 2)
+        flat = np.ctypeslib.as_array(data, shape=(cap * self.frame_bytes,))
+        y = flat[: n * ysz].reshape(n, h, w)
+        u = flat[cap * ysz: cap * ysz + n * csz].reshape(n, h // 2, w // 2)
+        v = flat[
+            cap * (ysz + csz): cap * (ysz + csz) + n * csz
+        ].reshape(n, h // 2, w // 2)
+        return y, u, v
 
     def release(self) -> None:
         self._lib.vpf_pool_release_batch(self._h)
@@ -150,11 +192,15 @@ class NativeDecodePool:
         """
         depth = max(1, min(depth, max(1, int(getattr(self, "_n_buffers", 4)) - 1)))
         if planar_views is None:
-            planar_views = (
+            planar_views = self.plane_major or (
                 postproc is not None
                 and self.out_format == PixelFormat.YUV420
                 and getattr(postproc, "src_format", None)
                 == PixelFormat.YUV420
+            )
+        if self.plane_major and not planar_views:
+            raise ValueError(
+                "plane-major pools only serve the planar-view feed"
             )
         pending: list = []  # FIFO of dispatched outs; slot release deferred
 
@@ -169,25 +215,36 @@ class NativeDecodePool:
         try:
             while True:
                 with self.timer.measure("acquire"):
-                    batch = self.acquire()
+                    batch = (
+                        self.acquire_planes() if self.plane_major
+                        else self.acquire()
+                    )
                 if batch is None:
                     break
+                if self.plane_major:
+                    planes = batch
+                elif planar_views:
+                    planes = self._planar_views(batch)
+                else:
+                    planes = (batch,)
                 with self.timer.measure("dispatch"), trace_range(
                     "FusedPostproc"
                 ):
                     if postproc is not None:
-                        out = (
-                            postproc(*self._planar_views(batch))
-                            if planar_views else postproc(batch)
-                        )
+                        out = postproc(*planes)
                     else:
-                        out = jax.device_put(batch)
-                        if next(iter(out.devices())).platform == "cpu":
+                        out = jax.tree_util.tree_map(jax.device_put, planes)
+                        first = jax.tree_util.tree_leaves(out)[0]
+                        if next(iter(first.devices())).platform == "cpu":
                             # CPU-jax device_put may zero-copy-ALIAS the
                             # ring slot's host memory; a device-side copy
                             # breaks the alias before the slot is recycled
                             # (jit postproc outputs are always fresh)
-                            out = out.copy()
+                            out = jax.tree_util.tree_map(
+                                lambda a: a.copy(), out
+                            )
+                        if not self.plane_major and not planar_views:
+                            out = out[0]  # packed single-array contract
                 pending.append(out)
                 if len(pending) >= depth:
                     yield drain_one()
