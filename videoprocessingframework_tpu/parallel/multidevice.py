@@ -103,15 +103,23 @@ class MultiDeviceStreamPipeline:
         # workers keep two to fill (the pool supports multiple
         # concurrently-held batches, released FIFO).
         self._held_max = len(self.devices)
+        fmt = PixelFormat.YUV420 if out_format is None else out_format
+        # plane-major ring for YUV420 + plane-aware postproc: the per-
+        # device device_put of each contiguous plane region needs no host
+        # re-copy (frame-major planar views are strided → a full staging
+        # copy per dispatch)
+        self._planar = (
+            PixelFormat(fmt) == PixelFormat.YUV420
+            and getattr(postproc, "src_format", None) == PixelFormat.YUV420
+        )
         self.pool = NativeDecodePool(
             list(sources),
             batch_size=batch_size,
-            out_format=(
-                PixelFormat.YUV420 if out_format is None else out_format
-            ),
+            out_format=fmt,
             loop=loop,
             max_frames_per_stream=max_frames_per_stream,
             n_buffers=self._held_max + 2,
+            plane_major=self._planar,
         )
         self.frames = 0
 
@@ -133,28 +141,25 @@ class MultiDeviceStreamPipeline:
 
         while True:
             with self.timer.measure("acquire"):
-                batch = self.pool.acquire()
-            if batch is None:
+                planes = (
+                    self.pool.acquire_planes() if self._planar
+                    else self.pool.acquire()
+                )
+            if planes is None:
                 break
+            if not self._planar:
+                planes = (planes,)
             dev = self.devices[k % len(self.devices)]
             k += 1
             with self.timer.measure("dispatch"), trace_range(
                 "FusedPostproc"
             ):
-                # planar YUV420 + matching postproc: stage free (y, u, v)
-                # plane views so the device never pays the packed→planar
+                # contiguous plane regions (plane-major ring) stage to the
+                # device with no host re-copy and no packed→planar device
                 # relayout (same contract as NativeDecodePool.batches)
-                if (
-                    self.pool.out_format == PixelFormat.YUV420
-                    and getattr(self.postproc, "src_format", None)
-                    == PixelFormat.YUV420
-                ):
-                    planes = self.pool._planar_views(batch)
-                else:
-                    planes = (batch,)
                 staged = [jax.device_put(p, dev) for p in planes]
                 out = self.postproc(*staged)
-            pending.append((out, batch.shape[0]))
+            pending.append((out, planes[0].shape[0]))
             if len(pending) >= self._held_max:
                 yield retire()
         while pending:
