@@ -98,3 +98,10 @@ def test_encode_feed_validates_inputs():
         encode_feed(rgb, out_h=33, out_w=32)
     with pytest.raises(ValueError, match="RGB"):
         encode_feed(np.zeros((1, 32, 32, 4), np.uint8), out_h=32, out_w=32)
+
+
+def test_encode_feed_rejects_unknown_compute():
+    """compute typos must raise like decode_postproc does (advisor r2)."""
+    rgb = np.zeros((1, 32, 32, 3), np.uint8)
+    with pytest.raises(ValueError, match="compute"):
+        encode_feed(rgb, out_h=16, out_w=16, compute="split-bf16")

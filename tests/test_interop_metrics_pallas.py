@@ -449,3 +449,18 @@ def test_planar_layout_picks_16_row_tiles_at_1080p():
     assert lay is not None and lay["mode"] == "whole"
     assert lay["tile"] == 16
     assert lay["t_cnt"] == 224 // 16
+
+
+def test_nv12_vmem_feasibility_gate():
+    """The NV12 kernel gate must include the VMEM footprint (advisor r2):
+    the product downscale passes, a full-res f32 output (K2 inputs alone
+    exceed the budget) is rejected so kernel="auto" falls back to XLA
+    instead of failing at Mosaic compile time."""
+    from videoprocessingframework_tpu.ops.pallas_fused import (
+        fused_pallas_nv12_supported,
+    )
+
+    assert fused_pallas_nv12_supported(1080, 1920, 224, 224, "lanczos", 1)
+    assert not fused_pallas_nv12_supported(
+        1080, 1920, 1080, 1920, "lanczos", 4
+    )

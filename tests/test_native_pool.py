@@ -238,3 +238,14 @@ def test_pool_plane_major_rejects_other_formats(test_mp4):
     with pytest.raises(ValueError, match="YUV420"):
         NativeDecodePool([test_mp4], out_format=PixelFormat.NV12,
                          plane_major=True)
+
+
+def test_pool_planar_views_rejected_on_non_yuv420(test_mp4):
+    """Explicit planar_views=True on an NV12 pool must raise — the packed
+    buffer's interleaved UV rows are not planar u/v planes (advisor r2)."""
+    pool = NativeDecodePool(
+        [test_mp4], batch_size=4, out_format=PixelFormat.NV12
+    )
+    with pytest.raises(ValueError, match="planar_views"):
+        next(pool.batches(planar_views=True))
+    pool.close()

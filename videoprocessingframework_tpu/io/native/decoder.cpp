@@ -225,6 +225,13 @@ struct Decoder {
     const int w = current->width, h = current->height;
     if ((size_t)w * h != expected_luma_bytes)
       return vpf_set_error(VPF_ERR, "planar3 geometry mismatch: %dx%d", w, h);
+    if ((w | h) & 1)
+      /* ffmpeg ceil-divides chroma dims for odd yuv420p frames; the
+       * truncating cw/ch below would silently copy a misaligned chroma
+       * grid, so reject odd geometry outright. */
+      return vpf_set_error(VPF_ERR,
+                           "planar3 pack needs even dimensions, got %dx%d", w,
+                           h);
     const int cw = w / 2, ch = h / 2;
     auto copy_plane = [&](const uint8_t* src, int pitch, int rows,
                           int row_bytes, uint8_t* out) {

@@ -198,6 +198,12 @@ class NativeDecodePool:
                 and getattr(postproc, "src_format", None)
                 == PixelFormat.YUV420
             )
+        elif planar_views and self.out_format != PixelFormat.YUV420:
+            # an explicit planar_views=True on e.g. an NV12 pool would
+            # silently reinterpret interleaved UV rows as bogus u/v planes
+            raise ValueError(
+                f"planar_views requires a YUV420 pool, not {self.out_format}"
+            )
         if self.plane_major and not planar_views:
             raise ValueError(
                 "plane-major pools only serve the planar-view feed"

@@ -366,18 +366,21 @@ class FusedPipeline:
 
     def _pallas_ok(self, pallas_in):
         from .pallas_fused import (
+            fused_pallas_nv12_supported,
             fused_pallas_planar_supported,
-            fused_pallas_supported,
         )
 
         mode, y = pallas_in[0], pallas_in[1]
+        out_elem = 1 if self.output == "rgb_u8" else 4
         if mode == "planar":
             return fused_pallas_planar_supported(
                 y.shape[-2], y.shape[-1], self.out_h, self.out_w,
-                self.method,
-                out_elem_bytes=1 if self.output == "rgb_u8" else 4,
+                self.method, out_elem_bytes=out_elem,
             )
-        return fused_pallas_supported(y.shape[-1], self.out_h)
+        return fused_pallas_nv12_supported(
+            y.shape[-2], y.shape[-1], self.out_h, self.out_w,
+            self.method, out_elem_bytes=out_elem,
+        )
 
     def _run_pallas(self, mode, *planes):
         from .pallas_fused import (
@@ -585,6 +588,8 @@ def encode_feed(
         rgb = rgb[..., ::-1]
     if not jnp.issubdtype(rgb.dtype, jnp.integer):
         rgb = rgb.astype(jnp.float32) * 255.0
+    if compute not in ("auto", "split_bf16", "highest"):
+        raise ValueError(f"unknown compute mode {compute!r}")
     mode = "split_bf16" if compute in ("auto", "split_bf16") else "highest"
     rmat = jnp.asarray(resize_matrix(h, out_h, method))
     cmat = jnp.asarray(resize_matrix(w, out_w, method))

@@ -563,6 +563,69 @@ def fused_pallas_supported(w: int, out_h: int) -> bool:
     return _lanes_for(w) > 0 and out_h % 8 == 0
 
 
+@lru_cache(maxsize=256)
+def _nv12_layout_ok(h, w, out_h, out_w, method, out_elem_bytes):
+    """VMEM-residency feasibility of the NV12 two-kernel pair, mirroring
+    the exact allocations of :func:`fused_nv12_resize_rgb_pallas` (K1
+    stripe blocks + row bands, K2 whole-frame f32 inputs + column bands +
+    output block). Without this, large out sizes or 4-byte outputs fail
+    at Mosaic compile time instead of falling back to XLA."""
+    lanes = _lanes_for(w)
+    if not lanes or out_h % 8 or h % 2:
+        return False
+    if method not in ("lanczos", "bilinear", "nearest"):
+        return False
+    hp = _round_up(h, 64)
+    hp2 = hp // 2
+    rm_np = np.zeros((out_h, hp), np.float32)
+    rm_np[:, :h] = resize_matrix(h, out_h, method)
+    rc_np = np.zeros((out_h, hp2), np.float32)
+    rc_np[:, : h // 2] = (
+        resize_matrix(h, out_h, method).reshape(out_h, h // 2, 2).sum(-1)
+    )
+    band_bytes = None
+    for cand_tile, align in _ROW_TILES:
+        if out_h % cand_tile:
+            continue
+        ry = _row_windows(rm_np, hp, 512, align, cand_tile)
+        rc = _row_windows(rc_np, hp2, 512, align, cand_tile)
+        if ry is None or rc is None:
+            continue
+        t_cnt = out_h // cand_tile
+        cand = t_cnt * cand_tile * (ry[0] + rc[0]) * 2 * 2  # hi+lo bf16
+        band_bytes = cand if band_bytes is None else min(band_bytes, cand)
+    if band_bytes is None:  # dense-matrix K1 fallback
+        band_bytes = (out_h * hp + out_h * hp2) * 2 * 2
+    k1_vmem = hp * lanes + hp2 * lanes + band_bytes + 2 * out_h * lanes * 4
+
+    out_wp = _round_up(out_w, 128)
+    cmat = resize_matrix(w, out_w, method)
+    coll = cmat.reshape(out_w, w // 2, 2).sum(-1)
+    cy_t = np.zeros((out_wp, w), np.float32)
+    cy_t[:out_w] = cmat
+    ce_t = np.zeros((out_wp, w), np.float32)
+    ce_t[:out_w, 0::2] = coll
+    co_t = np.zeros((out_wp, w), np.float32)
+    co_t[:out_w, 1::2] = coll
+    _, win_w = _col_windows((cy_t != 0) | (ce_t != 0) | (co_t != 0), w)
+    n_tiles = out_wp // 128
+    k2_vmem = (
+        2 * out_h * w * 4
+        + 6 * n_tiles * win_w * 128 * 2
+        + 3 * out_h * out_wp * out_elem_bytes
+    )
+    return max(k1_vmem, k2_vmem) <= _VMEM_BUDGET
+
+
+def fused_pallas_nv12_supported(h: int, w: int, out_h: int, out_w: int,
+                                method: str = "lanczos",
+                                out_elem_bytes: int = 1) -> bool:
+    """Full gate for :func:`fused_nv12_resize_rgb_pallas`: lane/alignment
+    rules AND the VMEM footprint of both kernels (the planar path's
+    :func:`fused_pallas_planar_supported` analog)."""
+    return _nv12_layout_ok(h, w, out_h, out_w, method, out_elem_bytes)
+
+
 # ---- planar YUV420 front-end -----------------------------------------------
 # The decode-pool hot path packs planar YUV420 (host pack = pure row
 # memcpys). Interleaving u/v into NV12 layout for the kernel costs an XLA
