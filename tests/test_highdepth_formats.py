@@ -166,3 +166,50 @@ def test_gray12_encode_decode_roundtrip():
         psnr = 10 * np.log10(65535.0**2 / max((err ** 2).mean(), 1e-9))
         assert psnr > 40, psnr
         assert (rec & 0xF).max() == 0  # MSB-aligned 12-bit payload
+
+
+def test_yuv444_10bit_hevc_round_trip(tmp_path):
+    """YUV444_10bit encode input (reference PyNvEncoder.cpp:204-221):
+    MSB-aligned 16-bit planar 4:4:4 → yuv444p10 hevc → decode back to the
+    same packed layout, near-lossless at qp 1."""
+    enc = VideoEncoder(
+        {"codec": "hevc", "preset": "P1", "s": f"{W}x{H}",
+         "fmt": "YUV444_10bit", "constqp": "1"}
+    )
+    assert enc.format == PixelFormat.YUV444_10bit
+    assert enc.frame_size_in_bytes() == W * H * 6
+    frames_in = []
+    stream = bytearray()
+    for i in range(4):
+        planes = (
+            (np.arange(H * W * 3, dtype=np.uint32).reshape(3, H, W) * 7
+             + i * 13) % 1024
+        ).astype(np.uint16) << 6
+        f = planes.ravel().view(np.uint8)
+        frames_in.append(f)
+        out = enc.encode(f, sync=True)
+        if out:
+            stream += out[0].tobytes()
+    for pkt, _ in enc.flush():
+        stream += pkt.tobytes()
+    path = tmp_path / "y444_10.h265"
+    path.write_bytes(bytes(stream))
+
+    r = VideoReader(str(path))
+    decoded = list(r.frames())
+    assert len(decoded) == 4
+    f0 = decoded[0]
+    assert f0.format == PixelFormat.YUV444_10bit
+    assert f0.data.nbytes == W * H * 6
+    got = f0.data.view(np.uint16).reshape(3, H, W)
+    want = frames_in[0].view(np.uint16).reshape(3, H, W)
+    assert np.abs(got.astype(int) - want.astype(int)).mean() < 256
+
+
+def test_yuv444_10bit_requires_hevc():
+    enc = VideoEncoder(
+        {"codec": "h264", "preset": "P1", "s": f"{W}x{H}",
+         "fmt": "YUV444_10bit"}
+    )
+    with pytest.raises(Exception, match="hevc"):
+        enc.encode(np.zeros(W * H * 6, np.uint8))

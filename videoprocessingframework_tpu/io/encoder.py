@@ -85,9 +85,9 @@ class VideoEncoder:
         except KeyError:
             raise ValueError(f"Unsupported encoder input format: {fmt}")
         # reference input-format set (PyNvEncoder.cpp:204-221): NV12,
-        # YUV444, 10-bit 4:2:0 (P10/YUV420_10bit/P12); plus planar YUV420
-        # and 12-bit gray (hevc gray12le — FfmpegSwDecoder.cpp GRAY12LE
-        # analog)
+        # YUV444, 10-bit 4:2:0 (P10/YUV420_10bit/P12), YUV444_10bit; plus
+        # planar YUV420 and 12-bit gray (hevc gray12le —
+        # FfmpegSwDecoder.cpp GRAY12LE analog)
         if self.format not in (
             PixelFormat.NV12,
             PixelFormat.YUV420,
@@ -96,6 +96,7 @@ class VideoEncoder:
             PixelFormat.P10,
             PixelFormat.P12,
             PixelFormat.YUV420_10bit,
+            PixelFormat.YUV444_10bit,
             PixelFormat.GRAY12,
         ):
             raise ValueError(f"Unsupported encoder input format: {fmt}")

@@ -327,6 +327,21 @@ struct Decoder {
                    dst + (size_t)p * w * h);
       return VPF_OK;
     }
+    if (fmt == VPF_FMT_YUV444_10BIT &&
+        (src_fmt == AV_PIX_FMT_YUV444P10 || src_fmt == AV_PIX_FMT_YUV444P12)) {
+      // 10/12-bit planar 4:4:4 -> MSB-aligned 16-bit planar (P1x convention)
+      const int shift = src_fmt == AV_PIX_FMT_YUV444P10 ? 6 : 4;
+      for (int p = 0; p < 3; p++) {
+        uint16_t* out = (uint16_t*)dst + (size_t)p * w * h;
+        for (int r = 0; r < h; r++) {
+          const uint16_t* srow =
+              (const uint16_t*)(current->data[p] +
+                                (size_t)r * current->linesize[p]);
+          for (int c = 0; c < w; c++) out[(size_t)r * w + c] = srow[c] << shift;
+        }
+      }
+      return VPF_OK;
+    }
     if ((fmt == VPF_FMT_P10 || fmt == VPF_FMT_P12)) {
       // 10/12-bit planar 4:2:0 → MSB-aligned 16-bit NV12-layout (P010/P012)
       int depth = src_fmt == AV_PIX_FMT_YUV420P10 ? 10

@@ -183,6 +183,14 @@ struct Encoder {
             VPF_ERR, "10-bit input requires the hevc encoder");
       pix = AV_PIX_FMT_YUV420P10;
       in_fmt = VPF_FMT_P10;
+    } else if (fmt == "YUV444_10bit" || fmt == "YUV444_10BIT") {
+      // 10-bit 4:4:4: MSB-aligned 16-bit planar input, encoded as
+      // yuv444p10 (reference input set: PyNvEncoder.cpp:204-221).
+      if (codec_name == "h264" || codec_name == "H264")
+        return vpf_set_error(
+            VPF_ERR, "10-bit input requires the hevc encoder");
+      pix = AV_PIX_FMT_YUV444P10;
+      in_fmt = VPF_FMT_YUV444_10BIT;
     } else if (fmt == "GRAY12") {
       // 12-bit grayscale: packed 16-bit MSB-aligned input, encoded as
       // gray12le (hevc/libx265 supports it; reference analog is the
@@ -379,6 +387,22 @@ struct Encoder {
                  up + (size_t)r * cw, cw);
           memcpy(frame->data[2] + (size_t)r * frame->linesize[2],
                  vp + (size_t)r * cw, cw);
+        }
+        return VPF_OK;
+      }
+      case VPF_FMT_YUV444_10BIT: {
+        // MSB-aligned 16-bit planar 4:4:4 input -> yuv444p10 (LSB)
+        if (size < need * 6)
+          return vpf_set_error(VPF_ERR, "YUV444_10bit frame too small");
+        const uint16_t* sp = (const uint16_t*)src;
+        for (int p = 0; p < 3; p++) {
+          const uint16_t* plane = sp + (size_t)p * need;
+          for (int r = 0; r < h; r++) {
+            uint16_t* drow =
+                (uint16_t*)(frame->data[p] + (size_t)r * frame->linesize[p]);
+            const uint16_t* srow = plane + (size_t)r * w;
+            for (int c = 0; c < w; c++) drow[c] = srow[c] >> 6;
+          }
         }
         return VPF_OK;
       }
