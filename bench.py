@@ -120,53 +120,78 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
-def transcode_metrics(clip, width, height, frames=48):
-    """Host transcode loop (decode → re-encode) fps + recon PSNR — the
-    SampleMeasureVideoQuality analog (BASELINE.md configs[4])."""
+def _luma_frames(path, n, width, height):
     from videoprocessingframework_tpu.core.enums import PixelFormat
-    from videoprocessingframework_tpu.io import VideoEncoder
     from videoprocessingframework_tpu.io.decoder import VideoReader
 
-    r = VideoReader(str(clip))
+    r = VideoReader(str(path))
     r.decoder.output_format = PixelFormat.YUV420
-    enc = VideoEncoder(
-        {"codec": "h264", "preset": "P1", "fmt": "YUV420",
-         "s": f"{width}x{height}", "bitrate": "8M", "gop": "30"}
-    )
     buf = np.empty((height * 3 // 2, width), np.uint8)
-    stream = bytearray()
-    n = 0
-    originals = []
-    t0 = time.perf_counter()
-    while n < frames:
+    out = []
+    while len(out) < n:
         f = r.decode(out=buf)
         if f is None:
             break
-        if n < 8:
-            originals.append(buf[:height].copy())
-        out = enc.encode(buf)
-        if out is not None:
-            stream += out[0].tobytes()
-        n += 1
-    for pkt, _ in enc.flush():
-        stream += pkt.tobytes()
-    dt = time.perf_counter() - t0
-    fps = n / dt if dt else 0.0
+        out.append(buf[:height].copy())
+    return out
+
+
+def transcode_metrics(clip, width, height, preset="P1", streams=1):
+    """Overlapped transcode (native decode worker + encoder thread,
+    io/transcode.py) fps + recon PSNR — the SampleMeasureVideoQuality
+    analog (BASELINE.md configs[4]). ``streams > 1`` runs the
+    stream-per-thread aggregate (multi-core hosts)."""
+    from videoprocessingframework_tpu.io import transcode, transcode_many
+
+    opts = {"preset": preset, "bitrate": "8M", "gop": "30"}
+    if streams > 1:
+        agg = transcode_many([str(clip)] * streams, opts)
+        return agg.fps, 0.0  # aggregate mode: fps only
+    stream, st = transcode(str(clip), opts)
 
     # decode the re-encoded stream, PSNR of the first frames' luma
     es = BENCH_DIR / "transcode_check.h264"
-    es.write_bytes(bytes(stream))
-    r2 = VideoReader(str(es))
-    r2.decoder.output_format = PixelFormat.YUV420
+    es.write_bytes(stream)
+    originals = _luma_frames(clip, 8, width, height)
+    recons = _luma_frames(es, 8, width, height)
     psnrs = []
-    for orig in originals:
-        f = r2.decode(out=buf)
-        if f is None:
-            break
-        err = orig.astype(np.float64) - buf[:height].astype(np.float64)
+    for orig, recon in zip(originals, recons):
+        err = orig.astype(np.float64) - recon.astype(np.float64)
         mse = max((err**2).mean(), 1e-9)
         psnrs.append(10 * np.log10(255.0**2 / mse))
-    return fps, (float(np.mean(psnrs)) if psnrs else 0.0)
+    return st.fps, (float(np.mean(psnrs)) if psnrs else 0.0)
+
+
+def kernel_fidelity(postproc, planes, out_h, out_w, space, rng):
+    """On-chip fidelity gate (VERDICT r2 #3): run the PINNED kernel on the
+    real backend over decoded frames and compare against the float64
+    golden (resize matrices + ITU CSC, upsample-then-resize — identical
+    by linearity to the kernel's fold). Returns (max_ulp, ok). This
+    certifies the actual Mosaic codegen every bench run, not just the
+    interpret-mode tests."""
+    import jax
+
+    from videoprocessingframework_tpu.ops import colorspace as cspace
+    from videoprocessingframework_tpu.ops.resize import resize_matrix
+
+    y, u, v = (np.asarray(p, np.float64) for p in planes)
+    out = np.asarray(jax.block_until_ready(postproc(*planes)))  # NHWC u8
+    rm = resize_matrix(y.shape[-2], out_h, "lanczos").astype(np.float64)
+    cm = resize_matrix(y.shape[-1], out_w, "lanczos").astype(np.float64)
+    uu = np.repeat(np.repeat(u, 2, -2), 2, -1)
+    vv = np.repeat(np.repeat(v, 2, -2), 2, -1)
+
+    def rsz(p):
+        return np.einsum("oh,nhw->now", rm, p) @ cm.T
+
+    M, OFF = cspace.rgb_from_ycbcr_matrix(space, rng)
+    M, OFF = np.asarray(M, np.float64), np.asarray(OFF, np.float64)
+    ycc = np.stack(
+        [rsz(y) - OFF[0], rsz(uu) - OFF[1], rsz(vv) - OFF[2]], -1
+    )
+    want = np.clip(np.rint(np.einsum("...c,dc->...d", ycc, M)), 0, 255)
+    ulp = int(np.abs(out.astype(int) - want.astype(int)).max())
+    return ulp, ulp <= 1
 
 
 def main() -> int:
@@ -179,6 +204,10 @@ def main() -> int:
         "--profile",
         metavar="DIR",
         help="capture a jax profiler trace of one benchmark run into DIR",
+    )
+    ap.add_argument(
+        "--ladder", action="store_true",
+        help="measure the encoder preset ladder (fps vs PSNR) and exit",
     )
     ap.add_argument(
         "--_single", action="store_true", help="internal: one run, raw output"
@@ -204,6 +233,15 @@ def main() -> int:
     clip = BENCH_DIR / f"bench_{width}x{height}_{clip_frames}.h264"
     if not clip.exists():
         make_clip(clip, width, height, clip_frames)
+
+    if args.ladder:
+        ladder = {}
+        for preset in ("P1", "P2", "P3", "P4", "P5"):
+            fps, psnr = transcode_metrics(clip, width, height, preset=preset)
+            ladder[preset] = {"fps": round(fps, 1), "psnr_db": round(psnr, 2)}
+        print(json.dumps({"metric": "transcode preset ladder",
+                          "clip": f"{width}x{height}", "ladder": ladder}))
+        return 0
 
     # one decode stream per available core (alternating decoder contexts on
     # a shared core halves throughput — measured 170→78 fps on 1 core)
@@ -392,6 +430,17 @@ def main() -> int:
     decode_only_fps = run_decode_only()
     result["extra"]["decode_only_fps"] = round(decode_only_fps, 1)
 
+    # real-content planes for the on-chip fidelity gate (first decoded
+    # batch of the bench clip — NOT zeros; gradients exercise the resize)
+    fidelity_pool = NativeDecodePool(
+        [str(clip)], batch_size=2, out_format=PixelFormat.YUV420,
+        plane_major=True,
+    )
+    fid_planes = fidelity_pool.acquire_planes()
+    fid_planes = tuple(np.array(p) for p in fid_planes)
+    fidelity_pool.release()
+    fidelity_pool.close()
+
     # Link weather varies over MINUTES; each run samples one window of it,
     # so back-to-back runs mostly resample the same window. Take at least
     # 3 runs and keep sampling (up to 14 / 330 s), pausing ~20 s after any
@@ -420,6 +469,12 @@ def main() -> int:
             time.sleep(20.0)
     stats, timer = max(runs, key=lambda r: r[0].fps)
     runs = [r[0] for r in runs]
+
+    # re-measure the decode ceiling AFTER the E2E samples (same capture):
+    # decode is CPU-bound and weather-free, so max(before, after) is the
+    # honest same-capture ceiling for the sustained ratio.
+    decode_only_fps = max(decode_only_fps, run_decode_only())
+    result["extra"]["decode_only_fps"] = round(decode_only_fps, 1)
 
     def best_window_fps(all_runs):
         """Best sustained contiguous window (≥ quarter of a run, ≥4
@@ -465,6 +520,13 @@ def main() -> int:
         frames=stats.frames_decoded,
         wall_s=round(stats.wall_s, 3),
         all_runs_fps=[round(s.fps, 1) for s in runs],
+        # SUSTAINED headline: value is a full-run fps; this is its share
+        # of the same-capture host decode ceiling (the r2 VERDICT metric)
+        sustained_ratio=round(
+            stats.fps / decode_only_fps, 3
+        ) if decode_only_fps else 0.0,
+        # diagnostic only — best contiguous window can exceed the ceiling
+        # reading through tunnel weather; never the headline
         best_window_fps=round(best_window_fps(runs), 1),
         upload_gbps=round(upload_gbps, 3),
         bottleneck=bottleneck,
@@ -473,13 +535,26 @@ def main() -> int:
         } if timer else {},
     )
 
+    # on-chip fidelity gate: the pinned kernel's Mosaic codegen must stay
+    # ≤1 u8 ULP vs the float64 golden on real decoded frames
+    try:
+        ulp, ok = kernel_fidelity(
+            postproc, fid_planes, 224, 224,
+            ColorSpace.BT_709, ColorRange.MPEG,
+        )
+        result["extra"]["kernel_ulp"] = ulp
+        result["extra"]["kernel_ulp_ok"] = ok
+    except Exception:
+        result["extra"]["kernel_ulp_ok"] = False
+
     # device-resident throughput of the PRODUCT postproc path (planar
     # plane views, as the pool feeds it; autotuned)
     kfps, kgbs = device_slope_fps(postproc, dummy_planes)
     result["extra"]["kernel_only_fps"] = round(kfps, 1)
     result["extra"]["kernel_input_gbps"] = round(kgbs, 3)
 
-    # BASELINE.md transcode+quality config: host re-encode loop + PSNR
+    # BASELINE.md transcode+quality config: overlapped decode→encode
+    # pipeline + PSNR; stream-per-thread aggregate when cores allow
     try:
         transcode_fps, transcode_psnr = transcode_metrics(
             clip, width, height
@@ -489,6 +564,14 @@ def main() -> int:
 
     result["extra"]["transcode_fps"] = round(transcode_fps, 1)
     result["extra"]["transcode_psnr_db"] = round(transcode_psnr, 2)
+    if ncpu > 1:
+        try:
+            agg_fps, _ = transcode_metrics(
+                clip, width, height, streams=min(ncpu, 8)
+            )
+            result["extra"]["transcode_agg_fps"] = round(agg_fps, 1)
+        except Exception:
+            pass
 
     # BASELINE.md "E2E ResNet fps": fused preprocess + ResNet-50 forward,
     # data resident (the SampleTorchResnet device-side analog)

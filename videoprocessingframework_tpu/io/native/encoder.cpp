@@ -211,7 +211,11 @@ struct Encoder {
     avctx->framerate = {fps, 1};
 
     avctx->gop_size = atoi(opt("gop", opt("idrperiod", "250")).c_str());
-    avctx->max_b_frames = has("bf") ? atoi(opt("bf").c_str()) : 3;
+    // B-frames: explicit 'bf' wins; otherwise -1 lets the encoder's own
+    // preset ladder decide (x264 ultrafast natively runs bframes=0 —
+    // forcing the old fixed default of 3 cost P1 ~30% fps, measured;
+    // NVENC's frameIntervalP is likewise preset-derived).
+    avctx->max_b_frames = has("bf") ? atoi(opt("bf").c_str()) : -1;
     if (has("qmin")) avctx->qmin = atoi(opt("qmin").c_str());
     if (has("qmax")) avctx->qmax = atoi(opt("qmax").c_str());
     if (has("numrefl0")) avctx->refs = atoi(opt("numrefl0").c_str());
@@ -276,7 +280,7 @@ struct Encoder {
       // frames): small lookahead (must exceed bframes), single frame
       // thread (frame threading adds 2-3 frames of delay). x265 tuning
       // goes through the x265-params string.
-      if (!has("bf")) avctx->max_b_frames = 2;
+      if (avctx->max_b_frames < 0) avctx->max_b_frames = 2;
       int la = has("lookahead") ? atoi(opt("lookahead").c_str())
                                 : avctx->max_b_frames + 1;
       if (la <= avctx->max_b_frames) la = avctx->max_b_frames + 1;
@@ -305,9 +309,13 @@ struct Encoder {
       avctx->global_quality = FF_QP2LAMBDA * 4;
     } else if (strcmp(codec->name, "mpeg4") == 0) {
       if (avctx->bit_rate == 0) avctx->bit_rate = 2000000;
+      if (avctx->max_b_frames < 0) avctx->max_b_frames = 0;
     }
 
-    if (zero_latency) avctx->thread_count = 1;
+    // zero-latency sessions stay single-threaded (threading adds frame
+    // delay); everything else gets libav auto threads — neutral on
+    // 1-core hosts, linear encode scaling on real TPU-VM hosts.
+    avctx->thread_count = zero_latency ? 1 : 0;
 
     int ret;
     {
