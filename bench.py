@@ -210,6 +210,13 @@ def main() -> int:
         help="measure the encoder preset ladder (fps vs PSNR) and exit",
     )
     ap.add_argument(
+        "--multicore", action="store_true",
+        help="BASELINE configs[2] validation: force the 16-stream "
+        "aggregate configuration (SampleDecodeMultiThread analog) "
+        "regardless of host_cpus — the one-command multi-core check for "
+        "real TPU-VM hosts",
+    )
+    ap.add_argument(
         "--_single", action="store_true", help="internal: one run, raw output"
     )
     args = ap.parse_args()
@@ -246,7 +253,10 @@ def main() -> int:
     # one decode stream per available core (alternating decoder contexts on
     # a shared core halves throughput — measured 170→78 fps on 1 core)
     ncpu = os.cpu_count() or 1
-    streams = args.streams or max(1, min(16, ncpu))
+    if args.multicore:
+        streams = args.streams or 16
+    else:
+        streams = args.streams or max(1, min(16, ncpu))
     # Short runs on purpose: each timed run samples ONE window of tunnel
     # weather (which swings 5-30x over minutes), so many short runs catch
     # a good window far more reliably than few long ones.
@@ -268,6 +278,17 @@ def main() -> int:
         "vs_baseline": 0.0,
         "extra": {"streams": streams, "host_cpus": ncpu},
     }
+    if args.multicore:
+        result["extra"]["config"] = (
+            "BASELINE configs[2]: 16-stream aggregate "
+            "(SampleDecodeMultiThread analog)"
+        )
+        if ncpu < streams:
+            result["extra"]["undersubscribed_host"] = (
+                f"{streams} streams on {ncpu} core(s): aggregate equals "
+                "the shared-core serial budget; run on a TPU-VM host for "
+                "the real scaling number"
+            )
 
     def _emit_partial(signum, frame):
         result["extra"]["truncated_by_signal"] = signum
