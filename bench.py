@@ -29,6 +29,16 @@ import numpy as np
 REPO = pathlib.Path(__file__).parent
 BENCH_DIR = REPO / ".bench"
 
+# Global wall-clock deadline (seconds; VPF_BENCH_DEADLINE to override):
+# optional metrics are skipped once exceeded so ONE JSON line always
+# prints well inside any outer `timeout` the driver wraps around us.
+_T0 = time.perf_counter()
+_DEADLINE = float(os.environ.get("VPF_BENCH_DEADLINE", "500"))
+
+
+def _time_left() -> float:
+    return _DEADLINE - (time.perf_counter() - _T0)
+
 
 def make_clip(path: pathlib.Path, width: int, height: int, frames: int) -> None:
     """Encode a synthetic moving-gradient clip with the framework encoder."""
@@ -199,7 +209,12 @@ def main() -> int:
     ap.add_argument("--quick", action="store_true", help="small CPU-friendly run")
     ap.add_argument("--streams", type=int, default=0)
     ap.add_argument("--frames", type=int, default=0, help="frames per stream")
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument(
+        "--batch", type=int, default=0,
+        help="frames per device batch (default: 32 full / 8 quick — "
+        "large batches amortize the per-dispatch link round trip, "
+        "measured 8->32 worth ~1.5x E2E on the tunneled rig)",
+    )
     ap.add_argument(
         "--profile",
         metavar="DIR",
@@ -227,6 +242,15 @@ def main() -> int:
 
     if args.quick:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache: the pinned kernels recompile per batch
+    # shape; caching them across bench invocations saves minutes of
+    # tunnel-bound warm-up (harmless no-op if the backend rejects it)
+    try:
+        cache_dir = str(BENCH_DIR / "jaxcache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from videoprocessingframework_tpu.core.enums import (
         ColorRange,
@@ -257,10 +281,17 @@ def main() -> int:
         streams = args.streams or 16
     else:
         streams = args.streams or max(1, min(16, ncpu))
+    if not args.batch:
+        args.batch = 8 if args.quick else 32
     # Short runs on purpose: each timed run samples ONE window of tunnel
     # weather (which swings 5-30x over minutes), so many short runs catch
-    # a good window far more reliably than few long ones.
-    frames_per_stream = args.frames or (clip_frames if args.quick else 120)
+    # a good window far more reliably than few long ones. Scaled to the
+    # batch so every run still TIMES >= 6 post-warmup batches (fewer and
+    # the ring's pre-decoded warmup slots inflate the read — a 2-batch
+    # window once misread 978 fps against a 389 fps decode ceiling).
+    frames_per_stream = args.frames or (
+        clip_frames if args.quick else 8 * args.batch
+    )
 
     from videoprocessingframework_tpu.io import NativeDecodePool
 
@@ -467,9 +498,11 @@ def main() -> int:
     # 3 runs and keep sampling (up to 14 / 330 s), pausing ~20 s after any
     # clearly-bad run so the next sample lands in a different weather
     # window — more independent shots at a good one. Best reported, all
-    # recorded.
+    # recorded. (A pre-run bandwidth probe was tried and removed: a
+    # single device_put + block_until_ready returns in less than one link
+    # RTT on this platform — it measures enqueue, not transfer.)
     runs = []
-    budget_s = 330.0
+    budget_s = min(240.0, max(60.0, _time_left() - 150.0))
     bad_fps = 0.15 * max(decode_only_fps, 1.0)
     t_start = time.perf_counter()
     for i in range(14):
@@ -559,6 +592,8 @@ def main() -> int:
     # on-chip fidelity gate: the pinned kernel's Mosaic codegen must stay
     # ≤1 u8 ULP vs the float64 golden on real decoded frames
     try:
+        if _time_left() < 60.0:
+            raise TimeoutError("bench deadline")
         ulp, ok = kernel_fidelity(
             postproc, fid_planes, 224, 224,
             ColorSpace.BT_709, ColorRange.MPEG,
@@ -570,12 +605,14 @@ def main() -> int:
 
     # device-resident throughput of the PRODUCT postproc path (planar
     # plane views, as the pool feeds it; autotuned)
-    kfps, kgbs = device_slope_fps(postproc, dummy_planes)
-    result["extra"]["kernel_only_fps"] = round(kfps, 1)
-    result["extra"]["kernel_input_gbps"] = round(kgbs, 3)
+    if _time_left() > 90.0:
+        kfps, kgbs = device_slope_fps(postproc, dummy_planes)
+        result["extra"]["kernel_only_fps"] = round(kfps, 1)
+        result["extra"]["kernel_input_gbps"] = round(kgbs, 3)
 
     # BASELINE.md transcode+quality config: overlapped decode→encode
     # pipeline + PSNR; stream-per-thread aggregate when cores allow
+    # (host-CPU work — cheap and weather-free, so not deadline-gated)
     try:
         transcode_fps, transcode_psnr = transcode_metrics(
             clip, width, height
@@ -597,7 +634,7 @@ def main() -> int:
     # BASELINE.md "E2E ResNet fps": fused preprocess + ResNet-50 forward,
     # data resident (the SampleTorchResnet device-side analog)
     resnet_fps = 0.0
-    if not args.quick:
+    if not args.quick and _time_left() > 120.0:
         try:
             from videoprocessingframework_tpu.models import (
                 init_params,
