@@ -113,119 +113,171 @@ struct Pool {
     }
   }
 
-  /* Worker main: demux+decode one stream into claimed slots.
-   * Exactly one live_workers decrement, on exit (worker_exit). */
-  void worker_main(int sid) {
-    worker_body(sid);
+  /* One stream's demux+decode session owned by a worker. */
+  struct StreamSession {
+    int sid = 0;
+    void* dmx = nullptr;
+    void* dec = nullptr;
+    long frames = 0;   // produced so far (caps at max_frames_per_stream)
+    bool done = false; // finished for good (EOF and not looping, or cap)
+
+    bool open(Pool& p) {
+      dmx = vpf_demuxer_open(p.urls[sid % p.urls.size()].c_str(), nullptr,
+                             nullptr, 0);
+      if (!dmx) return false;
+      dec = vpf_decoder_create(vpf_demuxer_codec_id(dmx), nullptr, 0, 0, 0);
+      if (!dec) {
+        vpf_demuxer_close(dmx);
+        dmx = nullptr;
+        return false;
+      }
+      return true;
+    }
+    void close() {
+      if (dec) vpf_decoder_destroy(dec);
+      if (dmx) vpf_demuxer_close(dmx);
+      dec = dmx = nullptr;
+    }
+  };
+
+  /* Worker main: each worker owns a GROUP of streams (round-robin within
+   * the group) so workers ≈ cores even when streams ≫ cores — 16
+   * thread-per-stream sessions on a small host thrash caches/scheduler
+   * (the reference's thread-per-stream maps 1:1 onto big GPU hosts; the
+   * pool serves any streams:cores ratio). Exactly one live_workers
+   * decrement, on exit. */
+  void worker_main(int wid) {
+    worker_body(wid);
     std::lock_guard<std::mutex> lk(mu);
     live_workers--;
     cv.notify_all();
   }
 
-  void worker_body(int sid) {
-    long my_frames = 0;
-    do {
-      void* dmx = vpf_demuxer_open(urls[sid % urls.size()].c_str(), nullptr,
-                                   nullptr, 0);
-      if (!dmx) {
-        fail("demuxer open failed");
-        return;
+  /* Produce ONE decoded frame from session `ss` into a claimed slot.
+   * Returns false when the session finished (EOF without loop / cap /
+   * shutdown). */
+  bool produce_one(StreamSession& ss) {
+    for (;;) {  // may reopen on loop
+      if (stop.load()) return false;
+      if (max_frames_per_stream && ss.frames >= max_frames_per_stream)
+        return false;
+      if (!ss.dmx && !ss.open(*this)) {
+        fail("stream session open failed");
+        return false;
       }
-      void* dec =
-          vpf_decoder_create(vpf_demuxer_codec_id(dmx), nullptr, 0, 0, 0);
-      if (!dec) {
-        vpf_demuxer_close(dmx);
-        fail("decoder create failed");
-        return;
-      }
+      int r;
       bool eof = false;
-      while (!stop.load() && !eof) {
-        if (max_frames_per_stream && my_frames >= max_frames_per_stream) {
-          vpf_decoder_destroy(dec);
-          vpf_demuxer_close(dmx);
-          return;
-        }
-        int r;
-        // produce one frame
-        for (;;) {
-          const uint8_t* data;
-          size_t size;
-          VpfPacketData pkt;
-          int dr = vpf_demuxer_demux(dmx, &data, &size, &pkt, nullptr, nullptr);
-          if (dr == VPF_OK) {
-            r = vpf_decoder_decode(dec, data, size, &pkt);
-          } else {
-            r = vpf_decoder_flush_frame(dec);
-            if (r != VPF_OK) {
-              eof = true;
-              break;
-            }
-          }
-          if (r == VPF_OK) break;
-          if (r < 0 && r != VPF_ERR_EOF) {
+      for (;;) {
+        const uint8_t* data;
+        size_t size;
+        VpfPacketData pkt;
+        int dr = vpf_demuxer_demux(ss.dmx, &data, &size, &pkt, nullptr,
+                                   nullptr);
+        if (dr == VPF_OK) {
+          r = vpf_decoder_decode(ss.dec, data, size, &pkt);
+        } else {
+          r = vpf_decoder_flush_frame(ss.dec);
+          if (r != VPF_OK) {
             eof = true;
             break;
           }
         }
-        if (eof) break;
-        int b, s;
-        if (!claim(b, s)) {
-          vpf_decoder_destroy(dec);
-          vpf_demuxer_close(dmx);
-          return;
+        if (r == VPF_OK) break;
+        if (r < 0 && r != VPF_ERR_EOF) {
+          eof = true;
+          break;
         }
-        uint8_t* base = ring[b].data.data();
-        uint8_t* dst = base + (size_t)s * frame_bytes;
-        const size_t ysz = frame_bytes * 2 / 3, csz = frame_bytes / 6;
-        uint8_t* dy = base + (size_t)s * ysz;
-        uint8_t* du = base + (size_t)batch * ysz + (size_t)s * csz;
-        uint8_t* dv = du + (size_t)batch * csz;
-        // Batch slots have fixed geometry: a mid-stream resolution change
-        // (even a shrink, which would still *fit* byte-wise) must be
-        // dropped, not silently packed at the wrong layout.
-        VpfFrameDesc fd;
-        bool geom_ok = vpf_decoder_frame_desc(dec, &fd) == VPF_OK;
-        if (geom_ok) {
-          std::lock_guard<std::mutex> lk(mu);
-          if (expect_w == 0) {
-            expect_w = fd.width;
-            expect_h = fd.height;
-          } else if (fd.width != expect_w || fd.height != expect_h) {
-            geom_ok = false;
-            vpf_set_error(VPF_ERR, "resolution change %ux%u -> %ux%u",
-                          expect_w, expect_h, fd.width, fd.height);
-          }
-        }
-        bool packed_ok =
-            geom_ok &&
-            (plane_major
-                 ? vpf_decoder_copy_frame_planar3(dec, dy, du, dv, ysz) ==
-                       VPF_OK
-                 : vpf_decoder_copy_frame(dec, out_fmt, dst, frame_bytes) ==
-                       VPF_OK);
-        if (!packed_ok) {
-          // geometry mismatch (e.g. resolution change): drop the slot by
-          // zero-filling so the batch still completes, but COUNT it and
-          // keep the first reason so callers can tell corruption from
-          // content (vpf_pool_frames_dropped / vpf_pool_drop_reason).
-          if (plane_major) {
-            memset(dy, 0, ysz);
-            memset(du, 0, csz);
-            memset(dv, 0, csz);
-          } else {
-            memset(dst, 0, frame_bytes);
-          }
-          dropped.fetch_add(1);
-          std::lock_guard<std::mutex> lk(mu);
-          if (drop_reason.empty()) drop_reason = vpf_error_slot();
-        }
-        complete(b);
-        my_frames++;
-        frames.fetch_add(1);
       }
-      vpf_decoder_destroy(dec);
-      vpf_demuxer_close(dmx);
-    } while (loop && !stop.load());
+      if (eof) {
+        ss.close();
+        if (loop && !stop.load()) continue;  // reopen next iteration
+        return false;
+      }
+      int b, s;
+      if (!claim(b, s)) return false;
+      uint8_t* base = ring[b].data.data();
+      uint8_t* dst = base + (size_t)s * frame_bytes;
+      const size_t ysz = frame_bytes * 2 / 3, csz = frame_bytes / 6;
+      uint8_t* dy = base + (size_t)s * ysz;
+      uint8_t* du = base + (size_t)batch * ysz + (size_t)s * csz;
+      uint8_t* dv = du + (size_t)batch * csz;
+      // Batch slots have fixed geometry: a mid-stream resolution change
+      // (even a shrink, which would still *fit* byte-wise) must be
+      // dropped, not silently packed at the wrong layout.
+      VpfFrameDesc fd;
+      bool geom_ok = vpf_decoder_frame_desc(ss.dec, &fd) == VPF_OK;
+      if (geom_ok) {
+        std::lock_guard<std::mutex> lk(mu);
+        if (expect_w == 0) {
+          expect_w = fd.width;
+          expect_h = fd.height;
+        } else if (fd.width != expect_w || fd.height != expect_h) {
+          geom_ok = false;
+          vpf_set_error(VPF_ERR, "resolution change %ux%u -> %ux%u",
+                        expect_w, expect_h, fd.width, fd.height);
+        }
+      }
+      bool packed_ok =
+          geom_ok &&
+          (plane_major
+               ? vpf_decoder_copy_frame_planar3(ss.dec, dy, du, dv, ysz) ==
+                     VPF_OK
+               : vpf_decoder_copy_frame(ss.dec, out_fmt, dst, frame_bytes) ==
+                     VPF_OK);
+      if (!packed_ok) {
+        // geometry mismatch (e.g. resolution change): drop the slot by
+        // zero-filling so the batch still completes, but COUNT it and
+        // keep the first reason so callers can tell corruption from
+        // content (vpf_pool_frames_dropped / vpf_pool_drop_reason).
+        if (plane_major) {
+          memset(dy, 0, ysz);
+          memset(du, 0, csz);
+          memset(dv, 0, csz);
+        } else {
+          memset(dst, 0, frame_bytes);
+        }
+        dropped.fetch_add(1);
+        std::lock_guard<std::mutex> lk(mu);
+        if (drop_reason.empty()) drop_reason = vpf_error_slot();
+      }
+      complete(b);
+      ss.frames++;
+      frames.fetch_add(1);
+      return true;
+    }
+  }
+
+  int n_streams_total = 0;
+  int n_workers = 0;
+
+  void worker_body(int wid) {
+    std::vector<StreamSession> group;
+    for (int sid = wid; sid < n_streams_total; sid += n_workers) {
+      StreamSession ss;
+      ss.sid = sid;
+      group.push_back(ss);
+    }
+    size_t live = group.size();
+    // Chunked round-robin: `batch` consecutive frames per stream turn.
+    // One-frame granularity alternates decoder contexts every frame —
+    // measured to halve 1080p throughput on a shared core (cache/context
+    // thrash); a batch-sized chunk keeps one session hot per turn at the
+    // cost of per-stream latency (this pool is the aggregate-throughput
+    // path; the Python MultiStreamPipeline serves latency-shaped loads).
+    while (live && !stop.load()) {
+      for (auto& ss : group) {
+        if (ss.done) continue;
+        for (int k = 0; k < batch; k++) {
+          if (!produce_one(ss)) {
+            ss.done = true;
+            ss.close();
+            live--;
+            break;
+          }
+        }
+      }
+    }
+    for (auto& ss : group) ss.close();
   }
 
   void fail(const char* what) {
@@ -307,8 +359,19 @@ VPF_API void* vpf_pool_create(const char* const* urls, int n_streams,
     p->ring[b].data.resize((size_t)batch * frame_bytes);
     p->fill_order.push_back(b);
   }
-  p->live_workers = n_streams;
-  for (int i = 0; i < n_streams; i++)
+  // workers ≈ min(streams, cores) — overridable via VPF_POOL_WORKERS.
+  // Thread-per-stream beyond the core count was measured to LOSE (cache
+  // + scheduler thrash); each worker round-robins its stream group.
+  int hw = (int)std::thread::hardware_concurrency();
+  if (hw <= 0) hw = 1;
+  const char* ov = getenv("VPF_POOL_WORKERS");
+  int nworkers = ov ? atoi(ov) : hw;
+  if (nworkers <= 0) nworkers = 1;
+  if (nworkers > n_streams) nworkers = n_streams;
+  p->n_streams_total = n_streams;
+  p->n_workers = nworkers;
+  p->live_workers = nworkers;
+  for (int i = 0; i < nworkers; i++)
     p->workers.emplace_back(&Pool::worker_main, p, i);
   return p;
 }
