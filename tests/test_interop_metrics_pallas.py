@@ -464,3 +464,33 @@ def test_nv12_vmem_feasibility_gate():
     assert not fused_pallas_nv12_supported(
         1080, 1920, 1080, 1920, "lanczos", 4
     )
+
+
+def test_presplit_scratch_variant_bit_exact(monkeypatch):
+    """The experimental pre-split bf16 row-scratch kernel (measured-reject
+    r3, kept behind VPF_PALLAS_PRESPLIT) must stay bit-exact with the
+    product f32-scratch kernel."""
+    import numpy as np
+
+    from videoprocessingframework_tpu.ops.pallas_fused import (
+        fused_yuv420_resize_rgb_pallas,
+    )
+
+    y = RNG.integers(0, 256, (1, 96, 512), np.uint8)
+    u = RNG.integers(0, 256, (1, 48, 256), np.uint8)
+    v = RNG.integers(0, 256, (1, 48, 256), np.uint8)
+
+    def run():
+        return np.asarray(
+            fused_yuv420_resize_rgb_pallas(
+                y, u, v, out_h=32, out_w=48,
+                space=ColorSpace.BT_709, rng=ColorRange.MPEG,
+                interpret=True,
+            )
+        )
+
+    monkeypatch.setenv("VPF_PALLAS_PRESPLIT", "0")
+    base = run()
+    monkeypatch.setenv("VPF_PALLAS_PRESPLIT", "1")
+    pre = run()
+    np.testing.assert_array_equal(base, pre)

@@ -223,6 +223,34 @@ def _k1_banded_factory(starts_y, starts_c, win_y, win_c, t_cnt,
     return kernel
 
 
+def _banded_rows_split(x_bf16, bh_ref, bl_ref, starts, win, t_cnt,
+                       oh_ref, ol_ref, tile=_BAND_TILE):
+    """Like :func:`_banded_rows` but stores the row tile PRE-SPLIT as
+    hi/lo bf16 scratch (same f32 tile, split in-register): the column
+    stage then skips its per-window f32→hi/lo split — identical values,
+    bit-identical output, ~same VMEM (2×bf16 == f32 bytes)."""
+    for t in range(t_cnt):
+        wx = x_bf16[starts[t]: starts[t] + win, :]
+        rows = jnp.dot(
+            bh_ref[t], wx, preferred_element_type=jnp.float32
+        ) + jnp.dot(bl_ref[t], wx, preferred_element_type=jnp.float32)
+        rh = rows.astype(jnp.bfloat16)
+        rl = (rows - rh.astype(jnp.float32)).astype(jnp.bfloat16)
+        sl = slice(t * tile, (t + 1) * tile)
+        oh_ref[sl, :] = rh
+        ol_ref[sl, :] = rl
+
+
+def _split_dot_pre(xh, xl, cmh, cml):
+    """The 3-pass split dot over PRE-SPLIT hi/lo activations (same terms
+    as :func:`_split_dot`, minus the in-stage split work)."""
+    return (
+        jnp.dot(xh, cmh, preferred_element_type=jnp.float32)
+        + jnp.dot(xh, cml, preferred_element_type=jnp.float32)
+        + jnp.dot(xl, cmh, preferred_element_type=jnp.float32)
+    )
+
+
 def _csc_consts(space, rng, swap, mean, std):
     m, off = cs.rgb_from_ycbcr_matrix(space, rng)
     m = np.asarray(m, np.float32)
@@ -289,6 +317,60 @@ def _fused_planar_factory(space: ColorSpace, rng: ColorRange, swap: bool,
             lambda p: y1_ref[:, csy[p]: csy[p] + cwin_y],
             lambda p: u1_ref[:, csc[p]: csc[p] + cwin_c],
             lambda p: v1_ref[:, csc[p]: csc[p] + cwin_c],
+            cyh_ref, cyl_ref, cch_ref, ccl_ref, n_tiles,
+            m, off, chans, output, mean, inv_std, out_ref,
+        )
+
+    return kernel
+
+
+def _col_csc_emit_pre(yw_of, uw_of, vw_of, cyh_ref, cyl_ref, cch_ref,
+                      ccl_ref, n_tiles, m, off, chans, output, mean,
+                      inv_std, out_ref):
+    """:func:`_col_csc_emit` over pre-split (hi, lo) window pairs."""
+    for p in range(n_tiles):
+        yr = _split_dot_pre(*yw_of(p), cyh_ref[p], cyl_ref[p]) - off[0]
+        ur = _split_dot_pre(*uw_of(p), cch_ref[p], ccl_ref[p]) - off[1]
+        vr = _split_dot_pre(*vw_of(p), cch_ref[p], ccl_ref[p]) - off[2]
+        for i, c in enumerate(chans):
+            val = m[c, 0] * yr + m[c, 1] * ur + m[c, 2] * vr
+            sl = (0, i, slice(None), slice(p * 128, (p + 1) * 128))
+            _store_channel(out_ref, sl, val, output, mean[i], inv_std[i])
+
+
+def _fused_planar_presplit_factory(space, rng, swap,
+                                   rstarts_y, rstarts_c, rwin_y, rwin_c,
+                                   t_cnt, cstarts_y, cwin_y, cstarts_c,
+                                   cwin_c, n_tiles, output="rgb_u8",
+                                   mean=(0.0,) * 3, std=(1.0,) * 3,
+                                   tile=_BAND_TILE):
+    """Whole-frame planar kernel with PRE-SPLIT bf16 row scratch: the
+    row stage stores hi/lo bf16 pairs (split once, in-register) and the
+    column stage consumes them directly — removing the per-window
+    f32→hi/lo split VPU work of the f32-scratch variant at identical
+    bytes of VMEM and bit-identical output."""
+    m, off, chans, mean, inv_std = _csc_consts(space, rng, swap, mean, std)
+    rsy = [int(x) for x in rstarts_y]
+    rsc = [int(x) for x in rstarts_c]
+    csy = [int(x) for x in cstarts_y]
+    csc = [int(x) for x in cstarts_c]
+
+    def kernel(y_ref, u_ref, v_ref, byh_ref, byl_ref, bch_ref, bcl_ref,
+               cyh_ref, cyl_ref, cch_ref, ccl_ref, out_ref,
+               yh_ref, yl_ref, uh_ref, ul_ref, vh_ref, vl_ref):
+        _banded_rows_split(_bf16(y_ref[0]), byh_ref, byl_ref, rsy, rwin_y,
+                           t_cnt, yh_ref, yl_ref, tile=tile)
+        _banded_rows_split(_bf16(u_ref[0]), bch_ref, bcl_ref, rsc, rwin_c,
+                           t_cnt, uh_ref, ul_ref, tile=tile)
+        _banded_rows_split(_bf16(v_ref[0]), bch_ref, bcl_ref, rsc, rwin_c,
+                           t_cnt, vh_ref, vl_ref, tile=tile)
+        _col_csc_emit_pre(
+            lambda p: (yh_ref[:, csy[p]: csy[p] + cwin_y],
+                       yl_ref[:, csy[p]: csy[p] + cwin_y]),
+            lambda p: (uh_ref[:, csc[p]: csc[p] + cwin_c],
+                       ul_ref[:, csc[p]: csc[p] + cwin_c]),
+            lambda p: (vh_ref[:, csc[p]: csc[p] + cwin_c],
+                       vl_ref[:, csc[p]: csc[p] + cwin_c]),
             cyh_ref, cyl_ref, cch_ref, ccl_ref, n_tiles,
             m, off, chans, output, mean, inv_std, out_ref,
         )
@@ -829,8 +911,35 @@ def fused_yuv420_resize_rgb_pallas(
     rwin_y, rwin_c = lay["rwin_y"], lay["rwin_c"]
 
     if lay["mode"] == "whole":
+        import os as _os
+
+        # Measured-reject (r3): pre-splitting the row scratch to hi/lo
+        # bf16 (skipping the column stage's per-window f32 split) timed
+        # WITHIN NOISE of the f32-scratch kernel on v5e (57-61k fps both,
+        # repeated slope runs) — the split VPU work is already hidden
+        # behind the MXU passes by Mosaic pipelining. Kept selectable for
+        # re-measurement on other TPU generations; bit-exact either way
+        # (tests pin it).
+        presplit = _os.environ.get("VPF_PALLAS_PRESPLIT", "0") != "0"
+        if presplit:
+            factory = _fused_planar_presplit_factory
+            scratch = [
+                pltpu.VMEM((out_hp, w), jnp.bfloat16),
+                pltpu.VMEM((out_hp, w), jnp.bfloat16),
+                pltpu.VMEM((out_hp, w2), jnp.bfloat16),
+                pltpu.VMEM((out_hp, w2), jnp.bfloat16),
+                pltpu.VMEM((out_hp, w2), jnp.bfloat16),
+                pltpu.VMEM((out_hp, w2), jnp.bfloat16),
+            ]
+        else:
+            factory = _fused_planar_factory
+            scratch = [
+                pltpu.VMEM((out_hp, w), jnp.float32),
+                pltpu.VMEM((out_hp, w2), jnp.float32),
+                pltpu.VMEM((out_hp, w2), jnp.float32),
+            ]
         fused = pl.pallas_call(
-            _fused_planar_factory(
+            factory(
                 ColorSpace(space), ColorRange(rng), swap,
                 plan_y[0], plan_c[0], rwin_y, rwin_c, t_cnt,
                 ystarts, ywin, cstarts, cwin, n_tiles,
@@ -848,11 +957,7 @@ def fused_yuv420_resize_rgb_pallas(
             ],
             out_specs=full((3, out_hp, out_wp)),
             out_shape=jax.ShapeDtypeStruct((b, 3, out_hp, out_wp), out_dtype),
-            scratch_shapes=[
-                pltpu.VMEM((out_hp, w), jnp.float32),
-                pltpu.VMEM((out_hp, w2), jnp.float32),
-                pltpu.VMEM((out_hp, w2), jnp.float32),
-            ],
+            scratch_shapes=scratch,
             interpret=interpret,
         )
         out = fused(y, u, v, byh, byl, bch, bcl, cyh, cyl, cch, ccl)
