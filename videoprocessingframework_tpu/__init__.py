@@ -58,6 +58,10 @@ _LAZY = {
     "VideoReader": "io",
     "VideoEncoder": "io",
     "NativeDecodePool": "io",
+    "StreamMuxer": "io",
+    "Transcoder": "io",
+    "transcode": "io",
+    "transcode_many": "io",
     # ops
     "SurfaceConverter": "ops",
     "SurfaceResizer": "ops",

@@ -24,6 +24,7 @@ from typing import Callable, Optional, Sequence
 import numpy as np
 
 from ..core.enums import PixelFormat
+from ..utils.tracing import StageTimer, trace_range
 from .demuxer import FFmpegDemuxer
 from .encoder import VideoEncoder
 from .pool import NativeDecodePool
@@ -86,6 +87,10 @@ class Transcoder:
             max_frames_per_stream=max_frames,
             n_buffers=n_buffers,
         )
+        # acquire = waiting on the decode worker (decode-bound when
+        # large); encode = the caller-thread encoder (the usual
+        # bottleneck) — same observability contract as the pool's timer
+        self.timer = StageTimer()
 
     def run(
         self, on_packet: Optional[Callable[[np.ndarray, object], None]] = None
@@ -106,12 +111,14 @@ class Transcoder:
                 on_packet(data, meta)
 
         while True:
-            batch = self.pool.acquire()
+            with self.timer.measure("acquire"):
+                batch = self.pool.acquire()
             if batch is None:
                 break
-            for i in range(batch.shape[0]):
-                emit(enc.encode(batch[i]))
-                st.frames += 1
+            with self.timer.measure("encode"), trace_range("EncodeFrame"):
+                for i in range(batch.shape[0]):
+                    emit(enc.encode(batch[i]))
+                    st.frames += 1
             self.pool.release()
         for pkt, meta in enc.flush():
             emit((pkt, meta))
