@@ -40,6 +40,12 @@ def _time_left() -> float:
     return _DEADLINE - (time.perf_counter() - _T0)
 
 
+def _progress(msg: str) -> None:
+    """Stage trace on stderr (never pollutes the JSON stdout line)."""
+    print(f"[bench +{time.perf_counter() - _T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
 def make_clip(path: pathlib.Path, width: int, height: int, frames: int) -> None:
     """Encode a synthetic moving-gradient clip with the framework encoder."""
     from videoprocessingframework_tpu.io import VideoEncoder
@@ -180,27 +186,39 @@ def kernel_fidelity(postproc, planes, out_h, out_w, space, rng):
     certifies the actual Mosaic codegen every bench run, not just the
     interpret-mode tests."""
     import jax
+    import jax.numpy as jnp
 
     from videoprocessingframework_tpu.ops import colorspace as cspace
     from videoprocessingframework_tpu.ops.resize import resize_matrix
 
     y, u, v = (np.asarray(p, np.float64) for p in planes)
-    out = np.asarray(jax.block_until_ready(postproc(*planes)))  # NHWC u8
+    out = postproc(*planes)  # NHWC u8 — STAYS on device (see below)
     rm = resize_matrix(y.shape[-2], out_h, "lanczos").astype(np.float64)
     cm = resize_matrix(y.shape[-1], out_w, "lanczos").astype(np.float64)
     uu = np.repeat(np.repeat(u, 2, -2), 2, -1)
     vv = np.repeat(np.repeat(v, 2, -2), 2, -1)
 
     def rsz(p):
-        return np.einsum("oh,nhw->now", rm, p) @ cm.T
+        # np.matmul broadcasts the batch dim and hits BLAS; the einsum
+        # spelling ran the naive C loop (~6 GFLOP f64 took 6+ minutes on
+        # this host — measured)
+        return np.matmul(np.matmul(rm, p), cm.T)
 
     M, OFF = cspace.rgb_from_ycbcr_matrix(space, rng)
     M, OFF = np.asarray(M, np.float64), np.asarray(OFF, np.float64)
     ycc = np.stack(
         [rsz(y) - OFF[0], rsz(uu) - OFF[1], rsz(vv) - OFF[2]], -1
     )
-    want = np.clip(np.rint(np.einsum("...c,dc->...d", ycc, M)), 0, 255)
-    ulp = int(np.abs(out.astype(int) - want.astype(int)).max())
+    want = np.clip(np.rint(ycc @ M.T), 0, 255)
+    # Compare ON DEVICE and fetch one scalar: the first device→host fetch
+    # of a new output shape through the relay sets up a transfer program
+    # that measured 300+ s in bad weather (301 KB!), while scalar fetches
+    # and uploads ride the warm path. Uploading the 300 KB golden and
+    # reducing on chip sidesteps it entirely.
+    diff = jax.jit(
+        lambda a, b: jnp.max(jnp.abs(a.astype(jnp.int32) - b))
+    )(out, want.astype(np.int32))
+    ulp = int(diff)
     return ulp, ulp <= 1
 
 
@@ -362,6 +380,7 @@ def main() -> int:
         np.zeros((args.batch, height // 2, width // 2), np.uint8),
         np.zeros((args.batch, height // 2, width // 2), np.uint8),
     )
+    _progress("warm-up compile...")
     try:
         jax.block_until_ready(postproc(*dummy_planes))
     except ValueError:  # shape not kernel-eligible: let auto decide
@@ -479,6 +498,7 @@ def main() -> int:
                           "wall_s": st.wall_s}))
         return 0
 
+    _progress("decode_only ceiling...")
     decode_only_fps = run_decode_only()
     result["extra"]["decode_only_fps"] = round(decode_only_fps, 1)
 
@@ -502,13 +522,14 @@ def main() -> int:
     # single device_put + block_until_ready returns in less than one link
     # RTT on this platform — it measures enqueue, not transfer.)
     runs = []
-    budget_s = min(240.0, max(60.0, _time_left() - 150.0))
+    budget_s = min(220.0, max(60.0, _time_left() - 200.0))
     bad_fps = 0.15 * max(decode_only_fps, 1.0)
     t_start = time.perf_counter()
     for i in range(14):
         elapsed = time.perf_counter() - t_start
         if i >= 3 and elapsed > budget_s:
             break
+        _progress(f"run {i}...")
         runs.append(one_run())
         best = max(r[0].fps for r in runs)
         result["value"] = round(best, 2)
@@ -589,23 +610,66 @@ def main() -> int:
         } if timer else {},
     )
 
+    # One-time device→host path init: the FIRST fetch in a process sets
+    # up the reverse relay channel — measured 112-374 s in bad weather
+    # for a SINGLE SCALAR, instant afterwards. The headline run loop
+    # above never fetches (block_until_ready only), so this is paid HERE,
+    # deliberately and gated, before the stages that do fetch
+    # (fidelity/slope/resnet) — a stall then costs only the extras.
+    d2h_ready = False
+    _done = None
+    if _time_left() > 120.0:
+        import threading
+
+        import jax.numpy as _jnp
+
+        _progress("d2h path init...")
+        _t_d2h = time.perf_counter()
+        _done = threading.Event()
+
+        def _init_d2h():
+            try:
+                float(_jnp.sum(jax.device_put(np.ones(8, np.float32))))
+                _done.set()
+            except Exception:
+                pass
+
+        # the init is a single blocking fetch with no timeout knob; run it
+        # on a daemon thread and give up after a bounded wait (the fetch
+        # keeps warming in the background — later gates re-check _done)
+        threading.Thread(target=_init_d2h, daemon=True).start()
+        _done.wait(timeout=max(30.0, min(90.0, _time_left() - 120.0)))
+        d2h_ready = _done.is_set()
+        result["extra"]["d2h_init_s"] = round(
+            time.perf_counter() - _t_d2h, 1
+        )
+        if not d2h_ready:
+            _progress("d2h init still pending — skipping fetch stages")
+
     # on-chip fidelity gate: the pinned kernel's Mosaic codegen must stay
     # ≤1 u8 ULP vs the float64 golden on real decoded frames
     try:
-        if _time_left() < 60.0:
+        if not d2h_ready or _time_left() < 90.0:
             raise TimeoutError("bench deadline")
+        _progress("fidelity gate...")
         ulp, ok = kernel_fidelity(
             postproc, fid_planes, 224, 224,
             ColorSpace.BT_709, ColorRange.MPEG,
         )
         result["extra"]["kernel_ulp"] = ulp
         result["extra"]["kernel_ulp_ok"] = ok
+    except TimeoutError:
+        # skipped ≠ failed: null means the gate never ran this capture
+        # (deadline/weather); false is reserved for a real ULP miss
+        result["extra"]["kernel_ulp_ok"] = None
     except Exception:
         result["extra"]["kernel_ulp_ok"] = False
 
     # device-resident throughput of the PRODUCT postproc path (planar
     # plane views, as the pool feeds it; autotuned)
-    if _time_left() > 90.0:
+    d2h_ready = d2h_ready or (_done is not None and _done.is_set())
+    if d2h_ready and _time_left() > 150.0:
+        _progress("kernel slope...")
         kfps, kgbs = device_slope_fps(postproc, dummy_planes)
         result["extra"]["kernel_only_fps"] = round(kfps, 1)
         result["extra"]["kernel_input_gbps"] = round(kgbs, 3)
@@ -614,6 +678,7 @@ def main() -> int:
     # pipeline + PSNR; stream-per-thread aggregate when cores allow
     # (host-CPU work — cheap and weather-free, so not deadline-gated)
     try:
+        _progress("transcode...")
         transcode_fps, transcode_psnr = transcode_metrics(
             clip, width, height
         )
@@ -634,7 +699,8 @@ def main() -> int:
     # BASELINE.md "E2E ResNet fps": fused preprocess + ResNet-50 forward,
     # data resident (the SampleTorchResnet device-side analog)
     resnet_fps = 0.0
-    if not args.quick and _time_left() > 120.0:
+    _progress(f"resnet gate: {_time_left():.0f}s left")
+    if not args.quick and d2h_ready and _time_left() > 260.0:
         try:
             from videoprocessingframework_tpu.models import (
                 init_params,
