@@ -249,3 +249,32 @@ def test_pool_planar_views_rejected_on_non_yuv420(test_mp4):
     with pytest.raises(ValueError, match="planar_views"):
         next(pool.batches(planar_views=True))
     pool.close()
+
+
+def test_pool_flat_feed_matches_plane_feed(test_mp4):
+    """The single-transfer flat feed (plane-major ring uploaded as ONE
+    contiguous array, split on device) must be bit-identical to the
+    3-plane-view feed, including the ragged tail batch (96 frames at
+    batch 7 → 13 full + 1 ragged)."""
+    post = FusedPipeline(
+        PixelFormat.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
+        out_size=(64, 32),
+    )
+
+    def collect(flat):
+        pool = NativeDecodePool(
+            [test_mp4], batch_size=7, out_format=PixelFormat.YUV420,
+            plane_major=True,
+        )
+        outs = [
+            np.asarray(o).copy()
+            for o in pool.batches(post, planar_flat=flat)
+        ]
+        pool.close()
+        return outs
+
+    a, b = collect(False), collect(True)
+    assert len(a) == len(b) == 14
+    assert b[-1].shape[0] == 96 - 13 * 7  # ragged tail preserved
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)

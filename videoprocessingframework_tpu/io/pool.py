@@ -125,6 +125,36 @@ class NativeDecodePool:
         ].reshape(n, h // 2, w // 2)
         return y, u, v
 
+    def acquire_flat(self):
+        """Next FULL plane-major batch as ONE zero-copy contiguous 1-D
+        view (the whole ring buffer region, [Y×cap | U×cap | V×cap]), or
+        the (y, u, v) views for a ragged tail (count < batch), or None
+        when drained. One flat view = ONE host→device transfer per batch
+        instead of three — each transfer pays a fixed link overhead, so
+        this shaves the per-batch dispatch cost (split happens on device
+        inside the consumer's jit; see :meth:`batches`)."""
+        if not self.plane_major:
+            raise RuntimeError("acquire_flat() needs plane_major=True")
+        data, n = self._acquire_raw()
+        if data is None:
+            return None
+        cap = self.batch_size
+        if n != cap:  # ragged tail: shapes differ, use the plane views
+            h, w = self.height, self.width
+            ysz, csz = h * w, (h // 2) * (w // 2)
+            flat = np.ctypeslib.as_array(
+                data, shape=(cap * self.frame_bytes,)
+            )
+            return (
+                flat[: n * ysz].reshape(n, h, w),
+                flat[cap * ysz: cap * ysz + n * csz].reshape(
+                    n, h // 2, w // 2
+                ),
+                flat[cap * (ysz + csz): cap * (ysz + csz) + n * csz]
+                .reshape(n, h // 2, w // 2),
+            )
+        return np.ctypeslib.as_array(data, shape=(cap * self.frame_bytes,))
+
     def release(self) -> None:
         self._lib.vpf_pool_release_batch(self._h)
 
@@ -164,6 +194,7 @@ class NativeDecodePool:
         postproc: Optional[Callable] = None,
         depth: int = 2,
         planar_views: Optional[bool] = None,
+        planar_flat: Optional[bool] = None,
     ) -> Iterator:
         """Yield post-processed device batches.
 
@@ -209,6 +240,32 @@ class NativeDecodePool:
                 "plane-major pools only serve the planar-view feed"
             )
         pending: list = []  # FIFO of dispatched outs; slot release deferred
+        # Flat single-transfer feed (plane-major + postproc only): the
+        # ring buffer is ONE contiguous region, so after the first batch
+        # (fed as 3 plane views — a concrete call that lets kernel
+        # auto-tuning pick) later FULL batches upload as ONE array and
+        # split on device inside the same jit. Three transfers → one
+        # shaves the fixed per-transfer link overhead per batch.
+        flat_fn = None
+        use_flat = (
+            self.plane_major and postproc is not None
+            and planar_flat is not False
+        )
+
+        def make_flat_fn():
+            cap, h, w = self.batch_size, self.height, self.width
+            ysz, csz = h * w, (h // 2) * (w // 2)
+
+            @jax.jit
+            def fn(flat):
+                y = flat[: cap * ysz].reshape(cap, h, w)
+                u = flat[cap * ysz: cap * (ysz + csz)].reshape(
+                    cap, h // 2, w // 2
+                )
+                v = flat[cap * (ysz + csz):].reshape(cap, h // 2, w // 2)
+                return postproc(y, u, v)
+
+            return fn
 
         def drain_one():
             out = pending[0]  # pop only after the block: if it raises,
@@ -221,13 +278,21 @@ class NativeDecodePool:
         try:
             while True:
                 with self.timer.measure("acquire"):
-                    batch = (
-                        self.acquire_planes() if self.plane_major
-                        else self.acquire()
-                    )
+                    if use_flat and flat_fn is not None:
+                        batch = self.acquire_flat()
+                    elif self.plane_major:
+                        batch = self.acquire_planes()
+                    else:
+                        batch = self.acquire()
                 if batch is None:
                     break
-                if self.plane_major:
+                flat = None
+                if use_flat and flat_fn is not None and not isinstance(
+                    batch, tuple
+                ):
+                    flat = batch  # full batch as one contiguous view
+                    planes = ()
+                elif self.plane_major:
                     planes = batch
                 elif planar_views:
                     planes = self._planar_views(batch)
@@ -236,8 +301,14 @@ class NativeDecodePool:
                 with self.timer.measure("dispatch"), trace_range(
                     "FusedPostproc"
                 ):
-                    if postproc is not None:
+                    if flat is not None:
+                        out = flat_fn(flat)
+                    elif postproc is not None:
                         out = postproc(*planes)
+                        if use_flat and flat_fn is None:
+                            # concrete call done (auto-tune picked):
+                            # switch to the single-transfer feed
+                            flat_fn = make_flat_fn()
                     else:
                         out = jax.tree_util.tree_map(jax.device_put, planes)
                         first = jax.tree_util.tree_leaves(out)[0]
