@@ -131,6 +131,23 @@ class MultiDeviceStreamPipeline:
         memory may be aliased or still in transfer until then."""
         pending = []  # (out, count) in acquire order
         k = 0
+        flat_fn = None  # single-transfer splitter (see NativeDecodePool)
+
+        def make_flat_fn():
+            cap = self.pool.batch_size
+            h, w = self.pool.height, self.pool.width
+            ysz, csz = h * w, (h // 2) * (w // 2)
+
+            @jax.jit
+            def fn(flat):
+                y = flat[: cap * ysz].reshape(cap, h, w)
+                u = flat[cap * ysz: cap * (ysz + csz)].reshape(
+                    cap, h // 2, w // 2
+                )
+                v = flat[cap * (ysz + csz):].reshape(cap, h // 2, w // 2)
+                return self.postproc(y, u, v)
+
+            return fn
 
         def retire():
             done, n = pending.pop(0)
@@ -141,13 +158,20 @@ class MultiDeviceStreamPipeline:
 
         while True:
             with self.timer.measure("acquire"):
-                planes = (
-                    self.pool.acquire_planes() if self._planar
-                    else self.pool.acquire()
-                )
+                if self._planar and flat_fn is not None:
+                    planes = self.pool.acquire_flat()
+                elif self._planar:
+                    planes = self.pool.acquire_planes()
+                else:
+                    planes = self.pool.acquire()
             if planes is None:
                 break
-            if not self._planar:
+            flat = None
+            if self._planar and flat_fn is not None and not isinstance(
+                planes, tuple
+            ):
+                flat, planes = planes, ()
+            elif not self._planar:
                 planes = (planes,)
             dev = self.devices[k % len(self.devices)]
             k += 1
@@ -156,10 +180,19 @@ class MultiDeviceStreamPipeline:
             ):
                 # contiguous plane regions (plane-major ring) stage to the
                 # device with no host re-copy and no packed→planar device
-                # relayout (same contract as NativeDecodePool.batches)
-                staged = [jax.device_put(p, dev) for p in planes]
-                out = self.postproc(*staged)
-            pending.append((out, planes[0].shape[0]))
+                # relayout; FULL batches after the first ride the single-
+                # transfer flat feed (same contract as
+                # NativeDecodePool.batches)
+                if flat is not None:
+                    out = flat_fn(jax.device_put(flat, dev))
+                    n_frames = self.pool.batch_size
+                else:
+                    staged = [jax.device_put(p, dev) for p in planes]
+                    out = self.postproc(*staged)
+                    n_frames = planes[0].shape[0]
+                    if self._planar and flat_fn is None:
+                        flat_fn = make_flat_fn()
+            pending.append((out, n_frames))
             if len(pending) >= self._held_max:
                 yield retire()
         while pending:
