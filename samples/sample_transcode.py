@@ -28,15 +28,22 @@ def transcode_fast(src, dst, preset="P1", bitrate="3M"):
     from videoprocessingframework_tpu.io import Transcoder
 
     t = Transcoder(src, {"preset": preset, "bitrate": bitrate})
+    n_pkts = 0
+
+    def write(data, meta):
+        nonlocal n_pkts
+        f.write(data.tobytes())
+        n_pkts += 1
+
     with open(dst, "wb") as f:
-        st = t.run(lambda data, meta: f.write(data.tobytes()))
+        st = t.run(write)
     log.info(
         "fast transcode: %d frames in %.2fs = %.1f fps (stages: %s)",
         st.frames, st.wall_s, st.fps,
         {k: round(v["mean_ms"], 2)
          for k, v in t.timer.summary().items()},
     )
-    return st.frames, st.frames
+    return st.frames, n_pkts
 
 
 def transcode(src, dst, codec="h264", bitrate="3M", scale=None):

@@ -155,6 +155,27 @@ class NativeDecodePool:
             )
         return np.ctypeslib.as_array(data, shape=(cap * self.frame_bytes,))
 
+    def flat_postproc_fn(self, postproc):
+        """Jitted wrapper running ``postproc(y, u, v)`` on ONE flat
+        plane-major batch upload (the :meth:`acquire_flat` layout), the
+        single-transfer feed shared by :meth:`batches` and
+        MultiDeviceStreamPipeline. ``postproc`` must be jittable."""
+        import jax
+
+        cap, h, w = self.batch_size, self.height, self.width
+        ysz, csz = h * w, (h // 2) * (w // 2)
+
+        @jax.jit
+        def fn(flat):
+            y = flat[: cap * ysz].reshape(cap, h, w)
+            u = flat[cap * ysz: cap * (ysz + csz)].reshape(
+                cap, h // 2, w // 2
+            )
+            v = flat[cap * (ysz + csz):].reshape(cap, h // 2, w // 2)
+            return postproc(y, u, v)
+
+        return fn
+
     def release(self) -> None:
         self._lib.vpf_pool_release_batch(self._h)
 
@@ -247,25 +268,18 @@ class NativeDecodePool:
         # split on device inside the same jit. Three transfers → one
         # shaves the fixed per-transfer link overhead per batch.
         flat_fn = None
-        use_flat = (
-            self.plane_major and postproc is not None
-            and planar_flat is not False
+        # the flat feed wraps postproc in jax.jit — auto-enable ONLY for
+        # pipelines declaring the planar contract (FusedPipeline's
+        # src_format, same signal as planar_views auto); an arbitrary
+        # eager callable keeps the per-plane eager feed unless the caller
+        # passes planar_flat=True explicitly (asserting jittability)
+        if planar_flat is None:
+            planar_flat = (
+                getattr(postproc, "src_format", None) == PixelFormat.YUV420
+            )
+        use_flat = bool(
+            self.plane_major and postproc is not None and planar_flat
         )
-
-        def make_flat_fn():
-            cap, h, w = self.batch_size, self.height, self.width
-            ysz, csz = h * w, (h // 2) * (w // 2)
-
-            @jax.jit
-            def fn(flat):
-                y = flat[: cap * ysz].reshape(cap, h, w)
-                u = flat[cap * ysz: cap * (ysz + csz)].reshape(
-                    cap, h // 2, w // 2
-                )
-                v = flat[cap * (ysz + csz):].reshape(cap, h // 2, w // 2)
-                return postproc(y, u, v)
-
-            return fn
 
         def drain_one():
             out = pending[0]  # pop only after the block: if it raises,
@@ -308,7 +322,7 @@ class NativeDecodePool:
                         if use_flat and flat_fn is None:
                             # concrete call done (auto-tune picked):
                             # switch to the single-transfer feed
-                            flat_fn = make_flat_fn()
+                            flat_fn = self.flat_postproc_fn(postproc)
                     else:
                         out = jax.tree_util.tree_map(jax.device_put, planes)
                         first = jax.tree_util.tree_leaves(out)[0]

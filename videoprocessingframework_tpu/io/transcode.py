@@ -110,21 +110,30 @@ class Transcoder:
             if on_packet is not None:
                 on_packet(data, meta)
 
-        while True:
-            with self.timer.measure("acquire"):
-                batch = self.pool.acquire()
-            if batch is None:
-                break
-            with self.timer.measure("encode"), trace_range("EncodeFrame"):
-                for i in range(batch.shape[0]):
-                    emit(enc.encode(batch[i]))
-                    st.frames += 1
-            self.pool.release()
-        for pkt, meta in enc.flush():
-            emit((pkt, meta))
-        st.wall_s = time.perf_counter() - t0
-        self.pool.close()
-        return st
+        try:
+            while True:
+                with self.timer.measure("acquire"):
+                    batch = self.pool.acquire()
+                if batch is None:
+                    break
+                try:
+                    with self.timer.measure("encode"), trace_range(
+                        "EncodeFrame"
+                    ):
+                        for i in range(batch.shape[0]):
+                            emit(enc.encode(batch[i]))
+                            st.frames += 1
+                finally:
+                    self.pool.release()  # never leak the held ring slot
+            for pkt, meta in enc.flush():
+                emit((pkt, meta))
+            st.wall_s = time.perf_counter() - t0
+            return st
+        finally:
+            # on any exit (incl. an encoder or on_packet failure) stop the
+            # native decode workers — with loop=True they would otherwise
+            # keep decoding until GC
+            self.pool.close()
 
 
 def transcode(

@@ -655,8 +655,8 @@ def _nv12_layout_ok(h, w, out_h, out_w, method, out_elem_bytes):
     lanes = _lanes_for(w)
     if not lanes or out_h % 8 or h % 2:
         return False
-    if method not in ("lanczos", "bilinear", "nearest"):
-        return False
+    if method not in ("lanczos", "bilinear"):
+        return False  # matches FusedPipeline._pallas_planes' method set
     hp = _round_up(h, 64)
     hp2 = hp // 2
     rm_np = np.zeros((out_h, hp), np.float32)
@@ -665,7 +665,10 @@ def _nv12_layout_ok(h, w, out_h, out_w, method, out_elem_bytes):
     rc_np[:, : h // 2] = (
         resize_matrix(h, out_h, method).reshape(out_h, h // 2, 2).sum(-1)
     )
-    band_bytes = None
+    # mirror the KERNEL's tile choice (min MXU-pass cost, not min bytes —
+    # a min-bytes gate could approve a shape whose cost-preferred tile
+    # has ~2x wider windows and then fails at Mosaic compile time)
+    best = None
     for cand_tile, align in _ROW_TILES:
         if out_h % cand_tile:
             continue
@@ -674,9 +677,13 @@ def _nv12_layout_ok(h, w, out_h, out_w, method, out_elem_bytes):
         if ry is None or rc is None:
             continue
         t_cnt = out_h // cand_tile
+        cost = _passes(t_cnt, ry[0]) + _passes(t_cnt, rc[0])
         cand = t_cnt * cand_tile * (ry[0] + rc[0]) * 2 * 2  # hi+lo bf16
-        band_bytes = cand if band_bytes is None else min(band_bytes, cand)
-    if band_bytes is None:  # dense-matrix K1 fallback
+        if best is None or cost < best[0]:
+            best = (cost, cand)
+    if best is not None:
+        band_bytes = best[1]
+    else:  # dense-matrix K1 fallback
         band_bytes = (out_h * hp + out_h * hp2) * 2 * 2
     k1_vmem = hp * lanes + hp2 * lanes + band_bytes + 2 * out_h * lanes * 4
 

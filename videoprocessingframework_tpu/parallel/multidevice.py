@@ -131,23 +131,7 @@ class MultiDeviceStreamPipeline:
         memory may be aliased or still in transfer until then."""
         pending = []  # (out, count) in acquire order
         k = 0
-        flat_fn = None  # single-transfer splitter (see NativeDecodePool)
-
-        def make_flat_fn():
-            cap = self.pool.batch_size
-            h, w = self.pool.height, self.pool.width
-            ysz, csz = h * w, (h // 2) * (w // 2)
-
-            @jax.jit
-            def fn(flat):
-                y = flat[: cap * ysz].reshape(cap, h, w)
-                u = flat[cap * ysz: cap * (ysz + csz)].reshape(
-                    cap, h // 2, w // 2
-                )
-                v = flat[cap * (ysz + csz):].reshape(cap, h // 2, w // 2)
-                return self.postproc(y, u, v)
-
-            return fn
+        flat_fn = None  # single-transfer splitter (pool.flat_postproc_fn)
 
         def retire():
             done, n = pending.pop(0)
@@ -191,7 +175,7 @@ class MultiDeviceStreamPipeline:
                     out = self.postproc(*staged)
                     n_frames = planes[0].shape[0]
                     if self._planar and flat_fn is None:
-                        flat_fn = make_flat_fn()
+                        flat_fn = self.pool.flat_postproc_fn(self.postproc)
             pending.append((out, n_frames))
             if len(pending) >= self._held_max:
                 yield retire()
