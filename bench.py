@@ -617,35 +617,73 @@ def main() -> int:
     # above never fetches (block_until_ready only), so this is paid HERE,
     # deliberately and gated, before the stages that do fetch
     # (fidelity/slope/resnet) — a stall then costs only the extras.
+    # BASELINE.md transcode+quality config: overlapped decode→encode
+    # pipeline + PSNR; stream-per-thread aggregate when cores allow
+    # (host-CPU work — cheap and weather-free, so not deadline-gated)
+    try:
+        _progress("transcode...")
+        transcode_fps, transcode_psnr = transcode_metrics(
+            clip, width, height
+        )
+    except Exception:
+        transcode_fps, transcode_psnr = 0.0, 0.0
+
+    result["extra"]["transcode_fps"] = round(transcode_fps, 1)
+    result["extra"]["transcode_psnr_db"] = round(transcode_psnr, 2)
+    if ncpu > 1:
+        try:
+            agg_fps, _ = transcode_metrics(
+                clip, width, height, streams=min(ncpu, 8)
+            )
+            result["extra"]["transcode_agg_fps"] = round(agg_fps, 1)
+        except Exception:
+            pass
+
+    # One-time device→host path init: the FIRST fetch in a process sets
+    # up the reverse relay channel — measured 112-374 s in bad weather
+    # for a single scalar, instant afterwards. It holds the GIL, so it
+    # cannot be backgrounded or timed out in-process; run it here (after
+    # every host-only metric) when enough deadline headroom remains. A
+    # catastrophic stall overruns the deadline and the SIGTERM partial
+    # emission is the backstop.
     d2h_ready = False
-    _done = None
-    if _time_left() > 120.0:
-        import threading
+    if not args.quick and _time_left() > 180.0:
+        # The init holds the GIL, so it cannot be bounded in-process.
+        # PREDICT its cost with a subprocess doing the same scalar fetch
+        # under a hard timeout: if the child finishes, the reverse
+        # channel is healthy and the in-process init will be fast too.
+        import subprocess
 
-        import jax.numpy as _jnp
+        _progress("d2h probe (subprocess)...")
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, numpy as np, jax.numpy as jnp; "
+                 "print(float(jnp.sum(jax.device_put("
+                 "np.ones(4, np.float32)))))"],
+                timeout=min(90.0, _time_left() - 120.0),
+                capture_output=True,
+            )
+            probe_ok = probe.returncode == 0
+        except Exception:
+            probe_ok = False
+        if probe_ok:
+            import jax.numpy as _jnp
 
-        _progress("d2h path init...")
-        _t_d2h = time.perf_counter()
-        _done = threading.Event()
-
-        def _init_d2h():
+            _progress("d2h path init...")
+            _t_d2h = time.perf_counter()
             try:
                 float(_jnp.sum(jax.device_put(np.ones(8, np.float32))))
-                _done.set()
+                d2h_ready = True
             except Exception:
                 pass
-
-        # the init is a single blocking fetch with no timeout knob; run it
-        # on a daemon thread and give up after a bounded wait (the fetch
-        # keeps warming in the background — later gates re-check _done)
-        threading.Thread(target=_init_d2h, daemon=True).start()
-        _done.wait(timeout=max(30.0, min(90.0, _time_left() - 120.0)))
-        d2h_ready = _done.is_set()
-        result["extra"]["d2h_init_s"] = round(
-            time.perf_counter() - _t_d2h, 1
-        )
-        if not d2h_ready:
-            _progress("d2h init still pending — skipping fetch stages")
+            result["extra"]["d2h_init_s"] = round(
+                time.perf_counter() - _t_d2h, 1
+            )
+    elif args.quick:
+        d2h_ready = True  # CPU backend: fetches are local and instant
+    if not d2h_ready:
+        _progress("d2h init skipped/stalled — skipping fetch stages")
 
     # on-chip fidelity gate: the pinned kernel's Mosaic codegen must stay
     # ≤1 u8 ULP vs the float64 golden on real decoded frames
@@ -669,34 +707,11 @@ def main() -> int:
 
     # device-resident throughput of the PRODUCT postproc path (planar
     # plane views, as the pool feeds it; autotuned)
-    d2h_ready = d2h_ready or (_done is not None and _done.is_set())
     if d2h_ready and _time_left() > 150.0:
         _progress("kernel slope...")
         kfps, kgbs = device_slope_fps(postproc, dummy_planes)
         result["extra"]["kernel_only_fps"] = round(kfps, 1)
         result["extra"]["kernel_input_gbps"] = round(kgbs, 3)
-
-    # BASELINE.md transcode+quality config: overlapped decode→encode
-    # pipeline + PSNR; stream-per-thread aggregate when cores allow
-    # (host-CPU work — cheap and weather-free, so not deadline-gated)
-    try:
-        _progress("transcode...")
-        transcode_fps, transcode_psnr = transcode_metrics(
-            clip, width, height
-        )
-    except Exception:
-        transcode_fps, transcode_psnr = 0.0, 0.0
-
-    result["extra"]["transcode_fps"] = round(transcode_fps, 1)
-    result["extra"]["transcode_psnr_db"] = round(transcode_psnr, 2)
-    if ncpu > 1:
-        try:
-            agg_fps, _ = transcode_metrics(
-                clip, width, height, streams=min(ncpu, 8)
-            )
-            result["extra"]["transcode_agg_fps"] = round(agg_fps, 1)
-        except Exception:
-            pass
 
     # BASELINE.md "E2E ResNet fps": fused preprocess + ResNet-50 forward,
     # data resident (the SampleTorchResnet device-side analog)
