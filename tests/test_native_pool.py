@@ -278,3 +278,24 @@ def test_pool_flat_feed_matches_plane_feed(test_mp4):
     assert b[-1].shape[0] == 96 - 13 * 7  # ragged tail preserved
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+@pytest.mark.slow
+def test_pool_soak_loop_flat(test_mp4):
+    """Soak: 1000+ looped frames through the plane-major flat feed — no
+    drops, exact frame accounting, no slot leaks (the drain path releases
+    every ring slot or the pool would deadlock long before 1000)."""
+    post = FusedPipeline(
+        PixelFormat.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
+        out_size=(64, 32),
+    )
+    pool = NativeDecodePool(
+        [test_mp4], batch_size=8, out_format=PixelFormat.YUV420,
+        plane_major=True, loop=True, max_frames_per_stream=1000,
+    )
+    n = 0
+    for out in pool.batches(post):
+        n += int(out.shape[0])
+    assert n == 1000
+    assert pool.frames_dropped == 0
+    pool.close()
