@@ -46,13 +46,14 @@ def _progress(msg: str) -> None:
           file=sys.stderr, flush=True)
 
 
-def make_clip(path: pathlib.Path, width: int, height: int, frames: int) -> None:
+def make_clip(path: pathlib.Path, width: int, height: int, frames: int,
+              codec: str = "h264") -> None:
     """Encode a synthetic moving-gradient clip with the framework encoder."""
     from videoprocessingframework_tpu.io import VideoEncoder
 
     enc = VideoEncoder(
         {
-            "codec": "h264",
+            "codec": codec,
             "preset": "P1",
             "s": f"{width}x{height}",
             "bitrate": "8M",
@@ -243,6 +244,14 @@ def main() -> int:
         help="measure the encoder preset ladder (fps vs PSNR) and exit",
     )
     ap.add_argument(
+        "--res", default="",
+        help="clip resolution WxH (default 1920x1080; e.g. 3840x2160)",
+    )
+    ap.add_argument(
+        "--codec", default="h264", choices=["h264", "hevc", "vp9", "av1"],
+        help="bench clip codec (decode side exercises this codec)",
+    )
+    ap.add_argument(
         "--multicore", action="store_true",
         help="BASELINE configs[2] validation: force the 16-stream "
         "aggregate configuration (SampleDecodeMultiThread analog) "
@@ -278,10 +287,16 @@ def main() -> int:
     from videoprocessingframework_tpu.ops.fused import FusedPipeline
 
     width, height = (640, 360) if args.quick else (1920, 1080)
+    if args.res:
+        width, height = map(int, args.res.lower().split("x"))
     clip_frames = 60 if args.quick else 150
-    clip = BENCH_DIR / f"bench_{width}x{height}_{clip_frames}.h264"
+    clip = BENCH_DIR / (
+        f"bench_{width}x{height}_{clip_frames}"
+        + ("" if args.codec == "h264" else f"_{args.codec}")
+        + ".h264"
+    )
     if not clip.exists():
-        make_clip(clip, width, height, clip_frames)
+        make_clip(clip, width, height, clip_frames, codec=args.codec)
 
     if args.ladder:
         ladder = {}
@@ -310,6 +325,8 @@ def main() -> int:
     frames_per_stream = args.frames or (
         clip_frames if args.quick else 8 * args.batch
     )
+    # never let warm-up (2 batches) swallow the whole run
+    frames_per_stream = max(frames_per_stream, 4 * args.batch)
 
     from videoprocessingframework_tpu.io import NativeDecodePool
 
@@ -319,9 +336,12 @@ def main() -> int:
     # its headline. Installed BEFORE the first compile so even a kill
     # during warm-up produces a (zero-valued) line.
     result = {
+        # keep the historical string for the default config so BENCH_r*
+        # records stay comparable round over round
         "metric": "1080p decode→NV12→RGB→resize aggregate fps (1 chip)"
-        if not args.quick
-        else f"{width}x{height} decode→NV12→RGB→resize aggregate fps (quick)",
+        if not args.quick and args.codec == "h264" and height == 1080
+        else f"{width}x{height} {args.codec} decode→RGB→resize aggregate "
+        f"fps ({'quick' if args.quick else '1 chip'})",
         "value": 0.0,
         "unit": "fps",
         "vs_baseline": 0.0,
