@@ -223,6 +223,45 @@ def kernel_fidelity(postproc, planes, out_h, out_w, space, rng):
     return ulp, ulp <= 1
 
 
+def _fidelity_child(npz_path: str) -> int:
+    """Internal `--_fidelity` mode: run the on-chip fidelity gate in a
+    CHILD process the parent can kill. The gate's scalar fetch pays the
+    one-time reverse-channel init (measured 112-374 s under bad weather)
+    while holding the GIL — unboundable in-process, but a subprocess dies
+    on a hard timeout. Prints one JSON line {"ulp": N, "ok": bool}."""
+    import jax
+
+    from videoprocessingframework_tpu.core.enums import (
+        ColorRange,
+        ColorSpace,
+        PixelFormat,
+    )
+    from videoprocessingframework_tpu.ops.fused import FusedPipeline
+
+    data = np.load(npz_path)
+    planes = (data["y"], data["u"], data["v"])
+    kern = "pallas" if jax.default_backend() != "cpu" else "xla"
+    kwargs = dict(
+        out_size=(224, 224), method="lanczos", output="rgb_u8"
+    )
+    try:
+        postproc = FusedPipeline(
+            PixelFormat.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
+            kernel=kern, **kwargs,
+        )
+        jax.block_until_ready(postproc(*planes))
+    except ValueError:  # shape not kernel-eligible: let auto decide
+        postproc = FusedPipeline(
+            PixelFormat.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
+            **kwargs,
+        )
+    ulp, ok = kernel_fidelity(
+        postproc, planes, 224, 224, ColorSpace.BT_709, ColorRange.MPEG
+    )
+    print(json.dumps({"ulp": ulp, "ok": ok}))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small CPU-friendly run")
@@ -261,6 +300,11 @@ def main() -> int:
     ap.add_argument(
         "--_single", action="store_true", help="internal: one run, raw output"
     )
+    ap.add_argument(
+        "--_fidelity", metavar="NPZ",
+        help="internal: run the on-chip fidelity gate on planes from NPZ "
+        "and print {ulp, ok} (child mode — parent holds the timeout)",
+    )
     args = ap.parse_args()
 
     if args.quick:
@@ -278,6 +322,9 @@ def main() -> int:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+    if args._fidelity:
+        return _fidelity_child(args._fidelity)
 
     from videoprocessingframework_tpu.core.enums import (
         ColorRange,
@@ -706,15 +753,39 @@ def main() -> int:
         _progress("d2h init skipped/stalled — skipping fetch stages")
 
     # on-chip fidelity gate: the pinned kernel's Mosaic codegen must stay
-    # ≤1 u8 ULP vs the float64 golden on real decoded frames
+    # ≤1 u8 ULP vs the float64 golden on real decoded frames. Real
+    # backend runs it in a KILLABLE subprocess (its scalar fetch pays the
+    # child's reverse-channel init under a hard timeout — in-process that
+    # init holds the GIL unbounded); --quick keeps it in-process (local
+    # CPU, instant, and deterministic for the smoke test).
     try:
-        if not d2h_ready or _time_left() < 90.0:
-            raise TimeoutError("bench deadline")
-        _progress("fidelity gate...")
-        ulp, ok = kernel_fidelity(
-            postproc, fid_planes, 224, 224,
-            ColorSpace.BT_709, ColorRange.MPEG,
-        )
+        if args.quick:
+            _progress("fidelity gate...")
+            ulp, ok = kernel_fidelity(
+                postproc, fid_planes, 224, 224,
+                ColorSpace.BT_709, ColorRange.MPEG,
+            )
+        else:
+            if _time_left() < 90.0:
+                raise TimeoutError("bench deadline")
+            _progress("fidelity gate (subprocess)...")
+            import subprocess
+
+            npz = BENCH_DIR / "fidelity_planes.npz"
+            np.savez(npz, y=fid_planes[0], u=fid_planes[1],
+                     v=fid_planes[2])
+            child = subprocess.run(
+                [sys.executable, __file__, "--_fidelity", str(npz)],
+                timeout=min(180.0, _time_left() - 45.0),
+                capture_output=True, text=True,
+            )
+            if child.returncode != 0:
+                raise RuntimeError(
+                    f"fidelity child rc={child.returncode}: "
+                    f"{child.stderr.strip()[-160:]}"
+                )
+            verdict = json.loads(child.stdout.strip().splitlines()[-1])
+            ulp, ok = int(verdict["ulp"]), bool(verdict["ok"])
         result["extra"]["kernel_ulp"] = ulp
         result["extra"]["kernel_ulp_ok"] = ok
     except TimeoutError:
