@@ -88,6 +88,22 @@ class VpfMotionVector(C.Structure):
     ]
 
 
+class VpfJpegInfo(C.Structure):
+    _fields_ = [
+        ("width", C.c_uint32),
+        ("height", C.c_uint32),
+        ("ncomp", C.c_uint32),
+        ("hs", C.c_uint32 * 4),
+        ("vs", C.c_uint32 * 4),
+        ("bw", C.c_uint32 * 4),
+        ("bh", C.c_uint32 * 4),
+        ("qt", (C.c_uint16 * 64) * 4),
+        ("restart_interval", C.c_uint32),
+        ("max_k", C.c_uint32),
+        ("consumed", C.c_uint32),
+    ]
+
+
 # return codes (common.hpp VpfStatus)
 OK = 1
 NEED_MORE = 0
@@ -233,6 +249,19 @@ def load() -> C.CDLL:
     sig("vpf_pool_frames_dropped", C.c_long, [C.c_void_p])
     sig("vpf_pool_drop_reason", C.c_char_p, [C.c_void_p])
     sig("vpf_pool_destroy", None, [C.c_void_p])
+
+    _i16p = C.POINTER(C.c_int16)
+    sig(
+        "vpf_jpeg_probe",
+        C.c_int,
+        [_u8p, C.c_size_t, C.POINTER(VpfJpegInfo)],
+    )
+    sig(
+        "vpf_jpeg_parse",
+        C.c_int,
+        [_u8p, C.c_size_t, C.POINTER(VpfJpegInfo), C.POINTER(_i16p),
+         C.POINTER(C.c_uint32)],
+    )
 
     sig(
         "vpf_muxer_open",

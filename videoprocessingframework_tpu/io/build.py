@@ -21,7 +21,10 @@ _LIB = _OUT_DIR / "libvpf_host.so"
 _STAMP = _OUT_DIR / "libvpf_host.stamp"
 _lock = threading.Lock()
 
-_SOURCES = ["demuxer.cpp", "decoder.cpp", "encoder.cpp", "pool.cpp", "muxer.cpp"]
+_SOURCES = [
+    "demuxer.cpp", "decoder.cpp", "encoder.cpp", "pool.cpp", "muxer.cpp",
+    "jpeg.cpp",
+]
 
 
 def _source_digest() -> str:

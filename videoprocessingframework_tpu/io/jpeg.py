@@ -1,0 +1,292 @@
+"""MJPEG decode, TPU-offloaded: host entropy decode → device IDCT.
+
+The reference decodes MJPEG on the GPU's dedicated bitstream engine
+(reference: src/TC/inc/FFmpegDemuxer.h:261 maps AV_CODEC_ID_MJPEG →
+cudaVideoCodec_JPEG). A TPU has no bitstream engine, so the codec is
+split where the hardware is:
+
+* :class:`JpegCoefDecoder` (here, over io/native/jpeg.cpp) runs the
+  serial Huffman entropy decode on the host — the only part of JPEG that
+  cannot vectorize — emitting quantized DCT coefficients.
+* :class:`~videoprocessingframework_tpu.ops.jpeg.JpegDevicePipeline`
+  runs everything after the coefficients (dequant + IDCT + plane
+  reassembly + CSC + resize) as batched MXU matmuls in ONE XLA program.
+
+:class:`MjpegReader` is the high-level tie: demux an MJPEG container,
+entropy-decode on host, hand coefficient batches to the device. Streams
+the device path cannot take (progressive, 12-bit, exotic sampling) raise
+:class:`JpegStreamError`; callers fall back to the libav software path
+(:class:`~videoprocessingframework_tpu.io.decoder.VideoReader` handles
+MJPEG like any other codec).
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from ..core.enums import CodecId
+from . import _lib
+from .demuxer import FFmpegDemuxer
+
+__all__ = ["JpegStreamError", "JpegCoefDecoder", "MjpegReader"]
+
+
+class JpegStreamError(RuntimeError):
+    """Stream outside the device path's scope (progressive, 12-bit,
+    non-interleaved, sampling > 2). Fall back to VideoReader."""
+
+
+_u8p = C.POINTER(C.c_uint8)
+_i16p = C.POINTER(C.c_int16)
+
+
+def _as_u8(data) -> np.ndarray:
+    a = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) \
+        else np.ascontiguousarray(data).view(np.uint8).reshape(-1)
+    return a
+
+
+class JpegCoefDecoder:
+    """Entropy-decode baseline JPEG images to zigzag DCT coefficients.
+
+    Stateful per stream: geometry and quant tables are captured at the
+    first :meth:`decode` (or explicit :meth:`probe`) and coefficient
+    buffers are allocated once; a mid-stream geometry change re-probes
+    and reallocates transparently (the native layer bounds-checks and
+    refuses to write out-of-capacity, mirroring the video decoder's
+    res-change contract).
+
+    ``decode`` returns per-component int16 ``[blocks, 64]`` arrays in
+    zigzag order — feed batches of them to ``JpegDevicePipeline``.
+    """
+
+    def __init__(self):
+        self._lib = _lib.load()
+        self.info: Optional[_lib.VpfJpegInfo] = None
+        self._bufs: list[np.ndarray] = []
+        self.quant_dirty = False  # set when a decode changed the tables
+
+    def probe(self, data) -> _lib.VpfJpegInfo:
+        """Parse headers only (through SOS): geometry + quant tables."""
+        a = _as_u8(data)
+        info = _lib.VpfJpegInfo()
+        rc = self._lib.vpf_jpeg_probe(
+            a.ctypes.data_as(_u8p), a.size, C.byref(info)
+        )
+        if rc != _lib.OK:
+            raise JpegStreamError(_lib.last_error())
+        self._adopt(info)
+        return info
+
+    def _adopt(self, info: _lib.VpfJpegInfo) -> None:
+        old = self.info
+        self.info = info
+        self._bufs = [
+            np.zeros((int(info.bh[c]) * int(info.bw[c]), 64), np.int16)
+            for c in range(int(info.ncomp))
+        ]
+        if old is not None and any(
+            not np.array_equal(
+                np.array(old.qt[c][:64]), np.array(info.qt[c][:64])
+            )
+            for c in range(int(info.ncomp))
+        ):
+            self.quant_dirty = True
+
+    def decode(self, data) -> tuple[np.ndarray, ...]:
+        """One image → per-component ``[blocks, 64]`` int16 (zigzag).
+
+        Returned arrays are fresh copies (the internal scratch is reused
+        across calls). Raises :class:`JpegStreamError` for streams the
+        device path cannot take, RuntimeError for corrupt bitstreams.
+        """
+        a = _as_u8(data)
+        if self.info is None:
+            self.probe(a)
+        assert self.info is not None
+        n = int(self.info.ncomp)
+        out = _lib.VpfJpegInfo()
+        for _ in range(2):  # second pass after a geometry re-probe
+            ptrs = (_i16p * n)(
+                *(self._bufs[c].ctypes.data_as(_i16p) for c in range(n))
+            )
+            caps = (C.c_uint32 * 4)(
+                *(self._bufs[c].shape[0] for c in range(n)),
+                *([0] * (4 - n)),
+            )
+            rc = self._lib.vpf_jpeg_parse(
+                a.ctypes.data_as(_u8p), a.size, C.byref(out), ptrs, caps
+            )
+            if rc == _lib.OK:
+                break
+            if rc == _lib.ERR_DECODE:  # geometry grew: re-probe, retry
+                self.probe(a)
+                n = int(self.info.ncomp)
+                continue
+            raise JpegStreamError(_lib.last_error())
+        else:
+            raise RuntimeError(_lib.last_error())
+        # copy out with the geometry THIS image declared (a shrinking
+        # mid-stream change fits the old scratch; slice to the new count)
+        res = tuple(
+            self._bufs[c][: int(out.bh[c]) * int(out.bw[c])].copy()
+            for c in range(n)
+        )
+        changed = any(
+            not np.array_equal(
+                np.array(out.qt[c][:64]), np.array(self.info.qt[c][:64])
+            )
+            for c in range(n)
+        ) or (out.width, out.height) != (self.info.width, self.info.height)
+        if changed:
+            self._adopt(out)  # sets quant_dirty on table change
+        return res
+
+    def decode_batch(
+        self, packets: Sequence
+    ) -> tuple[np.ndarray, ...]:
+        """Decode packets into stacked ``[N, blocks, 64]`` batches.
+
+        All packets must share one geometry (a mid-batch geometry change
+        raises — split the batch at the boundary like the video pool's
+        res-change contract). Quant-table changes within the batch are
+        NOT representable in one batch (the device folds the table into
+        the basis matrix) and raise too; MJPEG encoders in practice emit
+        per-stream constant tables.
+        """
+        frames = [self.decode(p) for p in packets]
+        if self.quant_dirty:
+            self.quant_dirty = False
+            raise JpegStreamError(
+                "quant tables changed mid-batch; decode frame-by-frame "
+                "and rebuild the pipeline bases (set_quant_tables)"
+            )
+        n = len(frames[0])
+        shapes = {tuple(c.shape for c in f) for f in frames}
+        if len(shapes) != 1:
+            raise JpegStreamError(
+                "geometry changed mid-batch; split the batch at the change"
+            )
+        return tuple(
+            np.stack([f[c] for f in frames]) for c in range(n)
+        )
+
+
+class MjpegReader:
+    """Demux + decode an MJPEG stream end-to-end on the TPU path.
+
+    ``source`` is anything :class:`FFmpegDemuxer` accepts (path/URL or a
+    ``read()`` byte provider). Yields device-array batches from
+    :class:`JpegDevicePipeline` — ``output='planes'`` for the raw
+    (y, u, v) planes, or any fused mode (``rgb_u8``/``normalized``…)
+    with resize in the same program.
+
+    The reference exposes MJPEG through the same PyNvDecoder surface
+    (cudaVideoCodec_JPEG); here the dedicated reader exists because the
+    work split (host entropy / device pixels) is TPU-specific. Streams
+    the device path can't handle raise :class:`JpegStreamError` at
+    construction — fall back to ``VideoReader(source)``.
+    """
+
+    def __init__(
+        self,
+        source,
+        out_size: Optional[tuple[int, int]] = None,
+        output: str = "rgb_u8",
+        method: str = "lanczos",
+        compute: str = "auto",
+        batch: int = 8,
+    ):
+        self.demuxer = FFmpegDemuxer(source)
+        if self.demuxer.codec != CodecId.MJPEG:
+            raise JpegStreamError(
+                f"stream codec is {self.demuxer.codec.name}, not MJPEG"
+            )
+        self.coef = JpegCoefDecoder()
+        self.batch = int(batch)
+        first = self.demuxer.demux()
+        if first is None:
+            raise JpegStreamError("empty MJPEG stream")
+        self._pending = [first.packet.copy()]
+        info = self.coef.probe(self._pending[0])
+        if int(info.ncomp) != 3:
+            raise JpegStreamError(
+                f"device path needs 3 components, got {int(info.ncomp)}"
+            )
+        from ..ops.jpeg import JpegDevicePipeline
+
+        self.pipeline = JpegDevicePipeline(
+            info, out_size=out_size, output=output,
+            method=method, compute=compute,
+        )
+        self.width = self.pipeline.width
+        self.height = self.pipeline.height
+
+    def _packets(self) -> Iterator[np.ndarray]:
+        while self._pending:
+            yield self._pending.pop(0)
+        while True:
+            r = self.demuxer.demux()
+            if r is None:
+                return
+            yield r.packet.copy()
+
+    def batches(self):
+        """Yield device batches of up to ``batch`` frames (ragged tail).
+
+        Per-frame quant-table changes rebuild the bases (cheap, no
+        recompile); geometry changes mid-stream are split at the
+        boundary and the pipeline is rebuilt.
+        """
+        pend: list[tuple[np.ndarray, ...]] = []
+        shape0 = None
+        for pkt in self._packets():
+            f = self.coef.decode(pkt)
+            if self.coef.quant_dirty:
+                self.coef.quant_dirty = False
+                if pend:
+                    yield self._emit(pend)
+                    pend = []
+                self.pipeline.set_quant_tables(self.coef.info)
+            s = tuple(c.shape for c in f)
+            if shape0 is None:
+                shape0 = s
+            elif s != shape0:  # geometry change: flush + rebuild
+                if pend:
+                    yield self._emit(pend)
+                    pend = []
+                shape0 = s
+                self.pipeline = self.pipeline.__class__(
+                    self.coef.info,
+                    out_size=(self.pipeline.out_h, self.pipeline.out_w),
+                    output=self.pipeline.output,
+                    method=self.pipeline.method,
+                    compute=self.pipeline.compute,
+                )
+                self.width = self.pipeline.width
+                self.height = self.pipeline.height
+            pend.append(f)
+            if len(pend) >= self.batch:
+                yield self._emit(pend)
+                pend = []
+        if pend:
+            yield self._emit(pend)
+
+    def _emit(self, frames):
+        cy, cu, cv = (
+            np.stack([f[c] for f in frames]) for c in range(3)
+        )
+        return self.pipeline(cy, cu, cv)
+
+    def frames(self):
+        """Per-frame convenience iterator over :meth:`batches`."""
+        for out in self.batches():
+            if isinstance(out, tuple):  # planes mode
+                for i in range(out[0].shape[0]):
+                    yield tuple(p[i] for p in out)
+            else:
+                for i in range(out.shape[0]):
+                    yield out[i]

@@ -306,7 +306,12 @@ struct Encoder {
         avctx->pix_fmt = AV_PIX_FMT_YUVJ420P;
       avctx->max_b_frames = 0;
       avctx->flags |= AV_CODEC_FLAG_QSCALE;
-      avctx->global_quality = FF_QP2LAMBDA * 4;
+      // initqp/constqp (NVENC vocabulary) maps to the mjpeg qscale
+      // (2..31, lower = better); default 4 ≈ visually lossless
+      int qs = atoi(opt("initqp", opt("constqp", "4")).c_str());
+      if (qs < 1) qs = 4;
+      if (qs > 31) qs = 31;
+      avctx->global_quality = FF_QP2LAMBDA * qs;
     } else if (strcmp(codec->name, "mpeg4") == 0) {
       if (avctx->bit_rate == 0) avctx->bit_rate = 2000000;
       if (avctx->max_b_frames < 0) avctx->max_b_frames = 0;

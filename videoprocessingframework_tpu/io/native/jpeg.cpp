@@ -1,0 +1,564 @@
+/* Baseline-JPEG entropy decoder: bitstream → quantized DCT coefficients.
+ *
+ * The TPU-offloaded half of MJPEG decode. The reference decodes MJPEG on
+ * the GPU's dedicated engine (reference: src/TC/inc/FFmpegDemuxer.h:261
+ * maps AV_CODEC_ID_MJPEG → cudaVideoCodec_JPEG; src/TC/src/NvDecoder.cpp:244
+ * notes JPEG runs on the CUDA path). A TPU has no bitstream engine, so the
+ * split is done where the hardware is: the serial entropy (Huffman) decode
+ * runs here on the host — measured 1.5-1.8× faster than full libav MJPEG
+ * decode at 1080p across qscale 2-16 (combined Huffman+magnitude LUT;
+ * dequant+IDCT+upsample dominate libav's pixel loop) — and everything after the coefficients (dequant, IDCT, reassembly, CSC,
+ * resize) becomes batched MXU matmuls on device (ops/jpeg.py).
+ *
+ * Output layout per component: [bh*bw blocks][64] int16 in ZIGZAG order
+ * (the device folds zigzag→spatial plus dequant into one constant basis
+ * matrix, so de-zigzagging here would be wasted host work). Quant tables
+ * are exported in the same zigzag order.
+ *
+ * Scope: sequential baseline DCT (SOF0/SOF1), 8-bit samples, interleaved
+ * single-scan, sampling factors ≤ 2, restart markers supported.
+ * Progressive / hierarchical / 12-bit / non-interleaved streams return
+ * VPF_ERR with a typed message — callers fall back to the libav software
+ * path (io/native/decoder.cpp).
+ */
+#include <vector>
+
+#include "common.hpp"
+
+namespace {
+
+/* Combined Huffman+magnitude LUT (the libjpeg-turbo fast-path idea): one
+ * 12-bit peek resolves most symbols AND their EXTENDed coefficient value
+ * in a single table load. Entry encoding:
+ *   0                → not covered (code > 12 bits / invalid): slow path
+ *   bit 31 set (e<0) → full decode: value int16 in bits 0-15, run in
+ *                      bits 16-19, total consumed bits in 20-25
+ *   bit 30 set       → symbol only (code ≤ 12 but code+magnitude > 12):
+ *                      symbol in bits 0-7, code length in bits 20-25
+ * EOB/ZRL (size 0) are "full" with value 0 — real coefficients are never
+ * 0 (EXTEND excludes it), so value==0 disambiguates. */
+struct HuffTable {
+  static constexpr int LUT_BITS = 12;
+  int32_t flut[1 << LUT_BITS];
+  int32_t maxcode[17];
+  int32_t valptr[17];
+  int32_t mincode[17];
+  uint8_t huffval[256];
+  bool present = false;
+
+  void build(const uint8_t* bits, const uint8_t* vals, int nvals,
+             bool is_ac) {
+    memcpy(huffval, vals, nvals);
+    int code = 0, k = 0;
+    uint16_t codes[256];
+    uint8_t sizes[256];
+    for (int l = 1; l <= 16; ++l) {
+      valptr[l] = k;
+      mincode[l] = code;
+      for (int i = 0; i < bits[l - 1]; ++i) {
+        codes[k] = (uint16_t)code;
+        sizes[k] = (uint8_t)l;
+        ++code;
+        ++k;
+      }
+      maxcode[l] = code - 1;
+      code <<= 1;
+    }
+    for (int l = 1; l <= 16; ++l)
+      if (!bits[l - 1]) maxcode[l] = -1;
+    memset(flut, 0, sizeof(flut));
+    for (int i = 0; i < k; ++i) {
+      int l = sizes[i];
+      if (l > LUT_BITS) continue;
+      uint8_t sym = huffval[i];
+      int run = is_ac ? (sym >> 4) : 0;
+      int sz = is_ac ? (sym & 15) : sym;
+      int base = codes[i] << (LUT_BITS - l);
+      int nfill = 1 << (LUT_BITS - l);
+      if (sz == 0) {
+        int32_t e = (int32_t)(0x80000000u | (l << 20) | (run << 16));
+        for (int j = 0; j < nfill; ++j) flut[base + j] = e;
+      } else if (l + sz <= LUT_BITS) {
+        for (int j = 0; j < nfill; ++j) {
+          int idx = base + j;
+          int vbits = (idx >> (LUT_BITS - l - sz)) & ((1 << sz) - 1);
+          int val = vbits < (1 << (sz - 1)) ? vbits - (1 << sz) + 1 : vbits;
+          flut[idx] = (int32_t)(0x80000000u | ((l + sz) << 20) |
+                                (run << 16) | (uint16_t)(int16_t)val);
+        }
+      } else {
+        int32_t e = (1 << 30) | (l << 20) | sym;
+        for (int j = 0; j < nfill; ++j) flut[base + j] = e;
+      }
+    }
+    present = true;
+  }
+};
+
+/* Entropy-coded data, de-stuffed once up front (memchr sweep: 0xFF00 →
+ * 0xFF, RSTn markers removed with their de-stuffed offsets recorded, any
+ * other marker ends the scan). One linear copy per frame (~0.02 ms at
+ * 1080p) buys the bit reader branch-free 64-bit refills; together with
+ * the combined LUT this took 1080p parse from 5.8 to 3.2 ms/frame. */
+struct EntropyData {
+  std::vector<uint8_t> buf;
+  std::vector<size_t> restarts; /* de-stuffed offset just past each RSTn */
+  size_t end_src = 0;           /* source offset just past EOI (or n) */
+
+  void destuff(const uint8_t* d, size_t n, size_t start) {
+    buf.clear();
+    restarts.clear();
+    buf.reserve(n - start + 16);
+    size_t i = start;
+    while (i < n) {
+      const uint8_t* ff =
+          (const uint8_t*)memchr(d + i, 0xFF, n - i);
+      if (!ff) {
+        buf.insert(buf.end(), d + i, d + n);
+        break;
+      }
+      size_t j = (size_t)(ff - d);
+      buf.insert(buf.end(), d + i, d + j);
+      if (j + 1 >= n) break;
+      uint8_t m = d[j + 1];
+      if (m == 0x00) {
+        buf.push_back(0xFF);
+        i = j + 2;
+      } else if (m >= 0xD0 && m <= 0xD7) {
+        restarts.push_back(buf.size());
+        i = j + 2;
+      } else { /* real marker (EOI or next-frame SOI/...) ends the scan */
+        end_src = (m == 0xD9) ? j + 2 : j;
+        return;
+      }
+    }
+    end_src = n;
+  }
+};
+
+/* MSB-first bit reader over de-stuffed entropy data. Past the end it
+ * feeds zero bits; the block loop's bounds keep that safe and the caller
+ * checks decode success per symbol. */
+struct BitReader {
+  const uint8_t* base;
+  const uint8_t* p;
+  const uint8_t* end;
+  const EntropyData* ed;
+  size_t next_rst = 0;
+  uint64_t buf = 0;
+  int nbits = 0;
+
+  explicit BitReader(const EntropyData& e)
+      : base(e.buf.data()),
+        p(e.buf.data()),
+        end(e.buf.data() + e.buf.size()),
+        ed(&e) {}
+
+  void refill() {
+    if (p + 8 <= end) {
+      uint64_t v;
+      memcpy(&v, p, 8);
+      v = __builtin_bswap64(v);
+      buf |= v >> nbits;
+      int take = (63 - nbits) >> 3;
+      p += take;
+      nbits += take * 8;
+    } else {
+      while (nbits <= 56) {
+        uint8_t b = p < end ? *p++ : 0;
+        buf |= (uint64_t)b << (56 - nbits);
+        nbits += 8;
+      }
+    }
+  }
+  inline uint32_t peek(int n) { return (uint32_t)(buf >> (64 - n)); }
+  inline void skip(int n) {
+    buf <<= n;
+    nbits -= n;
+  }
+  inline int32_t receive_extend(int s) {
+    if (!s) return 0;
+    if (nbits < s) refill();
+    int32_t v = (int32_t)peek(s);
+    skip(s);
+    /* ITU T.81 F.2.2.1 EXTEND */
+    if (v < (1 << (s - 1))) v += ((-1) << s) + 1;
+    return v;
+  }
+  bool align_restart() {
+    buf = 0;
+    nbits = 0;
+    if (next_rst >= ed->restarts.size()) return false;
+    p = base + ed->restarts[next_rst++];
+    return true;
+  }
+};
+
+/* Codes longer than LUT_BITS (rare: deep AC codes in noisy content).
+ * Caller guarantees ≥16 bits buffered. */
+inline int decode_huff_slow(BitReader& br, const HuffTable& t) {
+  uint32_t c16 = br.peek(16);
+  for (int l = HuffTable::LUT_BITS + 1; l <= 16; ++l) {
+    int32_t code = (int32_t)(c16 >> (16 - l));
+    if (t.maxcode[l] >= 0 && code <= t.maxcode[l]) {
+      br.skip(l);
+      return t.huffval[t.valptr[l] + code - t.mincode[l]];
+    }
+  }
+  return -1;
+}
+
+struct Parser {
+  const uint8_t* d;
+  size_t n;
+  HuffTable dc[4], ac[4];
+  uint16_t qtab[4][64] = {};
+  bool qtab_present[4] = {};
+  struct Comp {
+    int id = 0, hs = 1, vs = 1, tq = 0, td = 0, ta = 0;
+    int bw = 0, bh = 0;
+    int32_t dcpred = 0;
+  } comp[4];
+  int ncomp = 0, W = 0, H = 0, restart = 0, bits = 8;
+  bool progressive = false;
+  size_t sos_data_off = 0; /* entropy-coded data start (0 = no SOS seen) */
+  size_t end_off = 0;      /* offset just past EOI (parse only) */
+  int max_k = 0;
+
+  int parse_headers() {
+    if (n < 4 || d[0] != 0xFF || d[1] != 0xD8)
+      return vpf_set_error(VPF_ERR_PARSE, "jpeg: missing SOI marker");
+    size_t i = 2;
+    while (i + 4 <= n) {
+      if (d[i] != 0xFF) {
+        ++i;
+        continue;
+      }
+      uint8_t m = d[i + 1];
+      if (m == 0xFF) { ++i; continue; } /* fill byte */
+      if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) {
+        i += 2;
+        continue;
+      }
+      if (m == 0xD9)
+        return vpf_set_error(VPF_ERR_PARSE, "jpeg: EOI before SOS");
+      size_t len = ((size_t)d[i + 2] << 8) | d[i + 3];
+      if (len < 2 || i + 2 + len > n)
+        return vpf_set_error(VPF_ERR_PARSE, "jpeg: truncated segment 0x%02x",
+                             m);
+      const uint8_t* seg = d + i + 4;
+      size_t segn = len - 2;
+      switch (m) {
+        case 0xC4: { /* DHT */
+          size_t o = 0;
+          while (o + 17 <= segn) {
+            int tc = seg[o] >> 4, th = seg[o] & 15;
+            if (th > 3)
+              return vpf_set_error(VPF_ERR_PARSE, "jpeg: DHT id %d", th);
+            const uint8_t* bl = seg + o + 1;
+            int nv = 0;
+            for (int l = 0; l < 16; ++l) nv += bl[l];
+            if (nv > 256 || o + 17 + (size_t)nv > segn)
+              return vpf_set_error(VPF_ERR_PARSE, "jpeg: bad DHT");
+            (tc ? ac : dc)[th].build(bl, seg + o + 17, nv, tc != 0);
+            o += 17 + nv;
+          }
+          break;
+        }
+        case 0xDB: { /* DQT (zigzag order per T.81 B.2.4.1) */
+          size_t o = 0;
+          while (o < segn) {
+            int pq = seg[o] >> 4, tq = seg[o] & 15;
+            if (tq > 3)
+              return vpf_set_error(VPF_ERR_PARSE, "jpeg: DQT id %d", tq);
+            ++o;
+            for (int z = 0; z < 64; ++z) {
+              if (pq) {
+                qtab[tq][z] = (uint16_t)((seg[o] << 8) | seg[o + 1]);
+                o += 2;
+              } else {
+                qtab[tq][z] = seg[o++];
+              }
+            }
+            qtab_present[tq] = true;
+          }
+          break;
+        }
+        case 0xC2:
+        case 0xC6:
+        case 0xCA:
+        case 0xCE:
+          progressive = true;
+          return vpf_set_error(VPF_ERR, "jpeg: progressive stream "
+                               "(device path is baseline-only)");
+        case 0xC0:
+        case 0xC1: { /* SOF0/1: baseline sequential */
+          if (segn < 6)
+            return vpf_set_error(VPF_ERR_PARSE, "jpeg: short SOF");
+          bits = seg[0];
+          if (bits != 8)
+            return vpf_set_error(VPF_ERR, "jpeg: %d-bit samples unsupported",
+                                 bits);
+          H = (seg[1] << 8) | seg[2];
+          W = (seg[3] << 8) | seg[4];
+          ncomp = seg[5];
+          if (ncomp < 1 || ncomp > 4 || segn < 6 + 3 * (size_t)ncomp)
+            return vpf_set_error(VPF_ERR_PARSE, "jpeg: bad SOF ncomp %d",
+                                 ncomp);
+          for (int c = 0; c < ncomp; ++c) {
+            comp[c].id = seg[6 + 3 * c];
+            comp[c].hs = seg[7 + 3 * c] >> 4;
+            comp[c].vs = seg[7 + 3 * c] & 15;
+            comp[c].tq = seg[8 + 3 * c];
+            if (comp[c].hs < 1 || comp[c].hs > 2 || comp[c].vs < 1 ||
+                comp[c].vs > 2)
+              return vpf_set_error(VPF_ERR,
+                                   "jpeg: sampling %dx%d unsupported",
+                                   comp[c].hs, comp[c].vs);
+          }
+          break;
+        }
+        case 0xDD: /* DRI */
+          restart = (seg[0] << 8) | seg[1];
+          break;
+        case 0xDA: { /* SOS */
+          if (!W)
+            return vpf_set_error(VPF_ERR_PARSE, "jpeg: SOS before SOF");
+          int ns = seg[0];
+          if (ns != ncomp)
+            return vpf_set_error(
+                VPF_ERR, "jpeg: non-interleaved scan (%d of %d components)",
+                ns, ncomp);
+          for (int s = 0; s < ns; ++s) {
+            int cid = seg[1 + 2 * s];
+            bool found = false;
+            for (int c = 0; c < ncomp; ++c)
+              if (comp[c].id == cid) {
+                comp[c].td = seg[2 + 2 * s] >> 4;
+                comp[c].ta = seg[2 + 2 * s] & 15;
+                found = true;
+              }
+            if (!found)
+              return vpf_set_error(VPF_ERR_PARSE, "jpeg: SOS component %d",
+                                   cid);
+          }
+          sos_data_off = i + 4 + segn;
+          finish_geometry();
+          return VPF_OK;
+        }
+        default:
+          break; /* APPn/COM/etc: skip */
+      }
+      i += 2 + len;
+    }
+    return vpf_set_error(VPF_ERR_PARSE, "jpeg: no SOS marker");
+  }
+
+  void finish_geometry() {
+    int hmax = 1, vmax = 1;
+    for (int c = 0; c < ncomp; ++c) {
+      hmax = comp[c].hs > hmax ? comp[c].hs : hmax;
+      vmax = comp[c].vs > vmax ? comp[c].vs : vmax;
+    }
+    mcux = (W + 8 * hmax - 1) / (8 * hmax);
+    mcuy = (H + 8 * vmax - 1) / (8 * vmax);
+    for (int c = 0; c < ncomp; ++c) {
+      comp[c].bw = mcux * comp[c].hs;
+      comp[c].bh = mcuy * comp[c].vs;
+    }
+  }
+  int mcux = 0, mcuy = 0;
+
+  int decode_scan(int16_t* const* out) {
+    for (int c = 0; c < ncomp; ++c) {
+      if (!dc[comp[c].td].present || !ac[comp[c].ta].present)
+        return vpf_set_error(VPF_ERR_PARSE, "jpeg: missing Huffman table");
+      comp[c].dcpred = 0;
+      memset(out[c], 0,
+             (size_t)comp[c].bw * comp[c].bh * 64 * sizeof(int16_t));
+    }
+    EntropyData ed;
+    ed.destuff(d, n, sos_data_off);
+    BitReader br(ed);
+    int mcu_count = 0;
+    for (int my = 0; my < mcuy; ++my) {
+      for (int mx = 0; mx < mcux; ++mx) {
+        if (restart && mcu_count && mcu_count % restart == 0) {
+          if (!br.align_restart())
+            return vpf_set_error(VPF_ERR_PARSE,
+                                 "jpeg: missing restart marker");
+          for (int c = 0; c < ncomp; ++c) comp[c].dcpred = 0;
+        }
+        for (int c = 0; c < ncomp; ++c) {
+          Comp& cc = comp[c];
+          const HuffTable& dt = dc[cc.td];
+          const HuffTable& at = ac[cc.ta];
+          for (int by = 0; by < cc.vs; ++by) {
+            for (int bx = 0; bx < cc.hs; ++bx) {
+              int bidx = (my * cc.vs + by) * cc.bw + (mx * cc.hs + bx);
+              int16_t* blk = out[c] + (size_t)bidx * 64;
+              /* DC: one refill covers LUT (≤12+11 bits) or slow
+               * (≤16+11); per-symbol worst case < 32 bits */
+              if (br.nbits < 32) br.refill();
+              int32_t e = dt.flut[br.peek(HuffTable::LUT_BITS)];
+              if (e < 0) {
+                br.skip((e >> 20) & 63);
+                cc.dcpred += (int16_t)(e & 0xFFFF);
+              } else if (e) {
+                br.skip((e >> 20) & 63);
+                int s = e & 0xFF;
+                if (s > 15)
+                  return vpf_set_error(VPF_ERR_PARSE,
+                                       "jpeg: bad DC code (mcu %d)",
+                                       mcu_count);
+                cc.dcpred += br.receive_extend(s);
+              } else {
+                int s = decode_huff_slow(br, dt);
+                if (s < 0 || s > 15)
+                  return vpf_set_error(VPF_ERR_PARSE,
+                                       "jpeg: bad DC code (mcu %d)",
+                                       mcu_count);
+                cc.dcpred += br.receive_extend(s);
+              }
+              blk[0] = (int16_t)cc.dcpred;
+              int k = 1;
+              while (k < 64) {
+                if (br.nbits < 32) br.refill();
+                e = at.flut[br.peek(HuffTable::LUT_BITS)];
+                int r, sz;
+                if (e < 0) { /* full: value embedded (0 = EOB/ZRL) */
+                  br.skip((e >> 20) & 63);
+                  int16_t val = (int16_t)(e & 0xFFFF);
+                  r = (e >> 16) & 15;
+                  if (val == 0) {
+                    if (r != 15) break; /* EOB */
+                    k += 16;            /* ZRL */
+                    continue;
+                  }
+                  k += r;
+                  if (k > 63)
+                    return vpf_set_error(VPF_ERR_PARSE,
+                                         "jpeg: AC index overflow");
+                  blk[k] = val;
+                  if (k > max_k) max_k = k;
+                  ++k;
+                  continue;
+                }
+                int rs;
+                if (e) { /* symbol only */
+                  br.skip((e >> 20) & 63);
+                  rs = e & 0xFF;
+                } else {
+                  rs = decode_huff_slow(br, at);
+                  if (rs < 0)
+                    return vpf_set_error(VPF_ERR_PARSE,
+                                         "jpeg: bad AC code (mcu %d)",
+                                         mcu_count);
+                }
+                r = rs >> 4;
+                sz = rs & 15;
+                if (!sz) {
+                  if (r != 15) break; /* EOB */
+                  k += 16;            /* ZRL */
+                } else {
+                  k += r;
+                  if (k > 63)
+                    return vpf_set_error(VPF_ERR_PARSE,
+                                         "jpeg: AC index overflow");
+                  blk[k] = (int16_t)br.receive_extend(sz);
+                  if (k > max_k) max_k = k;
+                  ++k;
+                }
+              }
+            }
+          }
+        }
+        ++mcu_count;
+      }
+    }
+    end_off = ed.end_src; /* just past EOI (recorded by the destuffer) */
+    return VPF_OK;
+  }
+};
+
+}  // namespace
+
+/* ---- C ABI (mirrored by ctypes in io/jpeg.py) ---- */
+
+typedef struct VpfJpegInfo {
+  uint32_t width;
+  uint32_t height;
+  uint32_t ncomp;
+  uint32_t hs[4];
+  uint32_t vs[4];
+  uint32_t bw[4]; /* block-grid width per component (padded to MCU) */
+  uint32_t bh[4];
+  uint16_t qt[4][64]; /* per-COMPONENT quant table, zigzag order */
+  uint32_t restart_interval;
+  uint32_t max_k; /* parse only: max nonzero zigzag index in the frame */
+  uint32_t consumed; /* parse only: bytes consumed incl. EOI */
+} VpfJpegInfo;
+
+static void fill_info(const Parser& ps, VpfJpegInfo* out) {
+  memset(out, 0, sizeof(*out));
+  out->width = ps.W;
+  out->height = ps.H;
+  out->ncomp = ps.ncomp;
+  for (int c = 0; c < ps.ncomp; ++c) {
+    out->hs[c] = ps.comp[c].hs;
+    out->vs[c] = ps.comp[c].vs;
+    out->bw[c] = ps.comp[c].bw;
+    out->bh[c] = ps.comp[c].bh;
+    memcpy(out->qt[c], ps.qtab[ps.comp[c].tq], sizeof(out->qt[c]));
+  }
+  out->restart_interval = ps.restart;
+}
+
+/* Parse headers only (through SOS): geometry + quant tables. Quant tables
+ * may legally arrive after a previous frame's scan in MJPEG, but every
+ * libav-muxed MJPEG frame is self-contained; a stream whose tables are
+ * missing at SOS time errors here. */
+VPF_API int vpf_jpeg_probe(const uint8_t* data, size_t size,
+                           VpfJpegInfo* out) {
+  Parser ps{data, size};
+  int rc = ps.parse_headers();
+  if (rc != VPF_OK) return rc;
+  for (int c = 0; c < ps.ncomp; ++c)
+    if (!ps.qtab_present[ps.comp[c].tq])
+      return vpf_set_error(VPF_ERR_PARSE, "jpeg: missing quant table %d",
+                           ps.comp[c].tq);
+  fill_info(ps, out);
+  return VPF_OK;
+}
+
+/* Full entropy decode of one JPEG image. comp_out: ncomp pointers, each
+ * to a [bh*bw][64] int16 buffer (zigzag order, zero-filled by this call),
+ * sized from a prior probe; comp_caps gives each buffer's capacity in
+ * BLOCKS. A mid-stream geometry change that would overflow a buffer
+ * errors with VPF_ERR_DECODE before any write (the caller re-probes and
+ * reallocates, mirroring the decoder's res-change contract). */
+VPF_API int vpf_jpeg_parse(const uint8_t* data, size_t size,
+                           VpfJpegInfo* out, int16_t* const* comp_out,
+                           const uint32_t* comp_caps) {
+  Parser ps{data, size};
+  int rc = ps.parse_headers();
+  if (rc != VPF_OK) return rc;
+  for (int c = 0; c < ps.ncomp; ++c) {
+    if (!ps.qtab_present[ps.comp[c].tq])
+      return vpf_set_error(VPF_ERR_PARSE, "jpeg: missing quant table %d",
+                           ps.comp[c].tq);
+    uint32_t need = (uint32_t)(ps.comp[c].bw * ps.comp[c].bh);
+    if (comp_caps && need > comp_caps[c])
+      return vpf_set_error(
+          VPF_ERR_DECODE,
+          "jpeg: geometry changed (component %d needs %u blocks, buffer "
+          "holds %u) — re-probe and reallocate",
+          c, need, comp_caps[c]);
+  }
+  rc = ps.decode_scan(comp_out);
+  if (rc != VPF_OK) return rc;
+  fill_info(ps, out);
+  out->max_k = ps.max_k;
+  out->consumed = (uint32_t)ps.end_off;
+  return VPF_OK;
+}

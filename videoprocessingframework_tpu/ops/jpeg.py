@@ -1,0 +1,266 @@
+"""JPEG decode as MXU matmuls: dequant + IDCT + reassembly on device.
+
+The device half of the TPU-offloaded MJPEG decoder (host entropy decode:
+io/native/jpeg.cpp; reference decodes MJPEG on the GPU's dedicated engine,
+src/TC/inc/FFmpegDemuxer.h:261 → cudaVideoCodec_JPEG). The key
+observation: for a coefficient block ``c`` (64 int16, zigzag order),
+dequantization and the 2-D inverse DCT are together ONE linear map, so
+
+    pixels[block] = c @ B,   B[k, p] = Q[k] · f(p_y, v_k) · f(p_x, u_k)
+
+where ``B`` folds the quant table, the zigzag permutation, and the
+separable IDCT cosine basis into a single constant 64×64 matrix. A whole
+batch of frames decodes as one [N·blocks, 64] × [64, 64] matmul on the
+MXU, followed by a free reshape/transpose reassembly into planes. The
+fused resize+CSC pipeline (ops/fused.py:decode_postproc) then runs in the
+same XLA program — coefficients in, model-ready RGB out, one dispatch.
+
+Quant tables ride as ordinary (64, 64) f32 *inputs*, so per-frame table
+changes (legal in MJPEG) never recompile.
+
+Fidelity: ≤1 u8 ULP vs the float64 golden (`golden_decode`); vs libav's
+full software decode the luma differs by ≤1 (its integer IDCT vs the
+spec's real-valued IDCT), chroma is typically exact.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.enums import ColorRange, ColorSpace, PixelFormat
+from .fused import decode_postproc
+
+__all__ = [
+    "ZIGZAG",
+    "dequant_idct_basis",
+    "JpegDevicePipeline",
+    "golden_decode",
+]
+
+# zigzag scan order: ZIGZAG[k] = row-major frequency index (v*8+u) of the
+# k-th coefficient in the bitstream (ITU T.81 Figure A.6)
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+
+def _idct_1d_basis() -> np.ndarray:
+    """f[x, u] = c(u)/2 · cos((2x+1)uπ/16) — the 8-point IDCT basis."""
+    x = np.arange(8, dtype=np.float64)[:, None]
+    u = np.arange(8, dtype=np.float64)[None, :]
+    f = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    f[:, 0] *= 1.0 / np.sqrt(2.0)
+    return f
+
+
+def dequant_idct_basis(qt: np.ndarray, dtype=np.float64) -> np.ndarray:
+    """(64, 64) matrix mapping a zigzag coefficient block to its 64
+    row-major pixels, with the quant table (zigzag order) folded in:
+    ``pixels = coeffs @ B + 128``."""
+    qt = np.asarray(qt, np.float64).reshape(64)
+    f = _idct_1d_basis()
+    v, u = ZIGZAG // 8, ZIGZAG % 8
+    # B[k, py*8+px] = Q[k] * f[py, v_k] * f[px, u_k]
+    b = f[:, v][:, None, :] * f[:, u][None, :, :]  # (py, px, k)
+    return np.ascontiguousarray(
+        (b.reshape(64, 64).T * qt[:, None]).astype(dtype)
+    )
+
+
+def _assemble(pix, bh: int, bw: int, h: int, w: int):
+    """[..., bh*bw, 64] block pixels → [..., h, w] plane (crop the MCU
+    padding)."""
+    lead = pix.shape[:-2]
+    p = pix.reshape(*lead, bh, bw, 8, 8)
+    p = jnp.swapaxes(p, -3, -2)  # (..., bh, 8, bw, 8)
+    return p.reshape(*lead, bh * 8, bw * 8)[..., :h, :w]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "geometry", "out_h", "out_w", "method", "output", "compute",
+    ),
+)
+def jpeg_decode_fused(
+    cy, cu, cv, by, bu, bv, *,
+    geometry,
+    out_h: int,
+    out_w: int,
+    method: str = "lanczos",
+    output: str = "rgb_u8",
+    compute: str = "auto",
+):
+    """Coefficients → model-ready output in ONE program.
+
+    cy/cu/cv: int16 [N, nblocks, 64] zigzag coefficient batches.
+    by/bu/bv: (64, 64) f32 dequant+IDCT bases (per-component quant).
+    geometry: ((bh_y, bw_y), (bh_c, bw_c), (H, W), subsampled) — static.
+    JPEG is full-range BT.601 by convention (the reference converts
+    yuvj* the same way: TasksColorCvt.cpp JPEG-range paths).
+    """
+    (bhy, bwy), (bhc, bwc), (h, w), subsampled = geometry
+
+    def plane(c, b, bh, bw, ph, pw):
+        pix = jnp.einsum(
+            "nbk,kp->nbp", c.astype(jnp.float32), b, precision="highest"
+        ) + 128.0
+        # round to the u8 the pixel-domain decoder would emit — keeps the
+        # downstream resize+CSC semantics identical to the libav path
+        # (and lets its split-bf16 integer fast path apply)
+        return jnp.rint(jnp.clip(_assemble(pix, bh, bw, ph, pw), 0, 255)
+                        ).astype(jnp.uint8)
+
+    if subsampled:
+        ch, cw = (h + 1) // 2, (w + 1) // 2
+        src = PixelFormat.YUV420
+    else:
+        ch, cw = h, w
+        src = PixelFormat.YUV444
+    y = plane(cy, by, bhy, bwy, h, w)
+    u = plane(cu, bu, bhc, bwc, ch, cw)
+    v = plane(cv, bv, bhc, bwc, ch, cw)
+    return decode_postproc(
+        y, u, v,
+        src_format=src,
+        space=ColorSpace.BT_601,
+        rng=ColorRange.JPEG,
+        out_h=out_h,
+        out_w=out_w,
+        method=method,
+        output=output,
+        compute=compute,
+    )
+
+
+class JpegDevicePipeline:
+    """Configured coefficients→RGB pipeline for one stream geometry.
+
+    Built from a probe (`io.jpeg.JpegCoefDecoder.info` or the ctypes
+    VpfJpegInfo): captures block grids and quant tables; call with int16
+    coefficient batches [N, nblocks, 64] (zigzag) per component.
+
+    output='planes' returns the decoded u8 (y, u, v) planes — the exact
+    analog of the libav decoder's YUV420 output — while the rgb_*/
+    normalized modes run the fused resize+CSC in the same program.
+    """
+
+    def __init__(
+        self,
+        info,
+        out_size=None,
+        method: str = "lanczos",
+        output: str = "rgb_u8",
+        compute: str = "auto",
+    ):
+        if info.ncomp != 3:
+            raise ValueError(
+                f"device JPEG path needs 3 components, got {info.ncomp}"
+            )
+        hs = [info.hs[c] for c in range(3)]
+        vs = [info.vs[c] for c in range(3)]
+        if (hs[1], vs[1]) != (1, 1) or (hs[2], vs[2]) != (1, 1):
+            raise ValueError(f"unsupported chroma sampling {hs}x{vs}")
+        if (hs[0], vs[0]) == (2, 2):
+            subsampled = True
+        elif (hs[0], vs[0]) == (1, 1):
+            subsampled = False
+        else:
+            raise ValueError(f"unsupported luma sampling {hs[0]}x{vs[0]}")
+        self.height, self.width = int(info.height), int(info.width)
+        if subsampled and (self.height % 2 or self.width % 2):
+            raise ValueError(
+                "odd-dimension 4:2:0 JPEG unsupported on the device path"
+            )
+        self.geometry = (
+            (int(info.bh[0]), int(info.bw[0])),
+            (int(info.bh[1]), int(info.bw[1])),
+            (self.height, self.width),
+            subsampled,
+        )
+        self.out_h, self.out_w = out_size or (self.height, self.width)
+        self.method, self.output, self.compute = method, output, compute
+        self.set_quant_tables(info)
+
+    def set_quant_tables(self, info) -> None:
+        """(Re)build the dequant+IDCT bases — cheap, no recompile."""
+        self._bases = tuple(
+            jnp.asarray(
+                dequant_idct_basis(
+                    np.ctypeslib.as_array(info.qt[c])
+                    if not isinstance(info.qt[c], np.ndarray) else info.qt[c],
+                    np.float32,
+                )
+            )
+            for c in range(3)
+        )
+        self._qt = tuple(
+            np.array(info.qt[c][:64], np.uint16) for c in range(3)
+        )
+
+    def quant_changed(self, info) -> bool:
+        return any(
+            not np.array_equal(np.array(info.qt[c][:64], np.uint16),
+                               self._qt[c])
+            for c in range(3)
+        )
+
+    def __call__(self, cy, cu, cv):
+        if self.output == "planes":
+            return _jpeg_planes(
+                cy, cu, cv, *self._bases, geometry=self.geometry
+            )
+        return jpeg_decode_fused(
+            cy, cu, cv, *self._bases,
+            geometry=self.geometry,
+            out_h=self.out_h,
+            out_w=self.out_w,
+            method=self.method,
+            output=self.output,
+            compute=self.compute,
+        )
+
+
+@partial(jax.jit, static_argnames=("geometry",))
+def _jpeg_planes(cy, cu, cv, by, bu, bv, *, geometry):
+    (bhy, bwy), (bhc, bwc), (h, w), subsampled = geometry
+    ch, cw = ((h + 1) // 2, (w + 1) // 2) if subsampled else (h, w)
+
+    def plane(c, b, bh, bw, ph, pw):
+        pix = jnp.einsum(
+            "nbk,kp->nbp", c.astype(jnp.float32), b, precision="highest"
+        ) + 128.0
+        return jnp.rint(jnp.clip(_assemble(pix, bh, bw, ph, pw), 0, 255)
+                        ).astype(jnp.uint8)
+
+    return (
+        plane(cy, by, bhy, bwy, h, w),
+        plane(cu, bu, bhc, bwc, ch, cw),
+        plane(cv, bv, bhc, bwc, ch, cw),
+    )
+
+
+def golden_decode(coeffs, qts, geometry):
+    """float64 reference: the decoded u8 (y, u, v) planes from zigzag
+    coefficient batches — the fidelity anchor for the device pipeline
+    (rint rounding, matching ops/golden.py)."""
+    (bhy, bwy), (bhc, bwc), (h, w), subsampled = geometry
+    grids = ((bhy, bwy), (bhc, bwc), (bhc, bwc))
+    dims = ((h, w),) + (((h + 1) // 2, (w + 1) // 2),) * 2 if subsampled \
+        else ((h, w),) * 3
+    out = []
+    for c, qt, (bh, bw), (ph, pw) in zip(coeffs, qts, grids, dims):
+        b = dequant_idct_basis(qt, np.float64)
+        pix = c.astype(np.float64) @ b + 128.0
+        lead = pix.shape[:-2]
+        p = pix.reshape(*lead, bh, bw, 8, 8).swapaxes(-3, -2)
+        p = p.reshape(*lead, bh * 8, bw * 8)[..., :ph, :pw]
+        out.append(np.clip(np.rint(p), 0, 255).astype(np.uint8))
+    return tuple(out)
