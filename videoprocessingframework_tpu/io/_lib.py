@@ -104,6 +104,18 @@ class VpfJpegInfo(C.Structure):
     ]
 
 
+class VpfJpegEncParams(C.Structure):
+    _fields_ = [
+        ("width", C.c_uint32),
+        ("height", C.c_uint32),
+        ("ncomp", C.c_uint32),
+        ("subsampled", C.c_uint32),
+        ("restart_interval", C.c_uint32),
+        ("qt_luma", C.c_uint16 * 64),
+        ("qt_chroma", C.c_uint16 * 64),
+    ]
+
+
 # return codes (common.hpp VpfStatus)
 OK = 1
 NEED_MORE = 0
@@ -261,6 +273,12 @@ def load() -> C.CDLL:
         C.c_int,
         [_u8p, C.c_size_t, C.POINTER(VpfJpegInfo), C.POINTER(_i16p),
          C.POINTER(C.c_uint32)],
+    )
+    sig(
+        "vpf_jpeg_encode",
+        C.c_int,
+        [C.POINTER(VpfJpegEncParams), C.POINTER(_i16p), _u8p, C.c_size_t,
+         C.POINTER(C.c_size_t)],
     )
 
     sig(

@@ -31,7 +31,13 @@ from ..core.enums import CodecId
 from . import _lib
 from .demuxer import FFmpegDemuxer
 
-__all__ = ["JpegStreamError", "JpegCoefDecoder", "MjpegReader"]
+__all__ = [
+    "JpegStreamError",
+    "JpegCoefDecoder",
+    "JpegCoefEncoder",
+    "MjpegReader",
+    "MjpegWriter",
+]
 
 
 class JpegStreamError(RuntimeError):
@@ -173,6 +179,165 @@ class JpegCoefDecoder:
         return tuple(
             np.stack([f[c] for f in frames]) for c in range(n)
         )
+
+
+class JpegCoefEncoder:
+    """Entropy-encode quantized DCT coefficients into baseline JFIF.
+
+    The host half of the split MJPEG *encoder*
+    (:class:`~videoprocessingframework_tpu.ops.jpeg.JpegDeviceEncoder`
+    runs CSC/downsample/fDCT/quant on device); only the serial Huffman
+    bit-packing runs here (io/native/jpeg.cpp vpf_jpeg_encode, Annex K
+    tables). Output of :meth:`encode` is a complete self-contained JPEG —
+    concatenate for raw MJPEG, or hand to :class:`MjpegWriter` for a
+    container.
+    """
+
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        quality: int = 90,
+        subsampled: bool = True,
+        quant_tables=None,
+        restart_interval: int = 0,
+    ):
+        from ..ops.jpeg import encode_geometry, std_quant_tables
+
+        self._lib = _lib.load()
+        if subsampled and (height % 2 or width % 2):
+            raise ValueError("4:2:0 JPEG size must be even")
+        if quant_tables is None:
+            quant_tables = std_quant_tables(quality)
+        ql, qc = (np.asarray(t, np.uint16).reshape(64) for t in quant_tables)
+        self.width, self.height = int(width), int(height)
+        self.subsampled = bool(subsampled)
+        self.quant_tables = (ql, qc)
+        self._params = _lib.VpfJpegEncParams(
+            width=self.width,
+            height=self.height,
+            ncomp=3,
+            subsampled=int(self.subsampled),
+            restart_interval=int(restart_interval),
+        )
+        self._params.qt_luma[:] = [int(x) for x in ql]
+        self._params.qt_chroma[:] = [int(x) for x in qc]
+        (bhy, bwy), (bhc, bwc), _, _ = encode_geometry(
+            self.height, self.width, self.subsampled
+        )
+        self._nblocks = (int(bhy * bwy), int(bhc * bwc), int(bhc * bwc))
+        # worst case per block ≈ (27 + 63·26) bits, doubled for 0xFF
+        # stuffing, plus headers — reused across frames
+        self._cap = sum(self._nblocks) * 420 + 8192
+        self._out = np.empty(self._cap, np.uint8)
+
+    def encode(self, cy, cu, cv) -> bytes:
+        """One frame of ``[blocks, 64]`` int16 zigzag coefficients per
+        component → complete JPEG bytes."""
+        comps = []
+        for c, want in zip((cy, cu, cv), self._nblocks):
+            a = np.ascontiguousarray(c, np.int16)
+            if a.shape != (want, 64):
+                raise ValueError(
+                    f"coefficient shape {a.shape} != ({want}, 64)"
+                )
+            comps.append(a)
+        ptrs = (_i16p * 3)(*(c.ctypes.data_as(_i16p) for c in comps))
+        size = C.c_size_t(0)
+        rc = self._lib.vpf_jpeg_encode(
+            C.byref(self._params),
+            ptrs,
+            self._out.ctypes.data_as(_u8p),
+            self._cap,
+            C.byref(size),
+        )
+        if rc != _lib.OK:
+            raise RuntimeError(_lib.last_error())
+        return bytes(self._out[: size.value])
+
+    def encode_batch(self, cy, cu, cv) -> list[bytes]:
+        """Stacked ``[N, blocks, 64]`` batches (device arrays accepted) →
+        one JPEG per frame."""
+        cy, cu, cv = (np.asarray(c, np.int16) for c in (cy, cu, cv))
+        return [
+            self.encode(cy[i], cu[i], cv[i]) for i in range(cy.shape[0])
+        ]
+
+
+class MjpegWriter:
+    """Write an MJPEG stream via the TPU-split encoder.
+
+    Frames go device-first: resize+CSC+fDCT+quant as batched MXU matmuls
+    (:class:`~videoprocessingframework_tpu.ops.jpeg.JpegDeviceEncoder`),
+    then host entropy packing. ``container=None`` writes raw concatenated
+    JPEGs (a valid MJPEG stream libav demuxes directly — feed it back to
+    :class:`MjpegReader`); or name a container (``"avi"``…) to mux
+    through :class:`~videoprocessingframework_tpu.io.muxer.StreamMuxer`.
+    """
+
+    def __init__(
+        self,
+        url: str,
+        width: int,
+        height: int,
+        quality: int = 90,
+        fps: float = 30.0,
+        container: Optional[str] = None,
+        method: str = "lanczos",
+        restart_interval: int = 0,
+    ):
+        from ..ops.jpeg import JpegDeviceEncoder
+
+        self.device = JpegDeviceEncoder(
+            height, width, quality=quality, method=method
+        )
+        self.coef = JpegCoefEncoder(
+            width,
+            height,
+            quant_tables=self.device.quant_tables,
+            restart_interval=restart_interval,
+        )
+        self._mux = None
+        self._file = None
+        if container is not None:
+            from .muxer import StreamMuxer
+
+            self._mux = StreamMuxer(
+                url, CodecId.MJPEG, width, height, fps=fps, format=container
+            )
+        else:
+            self._file = open(url, "wb")
+        self.frames_written = 0
+
+    def write_rgb(self, rgb) -> None:
+        """(N, H, W, 3) u8 RGB batch (any size — device resize included)."""
+        self._emit(self.device.encode_rgb(rgb))
+
+    def write_planes(self, y, u, v) -> None:
+        """(y, u, v) u8 plane batches at the target geometry."""
+        self._emit(self.device.encode_planes(y, u, v))
+
+    def _emit(self, coeffs) -> None:
+        for pkt in self.coef.encode_batch(*coeffs):
+            if self._mux is not None:
+                self._mux.write(pkt, pts=self.frames_written)
+            else:
+                self._file.write(pkt)
+            self.frames_written += 1
+
+    def close(self) -> None:
+        if self._mux is not None:
+            self._mux.close()
+            self._mux = None
+        if self._file is not None:
+            self._file.close()
+            self._file = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 class MjpegReader:

@@ -537,6 +537,330 @@ VPF_API int vpf_jpeg_probe(const uint8_t* data, size_t size,
  * BLOCKS. A mid-stream geometry change that would overflow a buffer
  * errors with VPF_ERR_DECODE before any write (the caller re-probes and
  * reallocates, mirroring the decoder's res-change contract). */
+/* ======================= entropy ENCODER ============================
+ *
+ * The host half of the split MJPEG *encoder* (the mirror of the decoder
+ * above): the device runs CSC + 4:2:0 downsample + forward DCT + quant
+ * as batched MXU matmuls (ops/jpeg.py fdct_quant_basis) and hands back
+ * int16 zigzag coefficient blocks; this serializes them into a complete
+ * baseline JFIF image (SOI/APP0/DQT/SOF0/DHT/SOS/scan/EOI) with the
+ * Annex K Huffman tables. Only the serial bit-packing runs on the host —
+ * measured far cheaper than libav's full mjpeg encode, whose fDCT+quant
+ * pixel loop dominates. Reference analog: NvEncoder's bitstream
+ * serialization half (src/TC/src/NvEncoder.cpp), which likewise receives
+ * transformed data from the parallel hardware.
+ */
+
+namespace {
+
+/* ITU T.81 Annex K typical Huffman tables (K.3-K.6). Emitted in our DHT
+ * segments, so decode compatibility never depends on these exact values —
+ * they only set the compression efficiency. */
+const uint8_t kDcLumaBits[16] = {0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0};
+const uint8_t kDcVals[12] = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11};
+const uint8_t kDcChromaBits[16] = {0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0};
+const uint8_t kAcLumaBits[16] = {0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d};
+const uint8_t kAcLumaVals[162] = {
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa};
+const uint8_t kAcChromaBits[16] = {0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77};
+const uint8_t kAcChromaVals[162] = {
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15, 0x62, 0x72, 0xd1,
+    0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a,
+    0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa};
+
+/* symbol → (code, length), derived from a (bits, vals) pair the same way
+ * the decoder's HuffTable assigns codes. */
+struct EncHuff {
+  uint16_t code[256];
+  uint8_t size[256];
+
+  void build(const uint8_t* bits, const uint8_t* vals, int nvals) {
+    memset(size, 0, sizeof(size));
+    int c = 0, k = 0;
+    for (int l = 1; l <= 16; ++l) {
+      for (int i = 0; i < bits[l - 1]; ++i) {
+        code[vals[k]] = (uint16_t)c;
+        size[vals[k]] = (uint8_t)l;
+        ++c;
+        ++k;
+      }
+      c <<= 1;
+    }
+    (void)nvals;
+  }
+};
+
+/* MSB-first bit writer with JPEG 0xFF byte stuffing. */
+struct BitWriter {
+  std::vector<uint8_t>& out;
+  uint32_t acc = 0;
+  int nbits = 0;
+
+  explicit BitWriter(std::vector<uint8_t>& o) : out(o) {}
+
+  inline void put(uint32_t bits, int n) {
+    acc = (acc << n) | (bits & ((1u << n) - 1));
+    nbits += n;
+    while (nbits >= 8) {
+      uint8_t b = (uint8_t)(acc >> (nbits - 8));
+      out.push_back(b);
+      if (b == 0xFF) out.push_back(0x00);
+      nbits -= 8;
+    }
+  }
+  /* pad to a byte boundary with 1-bits (T.81 F.1.2.3) */
+  void align() {
+    if (nbits) put(0x7F, 8 - nbits);
+  }
+};
+
+inline int mag_category(int v) {
+  uint32_t a = v < 0 ? -v : v;
+  return a ? 32 - __builtin_clz(a) : 0;
+}
+
+struct EncComp {
+  const int16_t* coeffs; /* [bh*bw][64] zigzag */
+  int hs, vs, bw, bh;
+  const EncHuff* dc;
+  const EncHuff* ac;
+  int32_t pred = 0;
+};
+
+/* One block: DC diff + RLE'd AC, per T.81 F.2. AC values are clamped to
+ * the 8-bit-baseline ±1023 envelope (only reachable at quant step 1). */
+inline void encode_block(BitWriter& bw, EncComp& c, const int16_t* blk) {
+  int32_t dc = blk[0];
+  int32_t diff = dc - c.pred;
+  /* 8-bit baseline caps DC diff categories at 11 (±2047); reachable only
+   * at quant step 1 with a ±1024 DC swing. Track the clamp in the
+   * predictor so the decoder's reconstruction stays consistent. */
+  if (diff > 2047) diff = 2047;
+  if (diff < -2047) diff = -2047;
+  c.pred += diff;
+  int s = mag_category(diff);
+  bw.put(c.dc->code[s], c.dc->size[s]);
+  if (s) bw.put((uint32_t)(diff >= 0 ? diff : diff - 1), s);
+  int run = 0;
+  for (int k = 1; k < 64;) {
+    /* quantized blocks are mostly zeros: at 4-aligned positions test 4
+     * coefficients per 64-bit load (the scan is the pack hot loop) */
+    if (!(k & 3)) {
+      uint64_t w4;
+      memcpy(&w4, blk + k, 8);
+      if (!w4) {
+        run += 4;
+        k += 4;
+        continue;
+      }
+    }
+    int v = blk[k];
+    ++k;
+    if (!v) {
+      ++run;
+      continue;
+    }
+    while (run > 15) {
+      bw.put(c.ac->code[0xF0], c.ac->size[0xF0]); /* ZRL */
+      run -= 16;
+    }
+    if (v > 1023) v = 1023;
+    if (v < -1023) v = -1023;
+    s = mag_category(v);
+    int rs = (run << 4) | s;
+    bw.put(c.ac->code[rs], c.ac->size[rs]);
+    bw.put((uint32_t)(v >= 0 ? v : v - 1), s);
+    run = 0;
+  }
+  if (run) bw.put(c.ac->code[0x00], c.ac->size[0x00]); /* EOB */
+}
+
+inline void put16(std::vector<uint8_t>& o, uint16_t v) {
+  o.push_back((uint8_t)(v >> 8));
+  o.push_back((uint8_t)v);
+}
+inline void marker(std::vector<uint8_t>& o, uint8_t m) {
+  o.push_back(0xFF);
+  o.push_back(m);
+}
+
+}  // namespace
+
+typedef struct VpfJpegEncParams {
+  uint32_t width;
+  uint32_t height;
+  uint32_t ncomp;            /* 1 (gray) or 3 (YCbCr) */
+  uint32_t subsampled;       /* 1 = 4:2:0 (3-component only) */
+  uint32_t restart_interval; /* MCUs between RSTn markers; 0 = none */
+  uint16_t qt_luma[64];      /* zigzag order */
+  uint16_t qt_chroma[64];    /* zigzag order (unused when ncomp == 1) */
+} VpfJpegEncParams;
+
+/* Serialize one baseline JFIF image from device-produced coefficients.
+ * comp_coeffs[c]: [bh*bw][64] int16 zigzag blocks, row-major block grid
+ * padded to the MCU multiple — the exact layout vpf_jpeg_parse emits and
+ * ops/jpeg.py's forward path produces. Writes ≤ cap bytes into out and
+ * the byte count into out_size; VPF_ERR if cap is too small. */
+VPF_API int vpf_jpeg_encode(const VpfJpegEncParams* p,
+                            const int16_t* const* comp_coeffs, uint8_t* out,
+                            size_t cap, size_t* out_size) {
+  if (!p || !comp_coeffs || !out || !out_size)
+    return vpf_set_error(VPF_ERR, "jpeg_encode: null argument");
+  int W = (int)p->width, H = (int)p->height, nc = (int)p->ncomp;
+  if (W <= 0 || H <= 0 || W > 65535 || H > 65535)
+    return vpf_set_error(VPF_ERR, "jpeg_encode: bad dimensions %dx%d", W, H);
+  if (nc != 1 && nc != 3)
+    return vpf_set_error(VPF_ERR, "jpeg_encode: ncomp %d (need 1 or 3)", nc);
+  bool sub = nc == 3 && p->subsampled;
+
+  EncHuff dcl, dcc, acl, acc;
+  dcl.build(kDcLumaBits, kDcVals, 12);
+  acl.build(kAcLumaBits, kAcLumaVals, 162);
+  if (nc == 3) {
+    dcc.build(kDcChromaBits, kDcVals, 12);
+    acc.build(kAcChromaBits, kAcChromaVals, 162);
+  }
+
+  int hmax = sub ? 2 : 1;
+  int mcux = (W + 8 * hmax - 1) / (8 * hmax);
+  int mcuy = (H + 8 * hmax - 1) / (8 * hmax);
+  EncComp comp[3];
+  size_t total_blocks = 0;
+  for (int c = 0; c < nc; ++c) {
+    comp[c].coeffs = comp_coeffs[c];
+    comp[c].hs = (c == 0) ? hmax : 1;
+    comp[c].vs = (c == 0) ? hmax : 1;
+    comp[c].bw = mcux * comp[c].hs;
+    comp[c].bh = mcuy * comp[c].vs;
+    comp[c].dc = (c == 0) ? &dcl : &dcc;
+    comp[c].ac = (c == 0) ? &acl : &acc;
+    total_blocks += (size_t)comp[c].bw * comp[c].bh;
+  }
+
+  std::vector<uint8_t> o;
+  o.reserve(total_blocks * 96 + 1024);
+  marker(o, 0xD8); /* SOI */
+  /* APP0 JFIF 1.01, no thumbnail */
+  marker(o, 0xE0);
+  put16(o, 16);
+  const uint8_t jfif[] = {'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0};
+  o.insert(o.end(), jfif, jfif + sizeof(jfif));
+  /* DQT */
+  for (int t = 0; t < (nc == 3 ? 2 : 1); ++t) {
+    const uint16_t* q = t ? p->qt_chroma : p->qt_luma;
+    bool wide = false;
+    for (int z = 0; z < 64; ++z) wide |= q[z] > 255;
+    marker(o, 0xDB);
+    put16(o, (uint16_t)(3 + 64 * (wide ? 2 : 1)));
+    o.push_back((uint8_t)((wide ? 0x10 : 0x00) | t));
+    for (int z = 0; z < 64; ++z) {
+      if (wide) put16(o, q[z]);
+      else o.push_back((uint8_t)(q[z] ? q[z] : 1));
+    }
+  }
+  /* SOF0 */
+  marker(o, 0xC0);
+  put16(o, (uint16_t)(8 + 3 * nc));
+  o.push_back(8);
+  put16(o, (uint16_t)H);
+  put16(o, (uint16_t)W);
+  o.push_back((uint8_t)nc);
+  for (int c = 0; c < nc; ++c) {
+    o.push_back((uint8_t)(c + 1));
+    o.push_back((uint8_t)((comp[c].hs << 4) | comp[c].vs));
+    o.push_back((uint8_t)(c == 0 ? 0 : 1));
+  }
+  /* DHT */
+  auto dht = [&](int cls, int id, const uint8_t* bits, const uint8_t* vals) {
+    int nv = 0;
+    for (int l = 0; l < 16; ++l) nv += bits[l];
+    marker(o, 0xC4);
+    put16(o, (uint16_t)(2 + 1 + 16 + nv));
+    o.push_back((uint8_t)((cls << 4) | id));
+    o.insert(o.end(), bits, bits + 16);
+    o.insert(o.end(), vals, vals + nv);
+  };
+  dht(0, 0, kDcLumaBits, kDcVals);
+  dht(1, 0, kAcLumaBits, kAcLumaVals);
+  if (nc == 3) {
+    dht(0, 1, kDcChromaBits, kDcVals);
+    dht(1, 1, kAcChromaBits, kAcChromaVals);
+  }
+  /* DRI */
+  if (p->restart_interval) {
+    marker(o, 0xDD);
+    put16(o, 4);
+    put16(o, (uint16_t)p->restart_interval);
+  }
+  /* SOS */
+  marker(o, 0xDA);
+  put16(o, (uint16_t)(6 + 2 * nc));
+  o.push_back((uint8_t)nc);
+  for (int c = 0; c < nc; ++c) {
+    o.push_back((uint8_t)(c + 1));
+    o.push_back((uint8_t)(c == 0 ? 0x00 : 0x11));
+  }
+  o.push_back(0);
+  o.push_back(63);
+  o.push_back(0);
+
+  BitWriter bw(o);
+  int mcu_count = 0, rst = 0;
+  for (int my = 0; my < mcuy; ++my) {
+    for (int mx = 0; mx < mcux; ++mx) {
+      if (p->restart_interval && mcu_count &&
+          mcu_count % (int)p->restart_interval == 0) {
+        bw.align();
+        marker(o, (uint8_t)(0xD0 + (rst++ & 7)));
+        for (int c = 0; c < nc; ++c) comp[c].pred = 0;
+      }
+      for (int c = 0; c < nc; ++c) {
+        EncComp& cc = comp[c];
+        for (int by = 0; by < cc.vs; ++by)
+          for (int bx = 0; bx < cc.hs; ++bx) {
+            int bidx = (my * cc.vs + by) * cc.bw + (mx * cc.hs + bx);
+            encode_block(bw, cc, cc.coeffs + (size_t)bidx * 64);
+          }
+      }
+      ++mcu_count;
+    }
+  }
+  bw.align();
+  marker(o, 0xD9); /* EOI */
+
+  if (o.size() > cap)
+    return vpf_set_error(VPF_ERR,
+                         "jpeg_encode: output %zu exceeds capacity %zu",
+                         o.size(), cap);
+  memcpy(out, o.data(), o.size());
+  *out_size = o.size();
+  return VPF_OK;
+}
+
 VPF_API int vpf_jpeg_parse(const uint8_t* data, size_t size,
                            VpfJpegInfo* out, int16_t* const* comp_out,
                            const uint32_t* comp_caps) {

@@ -37,8 +37,12 @@ from .fused import decode_postproc
 __all__ = [
     "ZIGZAG",
     "dequant_idct_basis",
+    "fdct_quant_basis",
+    "std_quant_tables",
     "JpegDevicePipeline",
+    "JpegDeviceEncoder",
     "golden_decode",
+    "golden_encode",
 ]
 
 # zigzag scan order: ZIGZAG[k] = row-major frequency index (v*8+u) of the
@@ -72,6 +76,57 @@ def dequant_idct_basis(qt: np.ndarray, dtype=np.float64) -> np.ndarray:
     return np.ascontiguousarray(
         (b.reshape(64, 64).T * qt[:, None]).astype(dtype)
     )
+
+
+def fdct_quant_basis(qt: np.ndarray, dtype=np.float64) -> np.ndarray:
+    """(64, 64) forward matrix: ``coeffs_zigzag = rint((pix - 128) @ A)``
+    for a row-major 64-pixel block, with quantization by ``qt`` (zigzag
+    order) folded in. Exact inverse pairing with
+    :func:`dequant_idct_basis`: at qt == 1 the two are orthogonal
+    transposes (A @ B == I)."""
+    qt = np.asarray(qt, np.float64).reshape(64)
+    f = _idct_1d_basis()
+    v, u = ZIGZAG // 8, ZIGZAG % 8
+    b = f[:, v][:, None, :] * f[:, u][None, :, :]  # (py, px, k)
+    return np.ascontiguousarray(
+        (b.reshape(64, 64) / qt[None, :]).astype(dtype)
+    )
+
+
+# ITU T.81 Annex K "typical" quantization tables (K.1/K.2), natural
+# row-major order.
+_STD_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_STD_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+
+def std_quant_tables(quality: int = 90) -> tuple[np.ndarray, np.ndarray]:
+    """(luma, chroma) quant tables in ZIGZAG order for an IJG-style
+    quality factor 1..100 (Annex K tables, libjpeg scaling)."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_STD_QT_LUMA, _STD_QT_CHROMA):
+        t = np.clip((base * scale + 50) // 100, 1, 255)
+        out.append(t[ZIGZAG].astype(np.uint16))
+    return out[0], out[1]
 
 
 def _assemble(pix, bh: int, bw: int, h: int, w: int):
@@ -245,6 +300,141 @@ def _jpeg_planes(cy, cu, cv, by, bu, bv, *, geometry):
         plane(cu, bu, bhc, bwc, ch, cw),
         plane(cv, bv, bhc, bwc, ch, cw),
     )
+
+
+def _blockify(p, bh: int, bw: int):
+    """[..., ph, pw] plane → [..., bh*bw, 64] row-major pixel blocks,
+    edge-replicating into the MCU padding (the standard encoder-side
+    fill; keeps padded-block coefficients small)."""
+    lead = p.shape[:-2]
+    ph, pw = p.shape[-2], p.shape[-1]
+    pad = [(0, 0)] * len(lead) + [(0, bh * 8 - ph), (0, bw * 8 - pw)]
+    p = jnp.pad(p, pad, mode="edge")
+    p = p.reshape(*lead, bh, 8, bw, 8)
+    p = jnp.swapaxes(p, -3, -2)  # (..., bh, bw, 8, 8)
+    return p.reshape(*lead, bh * bw, 64)
+
+
+@partial(jax.jit, static_argnames=("geometry",))
+def _jpeg_coeffs(y, u, v, ay, au, av, *, geometry):
+    """u8 (y, u, v) planes → int16 zigzag coefficient batches.
+
+    The device half of the split MJPEG encoder: level shift + forward
+    DCT + quantization as one [N·blocks, 64] × [64, 64] MXU matmul per
+    component (basis from :func:`fdct_quant_basis`)."""
+    (bhy, bwy), (bhc, bwc), (_h, _w), _sub = geometry
+
+    def comp(p, a, bh, bw):
+        blk = _blockify(p, bh, bw).astype(jnp.float32) - 128.0
+        c = jnp.einsum("nbp,pk->nbk", blk, a, precision="highest")
+        return jnp.clip(jnp.rint(c), -2047, 2047).astype(jnp.int16)
+
+    return (
+        comp(y, ay, bhy, bwy),
+        comp(u, au, bhc, bwc),
+        comp(v, av, bhc, bwc),
+    )
+
+
+def encode_geometry(h: int, w: int, subsampled: bool):
+    """Block-grid geometry for the forward path — identical MCU padding
+    rules to the entropy coder (io/native/jpeg.cpp finish_geometry)."""
+    m = 16 if subsampled else 8
+    mcux, mcuy = (w + m - 1) // m, (h + m - 1) // m
+    s = 2 if subsampled else 1
+    return ((mcuy * s, mcux * s), (mcuy, mcux), (h, w), subsampled)
+
+
+class JpegDeviceEncoder:
+    """Batched frames → quantized DCT coefficients on device.
+
+    The mirror of :class:`JpegDevicePipeline`: everything up to the
+    coefficients (optional resize, RGB→YCbCr full-range BT.601, 2×2
+    chroma fold, level shift, forward DCT, quantization) runs as MXU
+    matmuls in one XLA program; the serial entropy (Huffman) coding —
+    the only part that cannot vectorize — runs on the host
+    (`io.jpeg.JpegCoefEncoder` over io/native/jpeg.cpp
+    vpf_jpeg_encode). Reference analog: the NVENC bitstream engine fed
+    from device memory (src/TC/src/NvEncoder.cpp:360-425).
+
+    ``encode_rgb`` takes (N, H, W, 3) u8 RGB (any source size — the
+    fused `encode_feed` resize runs in the same program); ``encode_planes``
+    takes ready (y, u, v) u8 planes at the target geometry.
+    """
+
+    def __init__(
+        self,
+        height: int,
+        width: int,
+        quality: int = 90,
+        subsampled: bool = True,
+        quant_tables=None,
+        method: str = "lanczos",
+    ):
+        if subsampled and (height % 2 or width % 2):
+            raise ValueError("4:2:0 JPEG target size must be even")
+        self.height, self.width = int(height), int(width)
+        self.subsampled = bool(subsampled)
+        self.method = method
+        self.geometry = encode_geometry(self.height, self.width, subsampled)
+        if quant_tables is None:
+            quant_tables = std_quant_tables(quality)
+        ql, qc = (np.asarray(t, np.uint16).reshape(64) for t in quant_tables)
+        self.quant_tables = (ql, qc)
+        self._bases = tuple(
+            jnp.asarray(fdct_quant_basis(t, np.float32))
+            for t in (ql, qc, qc)
+        )
+
+    def encode_planes(self, y, u, v):
+        """(y, u, v) u8 planes [N, h, w] / [N, ch, cw] → int16 zigzag
+        coefficient batches [N, blocks, 64] per component."""
+        return _jpeg_coeffs(y, u, v, *self._bases, geometry=self.geometry)
+
+    def encode_rgb(self, rgb):
+        """(N, H, W, 3) u8 RGB (or f32 in [0,1]) → coefficient batches,
+        resizing to the target size in the same program. JPEG convention:
+        full-range BT.601 (the inverse of the decode path)."""
+        if not self.subsampled:
+            raise ValueError(
+                "encode_rgb emits 4:2:0 (encode_feed); use encode_planes "
+                "for 4:4:4 input"
+            )
+        from .fused import encode_feed
+
+        y, u, v = encode_feed(
+            rgb,
+            out_h=self.height,
+            out_w=self.width,
+            space=ColorSpace.BT_601,
+            rng=ColorRange.JPEG,
+            method=self.method,
+        )
+        return self.encode_planes(y, u, v)
+
+    __call__ = encode_rgb
+
+
+def golden_encode(planes, qts, geometry):
+    """float64 reference for the forward path: u8 (y, u, v) planes →
+    int16 zigzag coefficient batches (rint rounding) — the fidelity
+    anchor for :class:`JpegDeviceEncoder`."""
+    (bhy, bwy), (bhc, bwc), (_h, _w), _sub = geometry
+    grids = ((bhy, bwy), (bhc, bwc), (bhc, bwc))
+    out = []
+    for p, qt, (bh, bw) in zip(planes, qts, grids):
+        a = fdct_quant_basis(qt, np.float64)
+        lead = p.shape[:-2]
+        ph, pw = p.shape[-2], p.shape[-1]
+        pad = [(0, 0)] * len(lead) + [(0, bh * 8 - ph), (0, bw * 8 - pw)]
+        blk = np.pad(p, pad, mode="edge").astype(np.float64)
+        blk = blk.reshape(*lead, bh, 8, bw, 8).swapaxes(-3, -2)
+        blk = blk.reshape(*lead, bh * bw, 64) - 128.0
+        c = blk @ a
+        out.append(
+            np.clip(np.rint(c), -2047, 2047).astype(np.int16)
+        )
+    return tuple(out)
 
 
 def golden_decode(coeffs, qts, geometry):
