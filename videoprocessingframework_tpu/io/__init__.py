@@ -8,6 +8,7 @@ from .jpeg import (  # noqa: F401
     JpegCoefEncoder,
     JpegStreamError,
     MjpegReader,
+    MjpegTranscoder,
     MjpegWriter,
 )
 from .transcode import Transcoder, TranscodeStats, transcode, transcode_many  # noqa: F401

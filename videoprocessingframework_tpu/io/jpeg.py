@@ -23,6 +23,7 @@ MJPEG like any other codec).
 from __future__ import annotations
 
 import ctypes as C
+import time
 from typing import Iterator, Optional, Sequence
 
 import numpy as np
@@ -37,6 +38,7 @@ __all__ = [
     "JpegCoefEncoder",
     "MjpegReader",
     "MjpegWriter",
+    "MjpegTranscoder",
 ]
 
 
@@ -324,6 +326,197 @@ class MjpegWriter:
             else:
                 self._file.write(pkt)
             self.frames_written += 1
+
+    def close(self) -> None:
+        if self._mux is not None:
+            self._mux.close()
+            self._mux = None
+        if self._file is not None:
+            self._file.close()
+            self._file = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class MjpegTranscoder:
+    """MJPEG→MJPEG transcode with the whole pixel path on the TPU.
+
+    Host work is entropy coding only: packets entropy-decode to DCT
+    coefficients (io/native/jpeg.cpp), one XLA dispatch per batch runs
+    dequant/IDCT → optional resize (pixel-domain YUV, no CSC) →
+    fDCT/requant on the MXU
+    (:class:`~videoprocessingframework_tpu.ops.jpeg.JpegDeviceTranscoder`),
+    and the output coefficients entropy-encode back to JFIF. Dispatch is
+    async, so the host entropy-decodes batch *i+1* while the device
+    transforms batch *i* — the same overlap the reference gets from its
+    NVDEC/NVENC engines running async to the CPU
+    (samples/SampleMeasureVideoQuality.py is the serial analog).
+
+    ``sink``: output path (raw concatenated JPEGs, or a container via
+    ``container=``), or ``None`` to drop packets (benchmark mode); pass
+    ``on_packet`` to :meth:`run` to stream them elsewhere.
+    """
+
+    def __init__(
+        self,
+        source,
+        sink: Optional[str] = None,
+        quality: int = 90,
+        out_size: Optional[tuple[int, int]] = None,
+        container: Optional[str] = None,
+        restart_interval: int = 0,
+        batch: int = 8,
+        method: str = "lanczos",
+        compute: str = "auto",
+        max_frames: int = 0,
+    ):
+        from ..ops.jpeg import JpegDeviceTranscoder
+
+        self.demuxer = FFmpegDemuxer(source)
+        if self.demuxer.codec != CodecId.MJPEG:
+            raise JpegStreamError(
+                f"stream codec is {self.demuxer.codec.name}, not MJPEG"
+            )
+        self.coef = JpegCoefDecoder()
+        self.batch = int(batch)
+        self.max_frames = int(max_frames)
+        self._cfg = dict(
+            quality=quality, out_size=out_size, method=method,
+            compute=compute, restart_interval=restart_interval,
+        )
+        first = self.demuxer.demux()
+        if first is None:
+            raise JpegStreamError("empty MJPEG stream")
+        self._pending = [first.packet.copy()]
+        info = self.coef.probe(self._pending[0])
+        self.device = JpegDeviceTranscoder(
+            info, quality=quality, out_size=out_size,
+            method=method, compute=compute,
+        )
+        self._new_sink_encoder()
+        self._mux = None
+        self._file = None
+        if sink is not None:
+            if container is not None:
+                from .muxer import StreamMuxer
+
+                fps = self.demuxer.framerate or 30.0
+                self._mux = StreamMuxer(
+                    sink, CodecId.MJPEG,
+                    self.device.out_w, self.device.out_h,
+                    fps=fps, format=container,
+                )
+            else:
+                self._file = open(sink, "wb")
+
+    def _new_sink_encoder(self) -> None:
+        self.sink_coef = JpegCoefEncoder(
+            self.device.out_w,
+            self.device.out_h,
+            subsampled=self.device.subsampled,
+            quant_tables=self.device.quant_tables,
+            restart_interval=self._cfg["restart_interval"],
+        )
+
+    def _packets(self):
+        n = 0
+        while self._pending:
+            if self.max_frames and n >= self.max_frames:
+                return
+            n += 1
+            yield self._pending.pop(0)
+        while True:
+            if self.max_frames and n >= self.max_frames:
+                return
+            r = self.demuxer.demux()
+            if r is None:
+                return
+            n += 1
+            yield r.packet.copy()
+
+    def _coef_batches(self):
+        """Entropy-decode into stacked coefficient batches, splitting at
+        quant-table or geometry changes (same contract as MjpegReader)."""
+        from ..ops.jpeg import JpegDeviceTranscoder
+
+        pend: list = []
+        shape0 = None
+        for pkt in self._packets():
+            f = self.coef.decode(pkt)
+            if self.coef.quant_dirty:
+                self.coef.quant_dirty = False
+                if pend:
+                    yield self._stack(pend)
+                    pend = []
+                self.device.set_src_quant_tables(self.coef.info)
+            s = tuple(c.shape for c in f)
+            if shape0 is None:
+                shape0 = s
+            elif s != shape0:  # geometry change: flush + rebuild
+                if pend:
+                    yield self._stack(pend)
+                    pend = []
+                shape0 = s
+                resizing = self._cfg["out_size"] is not None
+                self.device = JpegDeviceTranscoder(
+                    self.coef.info,
+                    quality=self._cfg["quality"],
+                    out_size=self._cfg["out_size"],
+                    method=self._cfg["method"],
+                    compute=self._cfg["compute"],
+                )
+                if not resizing:  # output geometry follows the source
+                    self._new_sink_encoder()
+            pend.append(f)
+            if len(pend) >= self.batch:
+                yield self._stack(pend)
+                pend = []
+        if pend:
+            yield self._stack(pend)
+
+    @staticmethod
+    def _stack(frames):
+        return tuple(np.stack([f[c] for f in frames]) for c in range(3))
+
+    def run(self, on_packet=None) -> "TranscodeStats":
+        """Pump the whole stream → :class:`~.transcode.TranscodeStats`.
+
+        ``on_packet(jpeg_bytes, frame_index)`` additionally receives
+        every output image.
+        """
+        from .transcode import TranscodeStats
+
+        st = TranscodeStats()
+        t0 = time.perf_counter()
+        inflight = None  # (device coeff batch, sink encoder at dispatch)
+        try:
+            for cy, cu, cv in self._coef_batches():
+                out = (self.device(cy, cu, cv), self.sink_coef)
+                if inflight is not None:
+                    self._drain(inflight, st, on_packet)
+                inflight = out  # device computes while we entropy-decode
+            if inflight is not None:
+                self._drain(inflight, st, on_packet)
+            st.wall_s = time.perf_counter() - t0
+            return st
+        finally:
+            self.close()
+
+    def _drain(self, inflight, st, on_packet) -> None:
+        (cy, cu, cv), coder = inflight
+        for pkt in coder.encode_batch(cy, cu, cv):
+            if self._mux is not None:
+                self._mux.write(pkt, pts=st.frames)
+            elif self._file is not None:
+                self._file.write(pkt)
+            if on_packet is not None:
+                on_packet(pkt, st.frames)
+            st.frames += 1
+            st.out_bytes += len(pkt)
 
     def close(self) -> None:
         if self._mux is not None:

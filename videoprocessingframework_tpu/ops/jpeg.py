@@ -41,6 +41,7 @@ __all__ = [
     "std_quant_tables",
     "JpegDevicePipeline",
     "JpegDeviceEncoder",
+    "JpegDeviceTranscoder",
     "golden_decode",
     "golden_encode",
 ]
@@ -413,6 +414,130 @@ class JpegDeviceEncoder:
         return self.encode_planes(y, u, v)
 
     __call__ = encode_rgb
+
+
+@partial(
+    jax.jit,
+    static_argnames=("src_geometry", "dst_geometry", "method", "compute"),
+)
+def _jpeg_transcode(
+    cy, cu, cv, by, bu, bv, ay, au, av, *,
+    src_geometry, dst_geometry, method="lanczos", compute="auto",
+):
+    """int16 zigzag coefficients in → int16 zigzag coefficients out, ONE
+    XLA program: dequant+IDCT (matmul) → u8 planes → optional per-plane
+    resize (stays in YUV — a pixel-domain transcode never needs CSC) →
+    level shift + forward DCT + requant (matmul).
+
+    b* are the dequant+IDCT bases of the SOURCE quant tables, a* the
+    fdct+quant bases of the DESTINATION tables. The u8 rint/clip between
+    the halves pins semantics to decode-then-reencode (so the two 64×64
+    matrices cannot fold — by design: folding would skip the [0,255]
+    pixel clamp a real transcoder applies)."""
+    from .fused import _resize_plane2d
+
+    (sbhy, sbwy), (sbhc, sbwc), (sh, sw), sub = src_geometry
+    (dbhy, dbwy), (dbhc, dbwc), (dh, dw), _ = dst_geometry
+    sch, scw = ((sh + 1) // 2, (sw + 1) // 2) if sub else (sh, sw)
+    dch, dcw = ((dh + 1) // 2, (dw + 1) // 2) if sub else (dh, dw)
+    mode = "split_bf16" if compute in ("auto", "split_bf16") else "highest"
+
+    def plane(c, b, bh, bw, ph, pw):
+        pix = jnp.einsum(
+            "nbk,kp->nbp", c.astype(jnp.float32), b, precision="highest"
+        ) + 128.0
+        return jnp.rint(jnp.clip(_assemble(pix, bh, bw, ph, pw), 0, 255)
+                        ).astype(jnp.uint8)
+
+    def resized(p, ih, iw, oh, ow):
+        if (ih, iw) == (oh, ow):
+            return p
+        from .resize import resize_matrix
+
+        rmat = jnp.asarray(resize_matrix(ih, oh, method).astype(np.float32))
+        cmat = jnp.asarray(resize_matrix(iw, ow, method).astype(np.float32))
+        r = _resize_plane2d(p, rmat, cmat, jnp.float32, mode)
+        return jnp.rint(jnp.clip(r, 0, 255)).astype(jnp.uint8)
+
+    def fwd(p, a, bh, bw):
+        blk = _blockify(p, bh, bw).astype(jnp.float32) - 128.0
+        c = jnp.einsum("nbp,pk->nbk", blk, a, precision="highest")
+        return jnp.clip(jnp.rint(c), -2047, 2047).astype(jnp.int16)
+
+    y = resized(plane(cy, by, sbhy, sbwy, sh, sw), sh, sw, dh, dw)
+    u = resized(plane(cu, bu, sbhc, sbwc, sch, scw), sch, scw, dch, dcw)
+    v = resized(plane(cv, bv, sbhc, sbwc, sch, scw), sch, scw, dch, dcw)
+    return fwd(y, ay, dbhy, dbwy), fwd(u, au, dbhc, dbwc), fwd(v, av, dbhc, dbwc)
+
+
+class JpegDeviceTranscoder:
+    """The device half of the split MJPEG→MJPEG transcoder.
+
+    Composes :class:`JpegDevicePipeline`'s inverse half and
+    :class:`JpegDeviceEncoder`'s forward half into ONE jitted program per
+    batch — coefficients in, coefficients out; the only host work in the
+    whole transcode is the entropy coding on either side
+    (io/native/jpeg.cpp). The reference's closest path is
+    decode→convert→encode through three engines with a device round trip
+    between each (samples/SampleMeasureVideoQuality.py); here the entire
+    pixel path is a single XLA dispatch.
+
+    Source geometry/tables come from a probe (`io.jpeg.JpegCoefDecoder.info`);
+    destination tables from ``quality`` (Annex K scaling) or explicit
+    ``quant_tables``; ``out_size=(h, w)`` resizes in-program (4:2:0 sizes
+    must be even).
+    """
+
+    def __init__(
+        self,
+        info,
+        quality: int = 90,
+        out_size=None,
+        quant_tables=None,
+        method: str = "lanczos",
+        compute: str = "auto",
+    ):
+        # reuse the decode pipeline's probe validation + geometry rules
+        probe = JpegDevicePipeline(info, output="planes")
+        self.src_geometry = probe.geometry
+        self.subsampled = probe.geometry[3]
+        self.height, self.width = probe.height, probe.width
+        self.out_h, self.out_w = out_size or (self.height, self.width)
+        if self.subsampled and (self.out_h % 2 or self.out_w % 2):
+            raise ValueError("4:2:0 JPEG target size must be even")
+        self.dst_geometry = encode_geometry(
+            self.out_h, self.out_w, self.subsampled
+        )
+        self.method, self.compute = method, compute
+        if quant_tables is None:
+            quant_tables = std_quant_tables(quality)
+        ql, qc = (np.asarray(t, np.uint16).reshape(64) for t in quant_tables)
+        self.quant_tables = (ql, qc)
+        self._fwd = tuple(
+            jnp.asarray(fdct_quant_basis(t, np.float32)) for t in (ql, qc, qc)
+        )
+        self.set_src_quant_tables(info)
+
+    def set_src_quant_tables(self, info) -> None:
+        """(Re)build the inverse bases on a mid-stream DQT change —
+        cheap, no recompile (tables are program inputs)."""
+        self._inv = tuple(
+            jnp.asarray(
+                dequant_idct_basis(np.array(info.qt[c][:64]), np.float32)
+            )
+            for c in range(3)
+        )
+
+    def __call__(self, cy, cu, cv):
+        """[N, blocks, 64] int16 zigzag batches per component → same, at
+        the output geometry/tables."""
+        return _jpeg_transcode(
+            cy, cu, cv, *self._inv, *self._fwd,
+            src_geometry=self.src_geometry,
+            dst_geometry=self.dst_geometry,
+            method=self.method,
+            compute=self.compute,
+        )
 
 
 def golden_encode(planes, qts, geometry):
