@@ -143,6 +143,41 @@ def test_transcoder_rejects_non_mjpeg():
         MjpegTranscoder("tests/assets/test.mp4", None)
 
 
+def test_transcoder_midstream_geometry_change(clip, tmp_path):
+    """Concatenated raw MJPEG with a resolution change: the raw sink
+    rebuilds and keeps going; a container sink without a fixed out_size
+    raises; a fixed out_size normalizes both segments."""
+    path, _ = clip
+    small = tmp_path / "small.mjpeg"
+    with MjpegWriter(str(small), 96, 64, quality=90) as wr:
+        wr.write_rgb(_gradient_rgb(2, 64, 96, seed=9))
+    mixed = tmp_path / "mixed.mjpeg"
+    mixed.write_bytes(
+        open(path, "rb").read() + small.read_bytes()
+    )
+
+    out = tmp_path / "out.mjpeg"
+    with MjpegTranscoder(str(mixed), str(out)) as t:
+        st = t.run()
+    assert st.frames == N + 2
+
+    with pytest.raises(JpegStreamError, match="geometry"):
+        with MjpegTranscoder(
+            str(mixed), str(tmp_path / "o.avi"), container="avi"
+        ) as t:
+            t.run()
+
+    norm = tmp_path / "norm.avi"
+    with MjpegTranscoder(
+        str(mixed), str(norm), container="avi", out_size=(64, 96)
+    ) as t:
+        st = t.run()
+    assert st.frames == N + 2
+    rd = MjpegReader(str(norm), output="rgb_u8")
+    got = np.concatenate([np.asarray(b) for b in rd.batches()], axis=0)
+    assert got.shape == (N + 2, 64, 96, 3)
+
+
 def test_transcoder_odd_resize_rejected(clip):
     path, _ = clip
     with pytest.raises(ValueError, match="even"):

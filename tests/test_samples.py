@@ -144,3 +144,10 @@ def test_sample_device_transcode(test_mp4, tmp_path):
                str(tmp_path / "d.h264"), "--size", "424x232",
                "--frames", "24")
     assert "device-transcoded 24 frames" in out
+
+
+def test_sample_mjpeg_transcode(tmp_path):
+    out = _run("sample_mjpeg_transcode.py", "synth",
+               str(tmp_path / "t.mjpeg"), "--size", "160x120")
+    assert "transcoded 8 frames" in out
+    assert "PSNR" in out

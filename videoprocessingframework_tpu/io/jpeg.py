@@ -462,6 +462,12 @@ class MjpegTranscoder:
                     pend = []
                 shape0 = s
                 resizing = self._cfg["out_size"] is not None
+                if not resizing and self._mux is not None:
+                    raise JpegStreamError(
+                        "mid-stream geometry change with a container "
+                        "sink needs a fixed out_size (the muxed stream "
+                        "has one geometry)"
+                    )
                 self.device = JpegDeviceTranscoder(
                     self.coef.info,
                     quality=self._cfg["quality"],
