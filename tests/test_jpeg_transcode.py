@@ -178,6 +178,37 @@ def test_transcoder_midstream_geometry_change(clip, tmp_path):
     assert got.shape == (N + 2, 64, 96, 3)
 
 
+def test_transcoder_workers_bit_identical(clip, tmp_path):
+    """The thread-parallel host halves (workers>1) produce byte-identical
+    output to the serial path — per-frame fan-out, order preserved."""
+    path, _ = clip
+    outs = {}
+    for w in (1, 3):
+        p = tmp_path / f"w{w}.mjpeg"
+        with MjpegTranscoder(
+            path, str(p), quality=88, batch=3, workers=w
+        ) as t:
+            st = t.run()
+        assert st.frames == N
+        outs[w] = p.read_bytes()
+    assert outs[1] == outs[3]
+
+
+def test_transcoder_workers_geometry_change(clip, tmp_path):
+    """Parallel decode handles a mid-stream resolution change (each
+    packet is standalone; grouping happens after the ordered join)."""
+    path, _ = clip
+    small = tmp_path / "s.mjpeg"
+    with MjpegWriter(str(small), 96, 64, quality=90) as wr:
+        wr.write_rgb(_gradient_rgb(2, 64, 96, seed=11))
+    mixed = tmp_path / "m.mjpeg"
+    mixed.write_bytes(open(path, "rb").read() + small.read_bytes())
+    out = tmp_path / "o.mjpeg"
+    with MjpegTranscoder(str(mixed), str(out), workers=3) as t:
+        st = t.run()
+    assert st.frames == N + 2
+
+
 def test_transcoder_odd_resize_rejected(clip):
     path, _ = clip
     with pytest.raises(ValueError, match="even"):

@@ -51,6 +51,47 @@ _u8p = C.POINTER(C.c_uint8)
 _i16p = C.POINTER(C.c_int16)
 
 
+def _snapshot(info: "_lib.VpfJpegInfo"):
+    """Plain-Python copy of the probe fields the device classes read —
+    safe to hand across threads (the ctypes struct is reused per
+    decoder) and cheap to compare."""
+    from types import SimpleNamespace
+
+    n = int(info.ncomp)
+    return SimpleNamespace(
+        ncomp=n,
+        width=int(info.width),
+        height=int(info.height),
+        hs=[int(info.hs[c]) for c in range(n)],
+        vs=[int(info.vs[c]) for c in range(n)],
+        bh=[int(info.bh[c]) for c in range(n)],
+        bw=[int(info.bw[c]) for c in range(n)],
+        qt=[tuple(info.qt[c][:64]) for c in range(n)],
+        restart_interval=int(info.restart_interval),
+    )
+
+
+def _bounded_ordered_map(fn, items, workers: int, depth: int = 4):
+    """`map(fn, items)` over a thread pool, yielding IN ORDER with at
+    most ``workers * depth`` tasks in flight (Executor.map would consume
+    the whole packet iterator up front)."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        window: deque = deque()
+        it = iter(items)
+        try:
+            while True:
+                while len(window) < workers * depth:
+                    window.append(ex.submit(fn, next(it)))
+                yield window.popleft().result()
+        except StopIteration:
+            pass
+        while window:
+            yield window.popleft().result()
+
+
 def _as_u8(data) -> np.ndarray:
     a = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) \
         else np.ascontiguousarray(data).view(np.uint8).reshape(-1)
@@ -354,7 +395,12 @@ class MjpegTranscoder:
     async, so the host entropy-decodes batch *i+1* while the device
     transforms batch *i* — the same overlap the reference gets from its
     NVDEC/NVENC engines running async to the CPU
-    (samples/SampleMeasureVideoQuality.py is the serial analog).
+    (samples/SampleMeasureVideoQuality.py is the serial analog). With
+    ``workers > 1`` (default: one per core, capped at 8) BOTH host
+    halves additionally fan out per-frame across threads — every MJPEG
+    packet is a standalone JPEG, and the native entropy calls run
+    GIL-free — so the host side scales with cores while output order
+    and bytes stay identical to the serial path.
 
     ``sink``: output path (raw concatenated JPEGs, or a container via
     ``container=``), or ``None`` to drop packets (benchmark mode); pass
@@ -373,6 +419,7 @@ class MjpegTranscoder:
         method: str = "lanczos",
         compute: str = "auto",
         max_frames: int = 0,
+        workers: int = 0,
     ):
         from ..ops.jpeg import JpegDeviceTranscoder
 
@@ -384,6 +431,14 @@ class MjpegTranscoder:
         self.coef = JpegCoefDecoder()
         self.batch = int(batch)
         self.max_frames = int(max_frames)
+        # host entropy halves scale per-frame across cores (each MJPEG
+        # packet is a standalone JPEG); 0 = auto, same min(work, cores)
+        # policy as the native decode pool
+        import os as _os
+
+        self.workers = int(workers) if workers > 0 else min(
+            8, _os.cpu_count() or 1
+        )
         self._cfg = dict(
             quality=quality, out_size=out_size, method=method,
             compute=compute, restart_interval=restart_interval,
@@ -438,45 +493,71 @@ class MjpegTranscoder:
             n += 1
             yield r.packet.copy()
 
+    def _frames(self):
+        """Yield ``(frame_coeffs, snapshot)`` in stream order.
+
+        MJPEG images are standalone JPEGs (own DQT/SOF per packet), so
+        with ``workers > 1`` packets entropy-decode on a thread pool —
+        one :class:`JpegCoefDecoder` per thread, the native call runs
+        GIL-free — with a bounded in-order window. This is the serial
+        host half made core-scalable (same policy as the decode pool's
+        worker threads, io/native/pool.cpp).
+        """
+        if self.workers <= 1:
+            for pkt in self._packets():
+                f = self.coef.decode(pkt)
+                yield f, _snapshot(self.coef.info)
+            return
+
+        import threading
+
+        local = threading.local()
+
+        def one(pkt):
+            dec = getattr(local, "dec", None)
+            if dec is None:
+                dec = local.dec = JpegCoefDecoder()
+            f = dec.decode(pkt)
+            return f, _snapshot(dec.info)
+
+        yield from _bounded_ordered_map(one, self._packets(), self.workers)
+
     def _coef_batches(self):
         """Entropy-decode into stacked coefficient batches, splitting at
         quant-table or geometry changes (same contract as MjpegReader)."""
         from ..ops.jpeg import JpegDeviceTranscoder
 
         pend: list = []
-        shape0 = None
-        for pkt in self._packets():
-            f = self.coef.decode(pkt)
-            if self.coef.quant_dirty:
-                self.coef.quant_dirty = False
+        key0 = None
+        for f, snap in self._frames():
+            key = (snap.width, snap.height, tuple(snap.qt))
+            if key0 is None:
+                key0 = key
+            elif key != key0:
                 if pend:
                     yield self._stack(pend)
                     pend = []
-                self.device.set_src_quant_tables(self.coef.info)
-            s = tuple(c.shape for c in f)
-            if shape0 is None:
-                shape0 = s
-            elif s != shape0:  # geometry change: flush + rebuild
-                if pend:
-                    yield self._stack(pend)
-                    pend = []
-                shape0 = s
-                resizing = self._cfg["out_size"] is not None
-                if not resizing and self._mux is not None:
-                    raise JpegStreamError(
-                        "mid-stream geometry change with a container "
-                        "sink needs a fixed out_size (the muxed stream "
-                        "has one geometry)"
+                size_changed = key[:2] != key0[:2]
+                key0 = key
+                if size_changed:  # geometry change: rebuild
+                    resizing = self._cfg["out_size"] is not None
+                    if not resizing and self._mux is not None:
+                        raise JpegStreamError(
+                            "mid-stream geometry change with a container "
+                            "sink needs a fixed out_size (the muxed "
+                            "stream has one geometry)"
+                        )
+                    self.device = JpegDeviceTranscoder(
+                        snap,
+                        quality=self._cfg["quality"],
+                        out_size=self._cfg["out_size"],
+                        method=self._cfg["method"],
+                        compute=self._cfg["compute"],
                     )
-                self.device = JpegDeviceTranscoder(
-                    self.coef.info,
-                    quality=self._cfg["quality"],
-                    out_size=self._cfg["out_size"],
-                    method=self._cfg["method"],
-                    compute=self._cfg["compute"],
-                )
-                if not resizing:  # output geometry follows the source
-                    self._new_sink_encoder()
+                    if not resizing:  # output geometry follows source
+                        self._new_sink_encoder()
+                else:  # DQT-only change: swap the inverse bases
+                    self.device.set_src_quant_tables(list(snap.qt))
             pend.append(f)
             if len(pend) >= self.batch:
                 yield self._stack(pend)
@@ -514,7 +595,27 @@ class MjpegTranscoder:
 
     def _drain(self, inflight, st, on_packet) -> None:
         (cy, cu, cv), coder = inflight
-        for pkt in coder.encode_batch(cy, cu, cv):
+        if self.workers <= 1:
+            pkts = coder.encode_batch(cy, cu, cv)
+        else:
+            # per-frame fan-out: each worker packs a stride of frames
+            # with its own encoder (the scratch buffer is per-instance);
+            # the native pack call runs GIL-free
+            from concurrent.futures import ThreadPoolExecutor
+
+            cy, cu, cv = (np.asarray(c, np.int16) for c in (cy, cu, cv))
+            n = cy.shape[0]
+            w = min(self.workers, n)
+            encs = self._enc_pool(coder, w)
+            out: list = [None] * n
+            def pack(widx):
+                e = encs[widx]
+                for i in range(widx, n, w):
+                    out[i] = e.encode(cy[i], cu[i], cv[i])
+            with ThreadPoolExecutor(max_workers=w) as ex:
+                list(ex.map(pack, range(w)))
+            pkts = out
+        for pkt in pkts:
             if self._mux is not None:
                 self._mux.write(pkt, pts=st.frames)
             elif self._file is not None:
@@ -523,6 +624,25 @@ class MjpegTranscoder:
                 on_packet(pkt, st.frames)
             st.frames += 1
             st.out_bytes += len(pkt)
+
+    def _enc_pool(self, coder: JpegCoefEncoder, w: int):
+        """Per-worker clones of the sink encoder (config-identical;
+        cached until the sink encoder is rebuilt)."""
+        cache = getattr(self, "_enc_cache", None)
+        if cache is None or cache[0] is not coder or len(cache[1]) < w:
+            clones = [coder] + [
+                JpegCoefEncoder(
+                    coder.width, coder.height,
+                    subsampled=coder.subsampled,
+                    quant_tables=coder.quant_tables,
+                    restart_interval=int(
+                        coder._params.restart_interval
+                    ),
+                )
+                for _ in range(w - 1)
+            ]
+            self._enc_cache = cache = (coder, clones)
+        return cache[1]
 
     def close(self) -> None:
         if self._mux is not None:

@@ -520,12 +520,14 @@ class JpegDeviceTranscoder:
 
     def set_src_quant_tables(self, info) -> None:
         """(Re)build the inverse bases on a mid-stream DQT change —
-        cheap, no recompile (tables are program inputs)."""
+        cheap, no recompile (tables are program inputs). Accepts a probe
+        info (``.qt``) or a 3-sequence of 64-entry zigzag tables."""
+        qts = info if isinstance(info, (tuple, list)) else [
+            info.qt[c][:64] for c in range(3)
+        ]
         self._inv = tuple(
-            jnp.asarray(
-                dequant_idct_basis(np.array(info.qt[c][:64]), np.float32)
-            )
-            for c in range(3)
+            jnp.asarray(dequant_idct_basis(np.array(q[:64]), np.float32))
+            for q in qts
         )
 
     def __call__(self, cy, cu, cv):
