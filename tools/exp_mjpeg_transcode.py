@@ -28,11 +28,14 @@ def make_clip(path, w, h, n, quality=90):
         + (xx * 255 / w)[..., None] * np.array([0.0, 0.4, 0.7])
     ) / 2
     with MjpegWriter(path, w, h, quality=quality) as wr:
-        for _ in range(n // 4):
+        left = n
+        while left > 0:
+            k = min(4, left)
             f = np.clip(
-                base[None] + rng.normal(0, 6, (4, h, w, 3)), 0, 255
+                base[None] + rng.normal(0, 6, (k, h, w, 3)), 0, 255
             ).astype(np.uint8)
             wr.write_rgb(f)
+            left -= k
     return path
 
 
@@ -125,7 +128,7 @@ def run_host_halves(src, n, quality, runs):
           f"({1/tot:6.1f} fps ceiling/core)", flush=True)
 
 
-def device_slope(src, batch, quality, lo=20, hi=120):
+def device_slope(src, batch, quality, lo=50, hi=350):
     """Device-side transcode throughput by scan-chain slope (the only
     timing that survives the relay tunnel — see CLAUDE.md). Chains the
     coefficients→coefficients program with the output fed back as the
@@ -175,6 +178,11 @@ def device_slope(src, batch, quality, lo=20, hi=120):
             return last[-1].astype(jnp.int32)
         return run
 
+    # pay the process's first device->host fetch (reverse-relay channel
+    # init, up to minutes under bad weather — CLAUDE.md) OUTSIDE timing
+    warm = chain(2)
+    int(warm(cy, cu, cv))
+
     runs = {}
     for n in (lo, hi):
         fn = chain(n)
@@ -205,7 +213,7 @@ def main():
     args = ap.parse_args()
     w, h = (int(x) for x in args.res.split("x"))
 
-    src = f"/tmp/mjpeg_bench_{w}x{h}.mjpeg"
+    src = f"/tmp/mjpeg_bench_{w}x{h}_n{args.frames}_q90.mjpeg"
     if not os.path.exists(src):
         print(f"making {args.frames}-frame {w}x{h} clip...", flush=True)
         make_clip(src, w, h, args.frames)

@@ -253,6 +253,10 @@ class JpegCoefEncoder:
         if quant_tables is None:
             quant_tables = std_quant_tables(quality)
         ql, qc = (np.asarray(t, np.uint16).reshape(64) for t in quant_tables)
+        if max(int(ql.max()), int(qc.max())) > 255:
+            raise ValueError(
+                "baseline JPEG quant tables are 8-bit (all values <= 255)"
+            )
         self.width, self.height = int(width), int(height)
         self.subsampled = bool(subsampled)
         self.quant_tables = (ql, qc)
@@ -423,11 +427,18 @@ class MjpegTranscoder:
     ):
         from ..ops.jpeg import JpegDeviceTranscoder
 
+        self._mux = None
+        self._file = None
+        self._enc_ex = None  # persistent encode pool (workers > 1)
         self.demuxer = FFmpegDemuxer(source)
-        if self.demuxer.codec != CodecId.MJPEG:
-            raise JpegStreamError(
-                f"stream codec is {self.demuxer.codec.name}, not MJPEG"
-            )
+        try:
+            if self.demuxer.codec != CodecId.MJPEG:
+                raise JpegStreamError(
+                    f"stream codec is {self.demuxer.codec.name}, not MJPEG"
+                )
+        except BaseException:
+            self.close()
+            raise
         self.coef = JpegCoefDecoder()
         self.batch = int(batch)
         self.max_frames = int(max_frames)
@@ -443,30 +454,32 @@ class MjpegTranscoder:
             quality=quality, out_size=out_size, method=method,
             compute=compute, restart_interval=restart_interval,
         )
-        first = self.demuxer.demux()
-        if first is None:
-            raise JpegStreamError("empty MJPEG stream")
-        self._pending = [first.packet.copy()]
-        info = self.coef.probe(self._pending[0])
-        self.device = JpegDeviceTranscoder(
-            info, quality=quality, out_size=out_size,
-            method=method, compute=compute,
-        )
-        self._new_sink_encoder()
-        self._mux = None
-        self._file = None
-        if sink is not None:
-            if container is not None:
-                from .muxer import StreamMuxer
+        try:
+            first = self.demuxer.demux()
+            if first is None:
+                raise JpegStreamError("empty MJPEG stream")
+            self._pending = [first.packet.copy()]
+            info = self.coef.probe(self._pending[0])
+            self.device = JpegDeviceTranscoder(
+                info, quality=quality, out_size=out_size,
+                method=method, compute=compute,
+            )
+            self._new_sink_encoder()
+            if sink is not None:
+                if container is not None:
+                    from .muxer import StreamMuxer
 
-                fps = self.demuxer.framerate or 30.0
-                self._mux = StreamMuxer(
-                    sink, CodecId.MJPEG,
-                    self.device.out_w, self.device.out_h,
-                    fps=fps, format=container,
-                )
-            else:
-                self._file = open(sink, "wb")
+                    fps = self.demuxer.framerate or 30.0
+                    self._mux = StreamMuxer(
+                        sink, CodecId.MJPEG,
+                        self.device.out_w, self.device.out_h,
+                        fps=fps, format=container,
+                    )
+                else:
+                    self._file = open(sink, "wb")
+        except BaseException:
+            self.close()
+            raise
 
     def _new_sink_encoder(self) -> None:
         self.sink_coef = JpegCoefEncoder(
@@ -530,14 +543,21 @@ class MjpegTranscoder:
         pend: list = []
         key0 = None
         for f, snap in self._frames():
-            key = (snap.width, snap.height, tuple(snap.qt))
+            # geometry key covers everything that changes block layout:
+            # dims, component count, sampling factors; qt alone is a
+            # cheap basis swap
+            geo = (
+                snap.width, snap.height, snap.ncomp,
+                tuple(snap.hs), tuple(snap.vs),
+            )
+            key = (geo, tuple(snap.qt))
             if key0 is None:
                 key0 = key
             elif key != key0:
                 if pend:
                     yield self._stack(pend)
                     pend = []
-                size_changed = key[:2] != key0[:2]
+                size_changed = key[0] != key0[0]
                 key0 = key
                 if size_changed:  # geometry change: rebuild
                     resizing = self._cfg["out_size"] is not None
@@ -600,20 +620,26 @@ class MjpegTranscoder:
         else:
             # per-frame fan-out: each worker packs a stride of frames
             # with its own encoder (the scratch buffer is per-instance);
-            # the native pack call runs GIL-free
+            # the native pack call runs GIL-free. One persistent pool
+            # for the whole run — not per batch.
             from concurrent.futures import ThreadPoolExecutor
 
+            if self._enc_ex is None:
+                self._enc_ex = ThreadPoolExecutor(
+                    max_workers=self.workers
+                )
             cy, cu, cv = (np.asarray(c, np.int16) for c in (cy, cu, cv))
             n = cy.shape[0]
             w = min(self.workers, n)
             encs = self._enc_pool(coder, w)
             out: list = [None] * n
+
             def pack(widx):
                 e = encs[widx]
                 for i in range(widx, n, w):
                     out[i] = e.encode(cy[i], cu[i], cv[i])
-            with ThreadPoolExecutor(max_workers=w) as ex:
-                list(ex.map(pack, range(w)))
+
+            list(self._enc_ex.map(pack, range(w)))
             pkts = out
         for pkt in pkts:
             if self._mux is not None:
@@ -645,12 +671,19 @@ class MjpegTranscoder:
         return cache[1]
 
     def close(self) -> None:
+        if self._enc_ex is not None:
+            self._enc_ex.shutdown(wait=True)
+            self._enc_ex = None
         if self._mux is not None:
             self._mux.close()
             self._mux = None
         if self._file is not None:
             self._file.close()
             self._file = None
+        dm = getattr(self, "demuxer", None)
+        if dm is not None:
+            dm.close()
+            self.demuxer = None
 
     def __enter__(self):
         return self

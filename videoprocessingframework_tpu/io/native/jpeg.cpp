@@ -21,6 +21,10 @@
  * VPF_ERR with a typed message — callers fall back to the libav software
  * path (io/native/decoder.cpp).
  */
+#if defined(__SSE2__) || defined(_M_X64)
+#include <emmintrin.h>
+#define VPF_JPEG_SSE2 1
+#endif
 #include <vector>
 
 #include "common.hpp"
@@ -690,11 +694,6 @@ struct EncComp {
   int32_t pred = 0;
 };
 
-#if defined(__SSE2__) || defined(_M_X64)
-#include <emmintrin.h>
-#define VPF_JPEG_SSE2 1
-#endif
-
 /* One block: DC diff + RLE'd AC, per T.81 F.2. AC values are clamped to
  * the 8-bit-baseline ±1023 envelope (only reachable at quant step 1).
  *
@@ -868,18 +867,20 @@ VPF_API int vpf_jpeg_encode(const VpfJpegEncParams* p,
   o.u16(16);
   const uint8_t jfif[] = {'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0};
   o.bytes(jfif, sizeof(jfif));
-  /* DQT */
+  /* DQT — 8-bit (Pq=0) only: T.81 B.2.4.1 forbids 16-bit tables in a
+   * baseline (SOF0) frame, and strict decoders reject the combination */
   for (int t = 0; t < (nc == 3 ? 2 : 1); ++t) {
     const uint16_t* q = t ? p->qt_chroma : p->qt_luma;
-    bool wide = false;
-    for (int z = 0; z < 64; ++z) wide |= q[z] > 255;
+    for (int z = 0; z < 64; ++z)
+      if (q[z] > 255)
+        return vpf_set_error(
+            VPF_ERR,
+            "jpeg_encode: quant value %u > 255 (baseline is 8-bit)",
+            (unsigned)q[z]);
     o.marker(0xDB);
-    o.u16((uint16_t)(3 + 64 * (wide ? 2 : 1)));
-    o.u8((uint8_t)((wide ? 0x10 : 0x00) | t));
-    for (int z = 0; z < 64; ++z) {
-      if (wide) o.u16(q[z]);
-      else o.u8((uint8_t)(q[z] ? q[z] : 1));
-    }
+    o.u16((uint16_t)(3 + 64));
+    o.u8((uint8_t)t);
+    for (int z = 0; z < 64; ++z) o.u8((uint8_t)(q[z] ? q[z] : 1));
   }
   /* SOF0 */
   o.marker(0xC0);
