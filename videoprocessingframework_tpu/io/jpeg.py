@@ -241,15 +241,19 @@ class JpegCoefEncoder:
         width: int,
         height: int,
         quality: int = 90,
-        subsampled: bool = True,
+        subsampled=True,
         quant_tables=None,
         restart_interval: int = 0,
     ):
-        from ..ops.jpeg import encode_geometry, std_quant_tables
+        from ..ops.jpeg import _norm_sampling, encode_geometry, \
+            std_quant_tables
 
         self._lib = _lib.load()
-        if subsampled and (height % 2 or width % 2):
+        sampling = _norm_sampling(subsampled)
+        if sampling == "420" and (height % 2 or width % 2):
             raise ValueError("4:2:0 JPEG size must be even")
+        if sampling == "422" and width % 2:
+            raise ValueError("4:2:2 JPEG width must be even")
         if quant_tables is None:
             quant_tables = std_quant_tables(quality)
         ql, qc = (np.asarray(t, np.uint16).reshape(64) for t in quant_tables)
@@ -258,19 +262,21 @@ class JpegCoefEncoder:
                 "baseline JPEG quant tables are 8-bit (all values <= 255)"
             )
         self.width, self.height = int(width), int(height)
-        self.subsampled = bool(subsampled)
+        self.sampling = sampling
+        self.subsampled = sampling == "420"  # legacy flag
         self.quant_tables = (ql, qc)
         self._params = _lib.VpfJpegEncParams(
             width=self.width,
             height=self.height,
             ncomp=3,
-            subsampled=int(self.subsampled),
+            # native mode: 0 = 4:4:4, 1 = 4:2:0, 2 = 4:2:2
+            subsampled={"444": 0, "420": 1, "422": 2}[sampling],
             restart_interval=int(restart_interval),
         )
         self._params.qt_luma[:] = [int(x) for x in ql]
         self._params.qt_chroma[:] = [int(x) for x in qc]
         (bhy, bwy), (bhc, bwc), _, _ = encode_geometry(
-            self.height, self.width, self.subsampled
+            self.height, self.width, sampling
         )
         self._nblocks = (int(bhy * bwy), int(bhc * bwc), int(bhc * bwc))
         # worst case per block ≈ (27 + 63·26) bits, doubled for 0xFF
@@ -485,7 +491,7 @@ class MjpegTranscoder:
         self.sink_coef = JpegCoefEncoder(
             self.device.out_w,
             self.device.out_h,
-            subsampled=self.device.subsampled,
+            subsampled=self.device.sampling,
             quant_tables=self.device.quant_tables,
             restart_interval=self._cfg["restart_interval"],
         )
@@ -659,7 +665,7 @@ class MjpegTranscoder:
             clones = [coder] + [
                 JpegCoefEncoder(
                     coder.width, coder.height,
-                    subsampled=coder.subsampled,
+                    subsampled=coder.sampling,
                     quant_tables=coder.quant_tables,
                     restart_interval=int(
                         coder._params.restart_interval

@@ -810,7 +810,8 @@ typedef struct VpfJpegEncParams {
   uint32_t width;
   uint32_t height;
   uint32_t ncomp;            /* 1 (gray) or 3 (YCbCr) */
-  uint32_t subsampled;       /* 1 = 4:2:0 (3-component only) */
+  uint32_t subsampled;       /* 0 = 4:4:4, 1 = 4:2:0, 2 = 4:2:2
+                                (3-component only) */
   uint32_t restart_interval; /* MCUs between RSTn markers; 0 = none */
   uint16_t qt_luma[64];      /* zigzag order */
   uint16_t qt_chroma[64];    /* zigzag order (unused when ncomp == 1) */
@@ -831,7 +832,9 @@ VPF_API int vpf_jpeg_encode(const VpfJpegEncParams* p,
     return vpf_set_error(VPF_ERR, "jpeg_encode: bad dimensions %dx%d", W, H);
   if (nc != 1 && nc != 3)
     return vpf_set_error(VPF_ERR, "jpeg_encode: ncomp %d (need 1 or 3)", nc);
-  bool sub = nc == 3 && p->subsampled;
+  int mode = nc == 3 ? (int)p->subsampled : 0; /* 0=444, 1=420, 2=422 */
+  if (mode < 0 || mode > 2)
+    return vpf_set_error(VPF_ERR, "jpeg_encode: sampling mode %d", mode);
 
   EncHuff dcl, dcc, acl, acc;
   dcl.build(kDcLumaBits, kDcVals, 12);
@@ -841,20 +844,19 @@ VPF_API int vpf_jpeg_encode(const VpfJpegEncParams* p,
     acc.build(kAcChromaBits, kAcChromaVals, 162);
   }
 
-  int hmax = sub ? 2 : 1;
-  int mcux = (W + 8 * hmax - 1) / (8 * hmax);
-  int mcuy = (H + 8 * hmax - 1) / (8 * hmax);
+  int sx = mode ? 2 : 1;            /* luma horizontal sampling */
+  int sy = (mode == 1) ? 2 : 1;     /* luma vertical sampling   */
+  int mcux = (W + 8 * sx - 1) / (8 * sx);
+  int mcuy = (H + 8 * sy - 1) / (8 * sy);
   EncComp comp[3];
-  size_t total_blocks = 0;
   for (int c = 0; c < nc; ++c) {
     comp[c].coeffs = comp_coeffs[c];
-    comp[c].hs = (c == 0) ? hmax : 1;
-    comp[c].vs = (c == 0) ? hmax : 1;
+    comp[c].hs = (c == 0) ? sx : 1;
+    comp[c].vs = (c == 0) ? sy : 1;
     comp[c].bw = mcux * comp[c].hs;
     comp[c].bh = mcuy * comp[c].vs;
     comp[c].dc = (c == 0) ? &dcl : &dcc;
     comp[c].ac = (c == 0) ? &acl : &acc;
-    total_blocks += (size_t)comp[c].bw * comp[c].bh;
   }
 
   if (cap < 2048)

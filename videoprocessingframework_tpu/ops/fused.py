@@ -181,7 +181,8 @@ def decode_postproc(
 ):
     """Fused (N-batched) decode post-processing.
 
-    planes: NV12 → (y, uv); YUV420 → (y, u, v); YUV444 → (y, u, v).
+    planes: NV12 → (y, uv); YUV420/YUV422/YUV444 → (y, u, v)
+    (422 chroma is (H, W/2): horizontal-only subsampling).
     output: 'rgb_u8' (N,H,W,3 u8) | 'rgb_f32' ([0,1]) |
             'normalized' (NHWC f32) | 'normalized_nchw' (NCHW f32).
     compute: 'auto' (split-bf16 resize for u8 sources at f32 compute —
@@ -214,10 +215,11 @@ def decode_postproc(
             chroma[..., h // 4:, :].reshape(*lead, h // 2, w // 2),
         )
     subsampled = fmt in (F.NV12, F.NV12_PLANAR, F.YUV420, F.YCBCR, F.P10, F.P12)
+    sub_h = fmt == F.YUV422  # 4:2:2: horizontal-only chroma subsampling
     if fmt in (F.NV12, F.NV12_PLANAR):
         y, uv = planes
         u, v = _deinterleave_uv(uv)
-    elif fmt in (F.YUV420, F.YCBCR):
+    elif fmt in (F.YUV420, F.YCBCR, F.YUV422):
         y, u, v = planes
     elif fmt == F.YUV444:
         y, u, v = planes
@@ -245,11 +247,18 @@ def decode_postproc(
             cc = _chroma_collapse(cmat)
             u = _resize_plane2d(u, rc, cc, compute_dtype, mode)
             v = _resize_plane2d(v, rc, cc, compute_dtype, mode)
+        elif sub_h:  # 4:2:2 — collapse columns only
+            cc = _chroma_collapse(cmat)
+            u = _resize_plane2d(u, rmat, cc, compute_dtype, mode)
+            v = _resize_plane2d(v, rmat, cc, compute_dtype, mode)
         else:
             u = _resize_plane2d(u, rmat, cmat, compute_dtype, mode)
             v = _resize_plane2d(v, rmat, cmat, compute_dtype, mode)
     elif subsampled:
         u, v = _upsample2(u), _upsample2(v)
+    elif sub_h:
+        u = jnp.repeat(u, 2, axis=-1)
+        v = jnp.repeat(v, 2, axis=-1)
 
     rgb = _csc_to_rgb_f32(y, u, v, space, rng)
     if swap:

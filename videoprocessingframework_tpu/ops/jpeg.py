@@ -130,6 +130,35 @@ def std_quant_tables(quality: int = 90) -> tuple[np.ndarray, np.ndarray]:
     return out[0], out[1]
 
 
+def _norm_sampling(s) -> str:
+    """Accept the legacy bool (True=4:2:0, False=4:4:4) or an explicit
+    '420' / '422' / '444' string."""
+    if s is True:
+        return "420"
+    if s is False:
+        return "444"
+    s = str(s)
+    if s not in ("420", "422", "444"):
+        raise ValueError(f"unsupported chroma sampling {s!r}")
+    return s
+
+
+def _chroma_dims(h: int, w: int, sampling: str) -> tuple[int, int]:
+    if sampling == "420":
+        return (h + 1) // 2, (w + 1) // 2
+    if sampling == "422":
+        return h, (w + 1) // 2
+    return h, w
+
+
+def _src_format(sampling: str) -> PixelFormat:
+    return {
+        "420": PixelFormat.YUV420,
+        "422": PixelFormat.YUV422,
+        "444": PixelFormat.YUV444,
+    }[sampling]
+
+
 def _assemble(pix, bh: int, bw: int, h: int, w: int):
     """[..., bh*bw, 64] block pixels → [..., h, w] plane (crop the MCU
     padding)."""
@@ -158,11 +187,13 @@ def jpeg_decode_fused(
 
     cy/cu/cv: int16 [N, nblocks, 64] zigzag coefficient batches.
     by/bu/bv: (64, 64) f32 dequant+IDCT bases (per-component quant).
-    geometry: ((bh_y, bw_y), (bh_c, bw_c), (H, W), subsampled) — static.
-    JPEG is full-range BT.601 by convention (the reference converts
-    yuvj* the same way: TasksColorCvt.cpp JPEG-range paths).
+    geometry: ((bh_y, bw_y), (bh_c, bw_c), (H, W), sampling) — static;
+    sampling is '420' / '422' / '444' (legacy bool accepted at the
+    class layer). JPEG is full-range BT.601 by convention (the
+    reference converts yuvj* the same way: TasksColorCvt.cpp JPEG-range
+    paths).
     """
-    (bhy, bwy), (bhc, bwc), (h, w), subsampled = geometry
+    (bhy, bwy), (bhc, bwc), (h, w), sampling = geometry
 
     def plane(c, b, bh, bw, ph, pw):
         pix = jnp.einsum(
@@ -174,12 +205,8 @@ def jpeg_decode_fused(
         return jnp.rint(jnp.clip(_assemble(pix, bh, bw, ph, pw), 0, 255)
                         ).astype(jnp.uint8)
 
-    if subsampled:
-        ch, cw = (h + 1) // 2, (w + 1) // 2
-        src = PixelFormat.YUV420
-    else:
-        ch, cw = h, w
-        src = PixelFormat.YUV444
+    ch, cw = _chroma_dims(h, w, sampling)
+    src = _src_format(sampling)
     y = plane(cy, by, bhy, bwy, h, w)
     u = plane(cu, bu, bhc, bwc, ch, cw)
     v = plane(cv, bv, bhc, bwc, ch, cw)
@@ -225,21 +252,28 @@ class JpegDevicePipeline:
         if (hs[1], vs[1]) != (1, 1) or (hs[2], vs[2]) != (1, 1):
             raise ValueError(f"unsupported chroma sampling {hs}x{vs}")
         if (hs[0], vs[0]) == (2, 2):
-            subsampled = True
+            sampling = "420"
+        elif (hs[0], vs[0]) == (2, 1):
+            sampling = "422"
         elif (hs[0], vs[0]) == (1, 1):
-            subsampled = False
+            sampling = "444"
         else:
             raise ValueError(f"unsupported luma sampling {hs[0]}x{vs[0]}")
         self.height, self.width = int(info.height), int(info.width)
-        if subsampled and (self.height % 2 or self.width % 2):
+        if sampling == "420" and (self.height % 2 or self.width % 2):
             raise ValueError(
                 "odd-dimension 4:2:0 JPEG unsupported on the device path"
             )
+        if sampling == "422" and self.width % 2:
+            raise ValueError(
+                "odd-width 4:2:2 JPEG unsupported on the device path"
+            )
+        self.sampling = sampling
         self.geometry = (
             (int(info.bh[0]), int(info.bw[0])),
             (int(info.bh[1]), int(info.bw[1])),
             (self.height, self.width),
-            subsampled,
+            sampling,
         )
         self.out_h, self.out_w = out_size or (self.height, self.width)
         self.method, self.output, self.compute = method, output, compute
@@ -286,8 +320,8 @@ class JpegDevicePipeline:
 
 @partial(jax.jit, static_argnames=("geometry",))
 def _jpeg_planes(cy, cu, cv, by, bu, bv, *, geometry):
-    (bhy, bwy), (bhc, bwc), (h, w), subsampled = geometry
-    ch, cw = ((h + 1) // 2, (w + 1) // 2) if subsampled else (h, w)
+    (bhy, bwy), (bhc, bwc), (h, w), sampling = geometry
+    ch, cw = _chroma_dims(h, w, sampling)
 
     def plane(c, b, bh, bw, ph, pw):
         pix = jnp.einsum(
@@ -337,13 +371,16 @@ def _jpeg_coeffs(y, u, v, ay, au, av, *, geometry):
     )
 
 
-def encode_geometry(h: int, w: int, subsampled: bool):
+def encode_geometry(h: int, w: int, sampling):
     """Block-grid geometry for the forward path — identical MCU padding
-    rules to the entropy coder (io/native/jpeg.cpp finish_geometry)."""
-    m = 16 if subsampled else 8
-    mcux, mcuy = (w + m - 1) // m, (h + m - 1) // m
-    s = 2 if subsampled else 1
-    return ((mcuy * s, mcux * s), (mcuy, mcux), (h, w), subsampled)
+    rules to the entropy coder (io/native/jpeg.cpp finish_geometry).
+    ``sampling``: '420' / '422' / '444' (or the legacy bool)."""
+    sampling = _norm_sampling(sampling)
+    sx = 2 if sampling in ("420", "422") else 1
+    sy = 2 if sampling == "420" else 1
+    mcux = (w + 8 * sx - 1) // (8 * sx)
+    mcuy = (h + 8 * sy - 1) // (8 * sy)
+    return ((mcuy * sy, mcux * sx), (mcuy, mcux), (h, w), sampling)
 
 
 class JpegDeviceEncoder:
@@ -368,16 +405,20 @@ class JpegDeviceEncoder:
         height: int,
         width: int,
         quality: int = 90,
-        subsampled: bool = True,
+        subsampled=True,
         quant_tables=None,
         method: str = "lanczos",
     ):
-        if subsampled and (height % 2 or width % 2):
+        sampling = _norm_sampling(subsampled)
+        if sampling == "420" and (height % 2 or width % 2):
             raise ValueError("4:2:0 JPEG target size must be even")
+        if sampling == "422" and width % 2:
+            raise ValueError("4:2:2 JPEG target width must be even")
         self.height, self.width = int(height), int(width)
-        self.subsampled = bool(subsampled)
+        self.sampling = sampling
+        self.subsampled = sampling == "420"  # legacy flag
         self.method = method
-        self.geometry = encode_geometry(self.height, self.width, subsampled)
+        self.geometry = encode_geometry(self.height, self.width, sampling)
         if quant_tables is None:
             quant_tables = std_quant_tables(quality)
         ql, qc = (np.asarray(t, np.uint16).reshape(64) for t in quant_tables)
@@ -396,10 +437,10 @@ class JpegDeviceEncoder:
         """(N, H, W, 3) u8 RGB (or f32 in [0,1]) → coefficient batches,
         resizing to the target size in the same program. JPEG convention:
         full-range BT.601 (the inverse of the decode path)."""
-        if not self.subsampled:
+        if self.sampling != "420":
             raise ValueError(
                 "encode_rgb emits 4:2:0 (encode_feed); use encode_planes "
-                "for 4:4:4 input"
+                f"for 4:{'4:4' if self.sampling == '444' else '2:2'} input"
             )
         from .fused import encode_feed
 
@@ -436,10 +477,10 @@ def _jpeg_transcode(
     pixel clamp a real transcoder applies)."""
     from .fused import _resize_plane2d
 
-    (sbhy, sbwy), (sbhc, sbwc), (sh, sw), sub = src_geometry
+    (sbhy, sbwy), (sbhc, sbwc), (sh, sw), sampling = src_geometry
     (dbhy, dbwy), (dbhc, dbwc), (dh, dw), _ = dst_geometry
-    sch, scw = ((sh + 1) // 2, (sw + 1) // 2) if sub else (sh, sw)
-    dch, dcw = ((dh + 1) // 2, (dw + 1) // 2) if sub else (dh, dw)
+    sch, scw = _chroma_dims(sh, sw, sampling)
+    dch, dcw = _chroma_dims(dh, dw, sampling)
     mode = "split_bf16" if compute in ("auto", "split_bf16") else "highest"
 
     def plane(c, b, bh, bw, ph, pw):
@@ -500,13 +541,16 @@ class JpegDeviceTranscoder:
         # reuse the decode pipeline's probe validation + geometry rules
         probe = JpegDevicePipeline(info, output="planes")
         self.src_geometry = probe.geometry
-        self.subsampled = probe.geometry[3]
+        self.sampling = probe.sampling  # output keeps the source sampling
+        self.subsampled = self.sampling == "420"  # legacy flag
         self.height, self.width = probe.height, probe.width
         self.out_h, self.out_w = out_size or (self.height, self.width)
-        if self.subsampled and (self.out_h % 2 or self.out_w % 2):
+        if self.sampling == "420" and (self.out_h % 2 or self.out_w % 2):
             raise ValueError("4:2:0 JPEG target size must be even")
+        if self.sampling == "422" and self.out_w % 2:
+            raise ValueError("4:2:2 JPEG target width must be even")
         self.dst_geometry = encode_geometry(
-            self.out_h, self.out_w, self.subsampled
+            self.out_h, self.out_w, self.sampling
         )
         self.method, self.compute = method, compute
         if quant_tables is None:
@@ -568,10 +612,9 @@ def golden_decode(coeffs, qts, geometry):
     """float64 reference: the decoded u8 (y, u, v) planes from zigzag
     coefficient batches — the fidelity anchor for the device pipeline
     (rint rounding, matching ops/golden.py)."""
-    (bhy, bwy), (bhc, bwc), (h, w), subsampled = geometry
+    (bhy, bwy), (bhc, bwc), (h, w), sampling = geometry
     grids = ((bhy, bwy), (bhc, bwc), (bhc, bwc))
-    dims = ((h, w),) + (((h + 1) // 2, (w + 1) // 2),) * 2 if subsampled \
-        else ((h, w),) * 3
+    dims = ((h, w),) + (_chroma_dims(h, w, _norm_sampling(sampling)),) * 2
     out = []
     for c, qt, (bh, bw), (ph, pw) in zip(coeffs, qts, grids, dims):
         b = dequant_idct_basis(qt, np.float64)
