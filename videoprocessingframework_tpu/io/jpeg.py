@@ -264,13 +264,14 @@ class JpegCoefEncoder:
         self.width, self.height = int(width), int(height)
         self.sampling = sampling
         self.subsampled = sampling == "420"  # legacy flag
+        self.ncomp = 1 if sampling == "gray" else 3
         self.quant_tables = (ql, qc)
         self._params = _lib.VpfJpegEncParams(
             width=self.width,
             height=self.height,
-            ncomp=3,
+            ncomp=self.ncomp,
             # native mode: 0 = 4:4:4, 1 = 4:2:0, 2 = 4:2:2
-            subsampled={"444": 0, "420": 1, "422": 2}[sampling],
+            subsampled={"444": 0, "420": 1, "422": 2, "gray": 0}[sampling],
             restart_interval=int(restart_interval),
         )
         self._params.qt_luma[:] = [int(x) for x in ql]
@@ -278,24 +279,32 @@ class JpegCoefEncoder:
         (bhy, bwy), (bhc, bwc), _, _ = encode_geometry(
             self.height, self.width, sampling
         )
-        self._nblocks = (int(bhy * bwy), int(bhc * bwc), int(bhc * bwc))
+        self._nblocks = (int(bhy * bwy),) if self.ncomp == 1 else (
+            int(bhy * bwy), int(bhc * bwc), int(bhc * bwc)
+        )
         # worst case per block ≈ (27 + 63·26) bits, doubled for 0xFF
         # stuffing, plus headers — reused across frames
         self._cap = sum(self._nblocks) * 420 + 8192
         self._out = np.empty(self._cap, np.uint8)
 
-    def encode(self, cy, cu, cv) -> bytes:
+    def encode(self, *coeffs) -> bytes:
         """One frame of ``[blocks, 64]`` int16 zigzag coefficients per
-        component → complete JPEG bytes."""
+        component (1 for grayscale, 3 otherwise) → complete JPEG bytes."""
+        if len(coeffs) != self.ncomp:
+            raise ValueError(
+                f"expected {self.ncomp} coefficient arrays, got {len(coeffs)}"
+            )
         comps = []
-        for c, want in zip((cy, cu, cv), self._nblocks):
+        for c, want in zip(coeffs, self._nblocks):
             a = np.ascontiguousarray(c, np.int16)
             if a.shape != (want, 64):
                 raise ValueError(
                     f"coefficient shape {a.shape} != ({want}, 64)"
                 )
             comps.append(a)
-        ptrs = (_i16p * 3)(*(c.ctypes.data_as(_i16p) for c in comps))
+        ptrs = (_i16p * self.ncomp)(
+            *(c.ctypes.data_as(_i16p) for c in comps)
+        )
         size = C.c_size_t(0)
         rc = self._lib.vpf_jpeg_encode(
             C.byref(self._params),
@@ -308,12 +317,13 @@ class JpegCoefEncoder:
             raise RuntimeError(_lib.last_error())
         return bytes(self._out[: size.value])
 
-    def encode_batch(self, cy, cu, cv) -> list[bytes]:
+    def encode_batch(self, *coeffs) -> list[bytes]:
         """Stacked ``[N, blocks, 64]`` batches (device arrays accepted) →
         one JPEG per frame."""
-        cy, cu, cv = (np.asarray(c, np.int16) for c in (cy, cu, cv))
+        coeffs = tuple(np.asarray(c, np.int16) for c in coeffs)
         return [
-            self.encode(cy[i], cu[i], cv[i]) for i in range(cy.shape[0])
+            self.encode(*(c[i] for c in coeffs))
+            for i in range(coeffs[0].shape[0])
         ]
 
 
@@ -338,16 +348,19 @@ class MjpegWriter:
         container: Optional[str] = None,
         method: str = "lanczos",
         restart_interval: int = 0,
+        sampling="420",
     ):
         from ..ops.jpeg import JpegDeviceEncoder
 
         self.device = JpegDeviceEncoder(
-            height, width, quality=quality, method=method
+            height, width, quality=quality, method=method,
+            subsampled=sampling,
         )
         self.coef = JpegCoefEncoder(
             width,
             height,
             quant_tables=self.device.quant_tables,
+            subsampled=sampling,
             restart_interval=restart_interval,
         )
         self._mux = None
@@ -366,9 +379,10 @@ class MjpegWriter:
         """(N, H, W, 3) u8 RGB batch (any size — device resize included)."""
         self._emit(self.device.encode_rgb(rgb))
 
-    def write_planes(self, y, u, v) -> None:
-        """(y, u, v) u8 plane batches at the target geometry."""
-        self._emit(self.device.encode_planes(y, u, v))
+    def write_planes(self, *planes) -> None:
+        """u8 plane batches at the target geometry — (y, u, v), or just
+        (y,) for a grayscale writer."""
+        self._emit(self.device.encode_planes(*planes))
 
     def _emit(self, coeffs) -> None:
         for pkt in self.coef.encode_batch(*coeffs):
@@ -593,7 +607,9 @@ class MjpegTranscoder:
 
     @staticmethod
     def _stack(frames):
-        return tuple(np.stack([f[c] for f in frames]) for c in range(3))
+        return tuple(
+            np.stack([f[c] for f in frames]) for c in range(len(frames[0]))
+        )
 
     def run(self, on_packet=None) -> "TranscodeStats":
         """Pump the whole stream → :class:`~.transcode.TranscodeStats`.
@@ -607,8 +623,8 @@ class MjpegTranscoder:
         t0 = time.perf_counter()
         inflight = None  # (device coeff batch, sink encoder at dispatch)
         try:
-            for cy, cu, cv in self._coef_batches():
-                out = (self.device(cy, cu, cv), self.sink_coef)
+            for coeffs in self._coef_batches():
+                out = (self.device(*coeffs), self.sink_coef)
                 if inflight is not None:
                     self._drain(inflight, st, on_packet)
                 inflight = out  # device computes while we entropy-decode
@@ -620,9 +636,9 @@ class MjpegTranscoder:
             self.close()
 
     def _drain(self, inflight, st, on_packet) -> None:
-        (cy, cu, cv), coder = inflight
+        coeffs, coder = inflight
         if self.workers <= 1:
-            pkts = coder.encode_batch(cy, cu, cv)
+            pkts = coder.encode_batch(*coeffs)
         else:
             # per-frame fan-out: each worker packs a stride of frames
             # with its own encoder (the scratch buffer is per-instance);
@@ -634,8 +650,8 @@ class MjpegTranscoder:
                 self._enc_ex = ThreadPoolExecutor(
                     max_workers=self.workers
                 )
-            cy, cu, cv = (np.asarray(c, np.int16) for c in (cy, cu, cv))
-            n = cy.shape[0]
+            coeffs = tuple(np.asarray(c, np.int16) for c in coeffs)
+            n = coeffs[0].shape[0]
             w = min(self.workers, n)
             encs = self._enc_pool(coder, w)
             out: list = [None] * n
@@ -643,7 +659,7 @@ class MjpegTranscoder:
             def pack(widx):
                 e = encs[widx]
                 for i in range(widx, n, w):
-                    out[i] = e.encode(cy[i], cu[i], cv[i])
+                    out[i] = e.encode(*(c[i] for c in coeffs))
 
             list(self._enc_ex.map(pack, range(w)))
             pkts = out
@@ -735,10 +751,6 @@ class MjpegReader:
             raise JpegStreamError("empty MJPEG stream")
         self._pending = [first.packet.copy()]
         info = self.coef.probe(self._pending[0])
-        if int(info.ncomp) != 3:
-            raise JpegStreamError(
-                f"device path needs 3 components, got {int(info.ncomp)}"
-            )
         from ..ops.jpeg import JpegDevicePipeline
 
         self.pipeline = JpegDevicePipeline(
@@ -799,10 +811,11 @@ class MjpegReader:
             yield self._emit(pend)
 
     def _emit(self, frames):
-        cy, cu, cv = (
-            np.stack([f[c] for f in frames]) for c in range(3)
+        coeffs = (
+            np.stack([f[c] for f in frames])
+            for c in range(len(frames[0]))
         )
-        return self.pipeline(cy, cu, cv)
+        return self.pipeline(*coeffs)
 
     def frames(self):
         """Per-frame convenience iterator over :meth:`batches`."""

@@ -182,7 +182,9 @@ def decode_postproc(
     """Fused (N-batched) decode post-processing.
 
     planes: NV12 → (y, uv); YUV420/YUV422/YUV444 → (y, u, v)
-    (422 chroma is (H, W/2): horizontal-only subsampling).
+    (422 chroma is (H, W/2): horizontal-only subsampling);
+    Y (grayscale) → (y,) — neutral chroma, CSC collapses to the luma
+    scale+offset.
     output: 'rgb_u8' (N,H,W,3 u8) | 'rgb_f32' ([0,1]) |
             'normalized' (NHWC f32) | 'normalized_nchw' (NCHW f32).
     compute: 'auto' (split-bf16 resize for u8 sources at f32 compute —
@@ -223,6 +225,13 @@ def decode_postproc(
         y, u, v = planes
     elif fmt == F.YUV444:
         y, u, v = planes
+    elif fmt == F.Y:
+        # grayscale: neutral (constant-128) chroma makes the CSC collapse
+        # to the luma scale+offset. Chroma is synthesized at OUTPUT
+        # resolution after the luma resize — exact, because every resize
+        # row sums to 1 (resize of a constant is that constant).
+        (y,) = planes
+        u = v = None
     elif fmt in (F.P10, F.P12):
         y, uv = planes
         y = y.astype(jnp.float32) * (1.0 / 256.0)
@@ -230,6 +239,7 @@ def decode_postproc(
     else:
         raise ValueError(f"decode_postproc: unsupported source {fmt}")
 
+    gray = u is None
     h_in, w_in = y.shape[-2], y.shape[-1]
     if (h_in, w_in) != (out_h, out_w):
         # Resize-before-CSC: the color matrix is affine and every resize
@@ -242,7 +252,9 @@ def decode_postproc(
         rmat = jnp.asarray(resize_matrix(h_in, out_h, method))
         cmat = jnp.asarray(resize_matrix(w_in, out_w, method))
         y = _resize_plane2d(y, rmat, cmat, compute_dtype, mode)
-        if subsampled:
+        if gray:
+            pass  # neutral chroma synthesized below at output size
+        elif subsampled:
             rc = _chroma_collapse(rmat)
             cc = _chroma_collapse(cmat)
             u = _resize_plane2d(u, rc, cc, compute_dtype, mode)
@@ -259,6 +271,9 @@ def decode_postproc(
     elif sub_h:
         u = jnp.repeat(u, 2, axis=-1)
         v = jnp.repeat(v, 2, axis=-1)
+
+    if gray:
+        u = v = jnp.full(y.shape, 128, jnp.float32)
 
     rgb = _csc_to_rgb_f32(y, u, v, space, rng)
     if swap:

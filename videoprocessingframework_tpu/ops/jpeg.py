@@ -132,13 +132,13 @@ def std_quant_tables(quality: int = 90) -> tuple[np.ndarray, np.ndarray]:
 
 def _norm_sampling(s) -> str:
     """Accept the legacy bool (True=4:2:0, False=4:4:4) or an explicit
-    '420' / '422' / '444' string."""
+    '420' / '422' / '444' / 'gray' string."""
     if s is True:
         return "420"
     if s is False:
         return "444"
     s = str(s)
-    if s not in ("420", "422", "444"):
+    if s not in ("420", "422", "444", "gray"):
         raise ValueError(f"unsupported chroma sampling {s!r}")
     return s
 
@@ -156,6 +156,7 @@ def _src_format(sampling: str) -> PixelFormat:
         "420": PixelFormat.YUV420,
         "422": PixelFormat.YUV422,
         "444": PixelFormat.YUV444,
+        "gray": PixelFormat.Y,
     }[sampling]
 
 
@@ -243,22 +244,29 @@ class JpegDevicePipeline:
         output: str = "rgb_u8",
         compute: str = "auto",
     ):
-        if info.ncomp != 3:
+        if info.ncomp not in (1, 3):
             raise ValueError(
-                f"device JPEG path needs 3 components, got {info.ncomp}"
+                f"device JPEG path needs 1 or 3 components, got {info.ncomp}"
             )
-        hs = [info.hs[c] for c in range(3)]
-        vs = [info.vs[c] for c in range(3)]
-        if (hs[1], vs[1]) != (1, 1) or (hs[2], vs[2]) != (1, 1):
-            raise ValueError(f"unsupported chroma sampling {hs}x{vs}")
-        if (hs[0], vs[0]) == (2, 2):
-            sampling = "420"
-        elif (hs[0], vs[0]) == (2, 1):
-            sampling = "422"
-        elif (hs[0], vs[0]) == (1, 1):
-            sampling = "444"
+        if info.ncomp == 1:
+            if (info.hs[0], info.vs[0]) != (1, 1):
+                raise ValueError("grayscale JPEG with sampling != 1x1")
+            sampling = "gray"
         else:
-            raise ValueError(f"unsupported luma sampling {hs[0]}x{vs[0]}")
+            hs = [info.hs[c] for c in range(3)]
+            vs = [info.vs[c] for c in range(3)]
+            if (hs[1], vs[1]) != (1, 1) or (hs[2], vs[2]) != (1, 1):
+                raise ValueError(f"unsupported chroma sampling {hs}x{vs}")
+            if (hs[0], vs[0]) == (2, 2):
+                sampling = "420"
+            elif (hs[0], vs[0]) == (2, 1):
+                sampling = "422"
+            elif (hs[0], vs[0]) == (1, 1):
+                sampling = "444"
+            else:
+                raise ValueError(
+                    f"unsupported luma sampling {hs[0]}x{vs[0]}"
+                )
         self.height, self.width = int(info.height), int(info.width)
         if sampling == "420" and (self.height % 2 or self.width % 2):
             raise ValueError(
@@ -269,9 +277,13 @@ class JpegDevicePipeline:
                 "odd-width 4:2:2 JPEG unsupported on the device path"
             )
         self.sampling = sampling
+        self.ncomp = 1 if sampling == "gray" else 3
+        chroma_grid = (0, 0) if sampling == "gray" else (
+            int(info.bh[1]), int(info.bw[1])
+        )
         self.geometry = (
             (int(info.bh[0]), int(info.bw[0])),
-            (int(info.bh[1]), int(info.bw[1])),
+            chroma_grid,
             (self.height, self.width),
             sampling,
         )
@@ -289,26 +301,45 @@ class JpegDevicePipeline:
                     np.float32,
                 )
             )
-            for c in range(3)
+            for c in range(self.ncomp)
         )
         self._qt = tuple(
-            np.array(info.qt[c][:64], np.uint16) for c in range(3)
+            np.array(info.qt[c][:64], np.uint16) for c in range(self.ncomp)
         )
 
     def quant_changed(self, info) -> bool:
         return any(
             not np.array_equal(np.array(info.qt[c][:64], np.uint16),
                                self._qt[c])
-            for c in range(3)
+            for c in range(self.ncomp)
         )
 
-    def __call__(self, cy, cu, cv):
+    def __call__(self, *coeffs):
+        if len(coeffs) != self.ncomp:
+            raise ValueError(
+                f"expected {self.ncomp} coefficient batches, "
+                f"got {len(coeffs)}"
+            )
+        if self.sampling == "gray":
+            if self.output == "planes":
+                return _jpeg_planes_gray(
+                    coeffs[0], self._bases[0], geometry=self.geometry
+                )
+            return _jpeg_decode_fused_gray(
+                coeffs[0], self._bases[0],
+                geometry=self.geometry,
+                out_h=self.out_h,
+                out_w=self.out_w,
+                method=self.method,
+                output=self.output,
+                compute=self.compute,
+            )
         if self.output == "planes":
             return _jpeg_planes(
-                cy, cu, cv, *self._bases, geometry=self.geometry
+                *coeffs, *self._bases, geometry=self.geometry
             )
         return jpeg_decode_fused(
-            cy, cu, cv, *self._bases,
+            *coeffs, *self._bases,
             geometry=self.geometry,
             out_h=self.out_h,
             out_w=self.out_w,
@@ -316,6 +347,45 @@ class JpegDevicePipeline:
             output=self.output,
             compute=self.compute,
         )
+
+
+def _plane_from_coeffs(c, b, bh, bw, ph, pw):
+    """Shared inverse half: coeffs → clipped/rounded u8 plane."""
+    pix = jnp.einsum(
+        "nbk,kp->nbp", c.astype(jnp.float32), b, precision="highest"
+    ) + 128.0
+    return jnp.rint(jnp.clip(_assemble(pix, bh, bw, ph, pw), 0, 255)
+                    ).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("geometry",))
+def _jpeg_planes_gray(cy, by, *, geometry):
+    (bhy, bwy), _, (h, w), _ = geometry
+    return (_plane_from_coeffs(cy, by, bhy, bwy, h, w),)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "geometry", "out_h", "out_w", "method", "output", "compute",
+    ),
+)
+def _jpeg_decode_fused_gray(
+    cy, by, *, geometry, out_h, out_w, method, output, compute,
+):
+    (bhy, bwy), _, (h, w), _ = geometry
+    y = _plane_from_coeffs(cy, by, bhy, bwy, h, w)
+    return decode_postproc(
+        y,
+        src_format=PixelFormat.Y,
+        space=ColorSpace.BT_601,
+        rng=ColorRange.JPEG,
+        out_h=out_h,
+        out_w=out_w,
+        method=method,
+        output=output,
+        compute=compute,
+    )
 
 
 @partial(jax.jit, static_argnames=("geometry",))
@@ -350,6 +420,14 @@ def _blockify(p, bh: int, bw: int):
     return p.reshape(*lead, bh * bw, 64)
 
 
+def _coeffs_from_plane(p, a, bh, bw):
+    """Shared forward half: u8 plane → int16 zigzag coefficients (level
+    shift + fDCT + quant as one MXU matmul)."""
+    blk = _blockify(p, bh, bw).astype(jnp.float32) - 128.0
+    c = jnp.einsum("nbp,pk->nbk", blk, a, precision="highest")
+    return jnp.clip(jnp.rint(c), -2047, 2047).astype(jnp.int16)
+
+
 @partial(jax.jit, static_argnames=("geometry",))
 def _jpeg_coeffs(y, u, v, ay, au, av, *, geometry):
     """u8 (y, u, v) planes → int16 zigzag coefficient batches.
@@ -358,17 +436,17 @@ def _jpeg_coeffs(y, u, v, ay, au, av, *, geometry):
     DCT + quantization as one [N·blocks, 64] × [64, 64] MXU matmul per
     component (basis from :func:`fdct_quant_basis`)."""
     (bhy, bwy), (bhc, bwc), (_h, _w), _sub = geometry
-
-    def comp(p, a, bh, bw):
-        blk = _blockify(p, bh, bw).astype(jnp.float32) - 128.0
-        c = jnp.einsum("nbp,pk->nbk", blk, a, precision="highest")
-        return jnp.clip(jnp.rint(c), -2047, 2047).astype(jnp.int16)
-
     return (
-        comp(y, ay, bhy, bwy),
-        comp(u, au, bhc, bwc),
-        comp(v, av, bhc, bwc),
+        _coeffs_from_plane(y, ay, bhy, bwy),
+        _coeffs_from_plane(u, au, bhc, bwc),
+        _coeffs_from_plane(v, av, bhc, bwc),
     )
+
+
+@partial(jax.jit, static_argnames=("geometry",))
+def _jpeg_coeffs_gray(y, ay, *, geometry):
+    (bhy, bwy), _, (_h, _w), _sub = geometry
+    return (_coeffs_from_plane(y, ay, bhy, bwy),)
 
 
 def encode_geometry(h: int, w: int, sampling):
@@ -380,7 +458,8 @@ def encode_geometry(h: int, w: int, sampling):
     sy = 2 if sampling == "420" else 1
     mcux = (w + 8 * sx - 1) // (8 * sx)
     mcuy = (h + 8 * sy - 1) // (8 * sy)
-    return ((mcuy * sy, mcux * sx), (mcuy, mcux), (h, w), sampling)
+    chroma = (0, 0) if sampling == "gray" else (mcuy, mcux)
+    return ((mcuy * sy, mcux * sx), chroma, (h, w), sampling)
 
 
 class JpegDeviceEncoder:
@@ -417,6 +496,7 @@ class JpegDeviceEncoder:
         self.height, self.width = int(height), int(width)
         self.sampling = sampling
         self.subsampled = sampling == "420"  # legacy flag
+        self.ncomp = 1 if sampling == "gray" else 3
         self.method = method
         self.geometry = encode_geometry(self.height, self.width, sampling)
         if quant_tables is None:
@@ -425,13 +505,21 @@ class JpegDeviceEncoder:
         self.quant_tables = (ql, qc)
         self._bases = tuple(
             jnp.asarray(fdct_quant_basis(t, np.float32))
-            for t in (ql, qc, qc)
+            for t in ((ql,) if self.ncomp == 1 else (ql, qc, qc))
         )
 
-    def encode_planes(self, y, u, v):
-        """(y, u, v) u8 planes [N, h, w] / [N, ch, cw] → int16 zigzag
-        coefficient batches [N, blocks, 64] per component."""
-        return _jpeg_coeffs(y, u, v, *self._bases, geometry=self.geometry)
+    def encode_planes(self, *planes):
+        """u8 planes [N, h, w] (+ [N, ch, cw] chroma unless grayscale) →
+        int16 zigzag coefficient batches [N, blocks, 64] per component."""
+        if len(planes) != self.ncomp:
+            raise ValueError(
+                f"expected {self.ncomp} planes, got {len(planes)}"
+            )
+        if self.ncomp == 1:
+            return _jpeg_coeffs_gray(
+                planes[0], self._bases[0], geometry=self.geometry
+            )
+        return _jpeg_coeffs(*planes, *self._bases, geometry=self.geometry)
 
     def encode_rgb(self, rgb):
         """(N, H, W, 3) u8 RGB (or f32 in [0,1]) → coefficient batches,
@@ -511,6 +599,31 @@ def _jpeg_transcode(
     return fwd(y, ay, dbhy, dbwy), fwd(u, au, dbhc, dbwc), fwd(v, av, dbhc, dbwc)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("src_geometry", "dst_geometry", "method", "compute"),
+)
+def _jpeg_transcode_gray(
+    cy, by, ay, *, src_geometry, dst_geometry, method="lanczos",
+    compute="auto",
+):
+    """Single-component (grayscale) variant of :func:`_jpeg_transcode`."""
+    from .fused import _resize_plane2d
+
+    (sbhy, sbwy), _, (sh, sw), _ = src_geometry
+    (dbhy, dbwy), _, (dh, dw), _ = dst_geometry
+    mode = "split_bf16" if compute in ("auto", "split_bf16") else "highest"
+    y = _plane_from_coeffs(cy, by, sbhy, sbwy, sh, sw)
+    if (sh, sw) != (dh, dw):
+        from .resize import resize_matrix
+
+        rmat = jnp.asarray(resize_matrix(sh, dh, method).astype(np.float32))
+        cmat = jnp.asarray(resize_matrix(sw, dw, method).astype(np.float32))
+        y = _resize_plane2d(y, rmat, cmat, jnp.float32, mode)
+        y = jnp.rint(jnp.clip(y, 0, 255)).astype(jnp.uint8)
+    return (_coeffs_from_plane(y, ay, dbhy, dbwy),)
+
+
 class JpegDeviceTranscoder:
     """The device half of the split MJPEG→MJPEG transcoder.
 
@@ -543,6 +656,7 @@ class JpegDeviceTranscoder:
         self.src_geometry = probe.geometry
         self.sampling = probe.sampling  # output keeps the source sampling
         self.subsampled = self.sampling == "420"  # legacy flag
+        self.ncomp = probe.ncomp
         self.height, self.width = probe.height, probe.width
         self.out_h, self.out_w = out_size or (self.height, self.width)
         if self.sampling == "420" and (self.out_h % 2 or self.out_w % 2):
@@ -558,27 +672,42 @@ class JpegDeviceTranscoder:
         ql, qc = (np.asarray(t, np.uint16).reshape(64) for t in quant_tables)
         self.quant_tables = (ql, qc)
         self._fwd = tuple(
-            jnp.asarray(fdct_quant_basis(t, np.float32)) for t in (ql, qc, qc)
+            jnp.asarray(fdct_quant_basis(t, np.float32))
+            for t in ((ql,) if self.ncomp == 1 else (ql, qc, qc))
         )
         self.set_src_quant_tables(info)
 
     def set_src_quant_tables(self, info) -> None:
         """(Re)build the inverse bases on a mid-stream DQT change —
         cheap, no recompile (tables are program inputs). Accepts a probe
-        info (``.qt``) or a 3-sequence of 64-entry zigzag tables."""
+        info (``.qt``) or a per-component sequence of 64-entry zigzag
+        tables."""
         qts = info if isinstance(info, (tuple, list)) else [
-            info.qt[c][:64] for c in range(3)
+            info.qt[c][:64] for c in range(self.ncomp)
         ]
         self._inv = tuple(
             jnp.asarray(dequant_idct_basis(np.array(q[:64]), np.float32))
             for q in qts
         )
 
-    def __call__(self, cy, cu, cv):
+    def __call__(self, *coeffs):
         """[N, blocks, 64] int16 zigzag batches per component → same, at
         the output geometry/tables."""
+        if len(coeffs) != self.ncomp:
+            raise ValueError(
+                f"expected {self.ncomp} coefficient batches, "
+                f"got {len(coeffs)}"
+            )
+        if self.ncomp == 1:
+            return _jpeg_transcode_gray(
+                coeffs[0], self._inv[0], self._fwd[0],
+                src_geometry=self.src_geometry,
+                dst_geometry=self.dst_geometry,
+                method=self.method,
+                compute=self.compute,
+            )
         return _jpeg_transcode(
-            cy, cu, cv, *self._inv, *self._fwd,
+            *coeffs, *self._inv, *self._fwd,
             src_geometry=self.src_geometry,
             dst_geometry=self.dst_geometry,
             method=self.method,
