@@ -46,6 +46,79 @@ def _progress(msg: str) -> None:
           file=sys.stderr, flush=True)
 
 
+def _checkpoint(result: dict) -> None:
+    """Persist the best-so-far result (supervised runs): atomic write to
+    the path the supervisor reads back after a deadline kill."""
+    path = os.environ.get("VPF_BENCH_PARTIAL")
+    if not path:
+        return
+    tmp = path + ".tmp"
+    try:
+        with open(tmp, "w") as f:
+            f.write(json.dumps(result))
+        os.replace(tmp, path)
+    except OSError:
+        pass
+
+
+def _supervise() -> int:
+    """Run the real-backend bench in a supervised child process GROUP.
+
+    Under dead tunnel weather ANY blocking jax call — even an upload —
+    can wedge inside native code with the GIL held: Python signal
+    handlers never run, SIGTERM is absorbed, and an outer `timeout`
+    harvests nothing (observed r03: the parent sat in a native nanosleep
+    11+ minutes past its deadline). The supervisor never imports jax;
+    the child checkpoints its result JSON to disk at every stage
+    boundary; at the deadline the whole group is SIGKILLed (grandchild
+    device-metrics process included) and the last checkpoint is emitted.
+    ONE JSON line comes out, always."""
+    import contextlib
+    import signal as _signal
+    import subprocess
+    import tempfile
+
+    BENCH_DIR.mkdir(exist_ok=True)
+    fd, partial = tempfile.mkstemp(
+        prefix="partial_", suffix=".json", dir=str(BENCH_DIR)
+    )
+    os.close(fd)
+    env = dict(os.environ)
+    env["VPF_BENCH_PARTIAL"] = partial
+    child = subprocess.Popen(
+        [sys.executable, __file__, *sys.argv[1:], "--_run"],
+        env=env, start_new_session=True,
+    )
+    note = None
+    try:
+        child.wait(timeout=max(30.0, _time_left() + 90.0))
+    except subprocess.TimeoutExpired:
+        with contextlib.suppress(Exception):
+            os.killpg(child.pid, _signal.SIGKILL)
+        child.wait()
+        note = "wedged child killed past deadline; last checkpoint emitted"
+    data = None
+    with contextlib.suppress(Exception):
+        with open(partial) as f:
+            text = f.read().strip()
+        if text:
+            data = json.loads(text)
+    with contextlib.suppress(Exception):
+        os.unlink(partial)
+    if data is None:
+        data = {
+            "metric": "1080p decode→NV12→RGB→resize aggregate fps (1 chip)",
+            "value": 0.0, "unit": "fps", "vs_baseline": 0.0,
+            "extra": {"error": "bench child produced no checkpoint"},
+        }
+    if note:
+        data.setdefault("extra", {})["supervisor_note"] = note
+    elif child.returncode != 0:
+        data.setdefault("extra", {})["child_rc"] = child.returncode
+    print(json.dumps(data))
+    return 0
+
+
 def make_clip(path: pathlib.Path, width: int, height: int, frames: int,
               codec: str = "h264") -> None:
     """Encode a synthetic moving-gradient clip with the framework encoder."""
@@ -224,11 +297,15 @@ def kernel_fidelity(postproc, planes, out_h, out_w, space, rng):
 
 
 def _fidelity_child(npz_path: str) -> int:
-    """Internal `--_fidelity` mode: run the on-chip fidelity gate in a
-    CHILD process the parent can kill. The gate's scalar fetch pays the
-    one-time reverse-channel init (measured 112-374 s under bad weather)
-    while holding the GIL — unboundable in-process, but a subprocess dies
-    on a hard timeout. Prints one JSON line {"ulp": N, "ok": bool}."""
+    """Internal `--_fidelity` mode: ALL fetch-dependent device metrics in
+    a CHILD process the parent can kill. Every device→host fetch risks
+    the one-time reverse-channel init (measured 112-374 s under bad
+    weather, and it can stall INDEFINITELY while holding the GIL — a
+    wedged parent survives even SIGTERM, so the driver would get no JSON
+    at all; observed r03). The child pays that init once for the
+    fidelity gate + kernel slope + resnet slope together, and prints ONE
+    JSON LINE PER METRIC as each completes — a killed child still
+    delivers whatever finished."""
     import jax
 
     from videoprocessingframework_tpu.core.enums import (
@@ -238,27 +315,74 @@ def _fidelity_child(npz_path: str) -> int:
     )
     from videoprocessingframework_tpu.ops.fused import FusedPipeline
 
+    def emit(obj):
+        print(json.dumps(obj), flush=True)
+
     data = np.load(npz_path)
     planes = (data["y"], data["u"], data["v"])
+    height, width = int(data["h"]), int(data["w"])
+    batch = int(data["batch"])
     kern = "pallas" if jax.default_backend() != "cpu" else "xla"
-    kwargs = dict(
-        out_size=(224, 224), method="lanczos", output="rgb_u8"
-    )
-    try:
-        postproc = FusedPipeline(
-            PixelFormat.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
-            kernel=kern, **kwargs,
+
+    def build_postproc(output):
+        kwargs = dict(
+            out_size=(224, 224), method="lanczos", output=output
         )
-        jax.block_until_ready(postproc(*planes))
-    except ValueError:  # shape not kernel-eligible: let auto decide
-        postproc = FusedPipeline(
-            PixelFormat.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
-            **kwargs,
-        )
+        try:
+            p = FusedPipeline(
+                PixelFormat.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
+                kernel=kern, **kwargs,
+            )
+            jax.block_until_ready(p(*planes))
+            return p
+        except ValueError:  # shape not kernel-eligible: let auto decide
+            return FusedPipeline(
+                PixelFormat.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
+                **kwargs,
+            )
+
+    postproc = build_postproc("rgb_u8")
     ulp, ok = kernel_fidelity(
         postproc, planes, 224, 224, ColorSpace.BT_709, ColorRange.MPEG
     )
-    print(json.dumps({"ulp": ulp, "ok": ok}))
+    emit({"ulp": ulp, "ok": ok})
+
+    # device-resident throughput of the product postproc path
+    dummy_planes = (
+        np.zeros((batch, height, width), np.uint8),
+        np.zeros((batch, height // 2, width // 2), np.uint8),
+        np.zeros((batch, height // 2, width // 2), np.uint8),
+    )
+    jax.block_until_ready(postproc(*dummy_planes))
+    kfps, kgbs = device_slope_fps(postproc, dummy_planes)
+    emit({"kernel_only_fps": round(kfps, 1),
+          "kernel_input_gbps": round(kgbs, 3)})
+
+    # BASELINE.md "E2E ResNet fps": fused preprocess + ResNet-50 forward,
+    # data resident (the SampleTorchResnet device-side analog)
+    from videoprocessingframework_tpu.models import init_params, resnet50
+
+    model = resnet50()
+    variables = init_params(model, (1, 224, 224, 3))
+    pre_norm = build_postproc("normalized")
+    # batch 32: conv utilization keeps improving past the decode batch
+    # (measured +25% over batch 8, v5e); planar plane views as the pool
+    # feeds them
+    rb = 32
+    resnet_planes = (
+        np.zeros((rb, height, width), np.uint8),
+        np.zeros((rb, height // 2, width // 2), np.uint8),
+        np.zeros((rb, height // 2, width // 2), np.uint8),
+    )
+    # concrete warm-up so the kernel autotune picks OUTSIDE the slope
+    # fn's trace (inside a trace it falls back to XLA)
+    jax.block_until_ready(pre_norm(*resnet_planes))
+    resnet_fps, _ = device_slope_fps(
+        lambda y, u, v, p: model.apply(p, pre_norm(y, u, v), train=False),
+        resnet_planes, lo_n=10, hi_n=30,
+        extra_args=(variables,),
+    )
+    emit({"resnet_device_fps": round(resnet_fps, 1)})
     return 0
 
 
@@ -305,7 +429,18 @@ def main() -> int:
         help="internal: run the on-chip fidelity gate on planes from NPZ "
         "and print {ulp, ok} (child mode — parent holds the timeout)",
     )
+    ap.add_argument(
+        "--_run", action="store_true",
+        help="internal: the supervised real bench (see _supervise)",
+    )
     args = ap.parse_args()
+
+    # Real-backend default runs go through the supervisor: any blocking
+    # jax call can wedge un-signalably under dead tunnel weather, and the
+    # driver must ALWAYS get a JSON line (see _supervise).
+    if not (args.quick or args._run or args._fidelity or args._single
+            or args.ladder or args.profile):
+        return _supervise()
 
     if args.quick:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -408,13 +543,17 @@ def main() -> int:
 
     def _emit_partial(signum, frame):
         result["extra"]["truncated_by_signal"] = signum
-        print(json.dumps(result), flush=True)
+        if os.environ.get("VPF_BENCH_PARTIAL"):
+            _checkpoint(result)  # the supervisor prints
+        else:
+            print(json.dumps(result), flush=True)
         os._exit(0)
 
     if not args.quick:
         import signal
 
         signal.signal(signal.SIGTERM, _emit_partial)
+    _checkpoint(result)
 
     # Hot path decodes to packed *planar* YUV420 (host pack = pure row
     # memcpys; the chroma deinterleave the NV12 layout would need on the
@@ -602,6 +741,7 @@ def main() -> int:
         result["value"] = round(best, 2)
         result["vs_baseline"] = round(best / 500.0, 4)
         result["extra"]["all_runs_fps"] = [round(r[0].fps, 1) for r in runs]
+        _checkpoint(result)
         if (
             not args.quick  # weather only exists on the tunneled link
             and i >= 2
@@ -677,16 +817,39 @@ def main() -> int:
             k: round(v["mean_ms"], 3) for k, v in timer.summary().items()
         } if timer else {},
     )
+    _checkpoint(result)
 
-    # One-time device→host path init: the FIRST fetch in a process sets
-    # up the reverse relay channel — measured 112-374 s in bad weather
-    # for a SINGLE SCALAR, instant afterwards. The headline run loop
-    # above never fetches (block_until_ready only), so this is paid HERE,
-    # deliberately and gated, before the stages that do fetch
-    # (fidelity/slope/resnet) — a stall then costs only the extras.
     # BASELINE.md transcode+quality config: overlapped decode→encode
     # pipeline + PSNR; stream-per-thread aggregate when cores allow
     # (host-CPU work — cheap and weather-free, so not deadline-gated)
+    # Spawn the device-metrics child NOW (before the host-only stages):
+    # its one-time reverse-channel init (112-374 s under bad weather)
+    # then overlaps the transcode stage instead of competing with the
+    # deadline tail — the r03 capture lost the gate to exactly that
+    # (child timed out at 116 s while the parent idled in host work).
+    # The headline timed runs are already done, so the child's small
+    # uploads contend with nothing that is being measured.
+    fid_child = None
+    if not args.quick:
+        import atexit
+        import subprocess
+
+        _progress("fidelity child spawned (overlaps host stages)...")
+        npz = BENCH_DIR / "fidelity_planes.npz"
+        np.savez(npz, y=fid_planes[0], u=fid_planes[1], v=fid_planes[2],
+                 h=height, w=width, batch=args.batch)
+        # nice 19: the child's host work (jit compile) must not contend
+        # with the transcode measurement on small hosts — its long pole
+        # is waiting on the tunnel, which idle-priority doesn't slow
+        fid_child = subprocess.Popen(
+            [sys.executable, __file__, "--_fidelity", str(npz)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            preexec_fn=lambda: os.nice(19),
+        )
+        atexit.register(
+            lambda: fid_child.poll() is None and fid_child.kill()
+        )
+
     try:
         _progress("transcode...")
         transcode_fps, transcode_psnr = transcode_metrics(
@@ -697,6 +860,7 @@ def main() -> int:
 
     result["extra"]["transcode_fps"] = round(transcode_fps, 1)
     result["extra"]["transcode_psnr_db"] = round(transcode_psnr, 2)
+    _checkpoint(result)
     if ncpu > 1:
         try:
             agg_fps, _ = transcode_metrics(
@@ -706,142 +870,66 @@ def main() -> int:
         except Exception:
             pass
 
-    # One-time device→host path init: the FIRST fetch in a process sets
-    # up the reverse relay channel — measured 112-374 s in bad weather
-    # for a single scalar, instant afterwards. It holds the GIL, so it
-    # cannot be backgrounded or timed out in-process; run it here (after
-    # every host-only metric) when enough deadline headroom remains. A
-    # catastrophic stall overruns the deadline and the SIGTERM partial
-    # emission is the backstop.
-    d2h_ready = False
-    if not args.quick and _time_left() > 180.0:
-        # The init holds the GIL, so it cannot be bounded in-process.
-        # PREDICT its cost with a subprocess doing the same scalar fetch
-        # under a hard timeout: if the child finishes, the reverse
-        # channel is healthy and the in-process init will be fast too.
-        import subprocess
-
-        _progress("d2h probe (subprocess)...")
-        try:
-            probe = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, numpy as np, jax.numpy as jnp; "
-                 "print(float(jnp.sum(jax.device_put("
-                 "np.ones(4, np.float32)))))"],
-                timeout=min(90.0, _time_left() - 120.0),
-                capture_output=True,
-            )
-            probe_ok = probe.returncode == 0
-        except Exception:
-            probe_ok = False
-        if probe_ok:
-            import jax.numpy as _jnp
-
-            _progress("d2h path init...")
-            _t_d2h = time.perf_counter()
-            try:
-                float(_jnp.sum(jax.device_put(np.ones(8, np.float32))))
-                d2h_ready = True
-            except Exception:
-                pass
-            result["extra"]["d2h_init_s"] = round(
-                time.perf_counter() - _t_d2h, 1
-            )
-    elif args.quick:
-        d2h_ready = True  # CPU backend: fetches are local and instant
-    if not d2h_ready:
-        _progress("d2h init skipped/stalled — skipping fetch stages")
-
-    # on-chip fidelity gate: the pinned kernel's Mosaic codegen must stay
-    # ≤1 u8 ULP vs the float64 golden on real decoded frames. Real
-    # backend runs it in a KILLABLE subprocess (its scalar fetch pays the
-    # child's reverse-channel init under a hard timeout — in-process that
-    # init holds the GIL unbounded); --quick keeps it in-process (local
-    # CPU, instant, and deterministic for the smoke test).
-    try:
-        if args.quick:
-            _progress("fidelity gate...")
-            ulp, ok = kernel_fidelity(
-                postproc, fid_planes, 224, 224,
-                ColorSpace.BT_709, ColorRange.MPEG,
-            )
-        else:
-            if _time_left() < 90.0:
-                raise TimeoutError("bench deadline")
-            _progress("fidelity gate (subprocess)...")
-            import subprocess
-
-            npz = BENCH_DIR / "fidelity_planes.npz"
-            np.savez(npz, y=fid_planes[0], u=fid_planes[1],
-                     v=fid_planes[2])
-            child = subprocess.run(
-                [sys.executable, __file__, "--_fidelity", str(npz)],
-                timeout=min(180.0, _time_left() - 45.0),
-                capture_output=True, text=True,
-            )
-            if child.returncode != 0:
-                raise RuntimeError(
-                    f"fidelity child rc={child.returncode}: "
-                    f"{child.stderr.strip()[-160:]}"
-                )
-            verdict = json.loads(child.stdout.strip().splitlines()[-1])
-            ulp, ok = int(verdict["ulp"]), bool(verdict["ok"])
+    # Fetch-dependent device metrics (fidelity gate, kernel slope,
+    # resnet slope). The PARENT never fetches from the device: the first
+    # device→host fetch in a process pays the one-time reverse-channel
+    # init (112-374 s in bad weather) and can stall INDEFINITELY while
+    # holding the GIL — a wedged parent survives even SIGTERM, so the
+    # driver's outer timeout would capture NO JSON at all (observed
+    # r03). All three stages run in the killable child spawned before
+    # the transcode stage; it prints one JSON line per completed metric,
+    # so a kill still delivers whatever finished.
+    result["extra"]["kernel_ulp_ok"] = None
+    result["extra"]["resnet_device_fps"] = 0.0
+    if args.quick:
+        # CPU backend: fetches are local and instant — run in-process
+        # (deterministic for the smoke test)
+        _progress("fidelity gate...")
+        ulp, ok = kernel_fidelity(
+            postproc, fid_planes, 224, 224,
+            ColorSpace.BT_709, ColorRange.MPEG,
+        )
         result["extra"]["kernel_ulp"] = ulp
         result["extra"]["kernel_ulp_ok"] = ok
-    except TimeoutError:
-        # skipped ≠ failed: null means the gate never ran this capture
-        # (deadline/weather); false is reserved for a real ULP miss
-        result["extra"]["kernel_ulp_ok"] = None
-    except Exception as e:  # infrastructure error, NOT a fidelity miss
-        result["extra"]["kernel_ulp_ok"] = None
-        result["extra"]["kernel_ulp_error"] = f"{type(e).__name__}: {e}"[:200]
+        if _time_left() > 150.0:
+            _progress("kernel slope...")
+            kfps, kgbs = device_slope_fps(postproc, dummy_planes)
+            result["extra"]["kernel_only_fps"] = round(kfps, 1)
+            result["extra"]["kernel_input_gbps"] = round(kgbs, 3)
+    elif fid_child is not None:
+        import subprocess
 
-    # device-resident throughput of the PRODUCT postproc path (planar
-    # plane views, as the pool feeds it; autotuned)
-    if d2h_ready and _time_left() > 150.0:
-        _progress("kernel slope...")
-        kfps, kgbs = device_slope_fps(postproc, dummy_planes)
-        result["extra"]["kernel_only_fps"] = round(kfps, 1)
-        result["extra"]["kernel_input_gbps"] = round(kgbs, 3)
-
-    # BASELINE.md "E2E ResNet fps": fused preprocess + ResNet-50 forward,
-    # data resident (the SampleTorchResnet device-side analog)
-    resnet_fps = 0.0
-    _progress(f"resnet gate: {_time_left():.0f}s left")
-    if not args.quick and d2h_ready and _time_left() > 260.0:
+        _progress(f"device metrics (collect child): {_time_left():.0f}s left")
         try:
-            from videoprocessingframework_tpu.models import (
-                init_params,
-                resnet50,
+            child_out, child_err = fid_child.communicate(
+                timeout=max(30.0, _time_left() - 30.0)
             )
+        except subprocess.TimeoutExpired:
+            fid_child.kill()
+            child_out, child_err = fid_child.communicate()
+            result["extra"]["device_metrics_note"] = (
+                "child killed at deadline (weather); partial results kept"
+            )
+        if fid_child.returncode not in (0, None) and not child_out.strip():
+            result["extra"]["kernel_ulp_error"] = (
+                f"child rc={fid_child.returncode}: "
+                f"{(child_err or '').strip()[-160:]}"
+            )
+        for line in (child_out or "").strip().splitlines():
+            try:
+                piece = json.loads(line)
+            except ValueError:
+                continue
+            if "ulp" in piece:
+                result["extra"]["kernel_ulp"] = int(piece["ulp"])
+                result["extra"]["kernel_ulp_ok"] = bool(piece["ok"])
+            else:
+                result["extra"].update(piece)
 
-            model = resnet50()
-            variables = init_params(model, (1, 224, 224, 3))
-            pre_norm = build_postproc("normalized")
-            # batch 32: conv utilization keeps improving past the decode
-            # batch (measured +25% over batch 8, v5e); planar plane views
-            # as the pool feeds them
-            rb = 32
-            resnet_planes = (
-                np.zeros((rb, height, width), np.uint8),
-                np.zeros((rb, height // 2, width // 2), np.uint8),
-                np.zeros((rb, height // 2, width // 2), np.uint8),
-            )
-            # concrete warm-up so the kernel autotune picks OUTSIDE the
-            # slope fn's trace (inside a trace it falls back to XLA)
-            jax.block_until_ready(pre_norm(*resnet_planes))
-            resnet_fps, _ = device_slope_fps(
-                lambda y, u, v, p: model.apply(
-                    p, pre_norm(y, u, v), train=False
-                ),
-                resnet_planes, lo_n=10, hi_n=30,
-                extra_args=(variables,),
-            )
-        except Exception:
-            pass
-
-    result["extra"]["resnet_device_fps"] = round(resnet_fps, 1)
-    print(json.dumps(result))
+    if os.environ.get("VPF_BENCH_PARTIAL"):
+        _checkpoint(result)  # the supervisor prints the final line
+    else:
+        print(json.dumps(result))
     return 0
 
 

@@ -1,0 +1,218 @@
+"""Clip-sampling data loader: corpus probe, deterministic sampling,
+frame-exact clip extraction (vs sequential decode), batching/shapes,
+worker-count invariance, and mesh-sharded placement on the 8-device CPU
+mesh. Reference analog: none (its ML samples decode one stream
+sequentially) — this is the beyond-parity training-data layer."""
+
+import numpy as np
+import pytest
+
+from videoprocessingframework_tpu.core.enums import (
+    ColorRange,
+    ColorSpace,
+    PixelFormat,
+)
+from videoprocessingframework_tpu.data import (
+    ClipSampler,
+    VideoClipLoader,
+    VideoCorpus,
+)
+from videoprocessingframework_tpu.io.decoder import VideoReader
+
+W, H, NFRAMES = 848, 464, 96  # tests/assets/test.mp4 ground truth
+
+
+@pytest.fixture(scope="module")
+def corpus(test_mp4):
+    return VideoCorpus([test_mp4])
+
+
+@pytest.fixture(scope="module")
+def all_frames(test_mp4):
+    """Every frame of test.mp4 as packed YUV420 [rows, W]."""
+    rd = VideoReader(test_mp4)
+    rd.decoder.output_format = PixelFormat.YUV420
+    rows = H * 3 // 2
+    out = []
+    for f in rd.frames():
+        out.append(f.data.reshape(rows, W).copy())
+    assert len(out) == NFRAMES
+    return np.stack(out)
+
+
+def test_corpus_probe(corpus, test_mp4):
+    assert (corpus.width, corpus.height) == (W, H)
+    assert corpus.streams[0].num_frames == NFRAMES
+    sp, rg = corpus.majority_colorimetry()
+    assert sp == ColorSpace.BT_709
+    assert rg == ColorRange.MPEG
+
+
+def test_corpus_rejects_mixed_geometry(test_mp4, tmp_path):
+    from videoprocessingframework_tpu.io.jpeg import MjpegWriter
+
+    p = tmp_path / "small.avi"
+    y = np.full((2, 64, 96), 128, np.uint8)
+    u = v = np.full((2, 32, 48), 128, np.uint8)
+    with MjpegWriter(str(p), 96, 64, container="avi") as wr:
+        wr.write_planes(y, u, v)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        VideoCorpus([test_mp4, str(p)])
+
+
+def test_sampler_windows_and_determinism(corpus):
+    s = ClipSampler(corpus, clip_len=8, stride=2, shuffle=True, seed=7)
+    span = 15  # (8-1)*2+1
+    assert s.span == span
+    assert len(s) == (NFRAMES - span) // span + 1
+    e0a, e0b, e1 = s.epoch(0), s.epoch(0), s.epoch(1)
+    assert np.array_equal(e0a, e0b)
+    assert not np.array_equal(e0a, e1)
+    # every window in range, aligned to hop
+    for fi, st in e0a:
+        assert fi == 0
+        assert 0 <= st <= NFRAMES - span
+        assert st % span == 0
+    # unshuffled enumeration is the raw order
+    s2 = ClipSampler(corpus, clip_len=8, stride=2, shuffle=False)
+    starts = s2.epoch(0)[:, 1]
+    assert np.array_equal(starts, np.arange(len(s2)) * span)
+
+
+def test_clip_frames_exact(corpus, all_frames):
+    """Shuffled clips contain exactly the sequentially-decoded frames."""
+    T, stride = 5, 3
+    ld = VideoClipLoader(
+        corpus, clip_len=T, frame_stride=stride, batch_size=2,
+        output="packed", shuffle=True, seed=3, workers=1,
+    )
+    samples = ld.sampler.epoch(0)
+    got = []
+    for b in ld.epoch(0):
+        got.append(np.asarray(b))
+    flat = np.concatenate(got, axis=0)  # [nclips, T, rows, W]
+    assert flat.shape[1:] == (T, H * 3 // 2, W)
+    assert flat.shape[0] == len(samples)
+    for clip, (fi, st) in zip(flat, samples):
+        want = all_frames[st: st + T * stride: stride]
+        assert np.array_equal(clip, want), f"clip at start {st} differs"
+
+
+def test_worker_invariance(corpus):
+    """workers=3 yields bit-identical batches to workers=1."""
+    kw = dict(clip_len=4, frame_stride=1, batch_size=3, output="packed",
+              shuffle=True, seed=11)
+    a = [np.asarray(b) for b in
+         VideoClipLoader(corpus, workers=1, **kw).epoch(2)]
+    b = [np.asarray(b) for b in
+         VideoClipLoader(corpus, workers=3, **kw).epoch(2)]
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
+
+
+def test_fused_output_and_shapes(corpus):
+    ld = VideoClipLoader(
+        corpus, clip_len=4, batch_size=2, out_size=(64, 96),
+        output="normalized", drop_last=True, workers=1,
+    )
+    n = 0
+    for batch in ld.epoch(0):
+        arr = np.asarray(batch)
+        assert arr.shape == (2, 4, 64, 96, 3)
+        assert arr.dtype == np.float32
+        n += 1
+        if n >= 2:
+            break
+    assert n == 2
+    assert len(ld) == ld.clips_per_epoch // 2
+
+
+def test_fused_matches_decode_postproc(corpus, all_frames):
+    """Loader output == decode_postproc over the same packed frames."""
+    from videoprocessingframework_tpu.ops.fused import decode_postproc
+
+    ld = VideoClipLoader(
+        corpus, clip_len=3, batch_size=2, out_size=(56, 64),
+        output="rgb_u8", shuffle=False, workers=1,
+    )
+    batch = next(iter(ld.epoch(0)))
+    arr = np.asarray(batch)  # [2, 3, 56, 64, 3]
+    packed = all_frames[:6].reshape(6, H * 3 // 2, W)
+    want = np.asarray(decode_postproc(
+        packed,
+        src_format=PixelFormat.YUV420,
+        space=ColorSpace.BT_709,
+        rng=ColorRange.MPEG,
+        out_h=56, out_w=64, output="rgb_u8",
+    ))
+    assert np.array_equal(arr.reshape(6, 56, 64, 3), want)
+
+
+def test_drop_last_and_len(corpus):
+    ld = VideoClipLoader(corpus, clip_len=7, batch_size=4,
+                         output="packed", drop_last=False, workers=1)
+    nclips = ld.clips_per_epoch
+    batches = [np.asarray(b) for b in ld.epoch(0)]
+    assert len(batches) == len(ld)
+    assert sum(b.shape[0] for b in batches) == nclips
+    ld2 = VideoClipLoader(corpus, clip_len=7, batch_size=4,
+                          output="packed", drop_last=True, workers=1)
+    batches2 = [np.asarray(b) for b in ld2.epoch(0)]
+    assert len(batches2) == len(ld2) == nclips // 4
+    assert all(b.shape[0] == 4 for b in batches2)
+
+
+def test_multihost_shard_split(corpus):
+    """shard_index/shard_count partition the epoch without overlap."""
+    kw = dict(clip_len=8, batch_size=2, output="packed", shuffle=True,
+              seed=5, workers=1)
+    full = VideoClipLoader(corpus, **kw)
+    n = full.clips_per_epoch
+    seen = []
+    for si in range(2):
+        ld = VideoClipLoader(corpus, shard_index=si, shard_count=2, **kw)
+        for b in ld.epoch(0):
+            seen.append(np.asarray(b))
+    assert sum(b.shape[0] for b in seen) == n
+
+
+def test_sharded_device_placement(corpus):
+    """NamedSharding over the 8-device CPU mesh: the fused postproc runs
+    data-parallel and the yielded batch is distributed."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from videoprocessingframework_tpu.parallel import make_mesh
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs the multi-device CPU mesh")
+    mesh = make_mesh(4, ("data",))
+    sharding = NamedSharding(mesh, P("data"))
+    ld = VideoClipLoader(
+        corpus, clip_len=2, batch_size=2, out_size=(32, 32),
+        output="rgb_u8", drop_last=True, sharding=sharding, workers=1,
+    )
+    batch = next(iter(ld.epoch(0)))
+    assert batch.shape == (2, 2, 32, 32, 3)
+    # distributed across the data axis (4 shards of the flat batch)
+    assert len(batch.addressable_shards) >= 4
+    # bit-identical to the unsharded path
+    ld2 = VideoClipLoader(
+        corpus, clip_len=2, batch_size=2, out_size=(32, 32),
+        output="rgb_u8", drop_last=True, workers=1,
+    )
+    ref = next(iter(ld2.epoch(0)))
+    assert np.array_equal(np.asarray(batch), np.asarray(ref))
+
+
+def test_epoch_advance_via_iter(corpus):
+    ld = VideoClipLoader(corpus, clip_len=8, batch_size=2,
+                         output="packed", seed=1, workers=1)
+    first = next(iter(ld))   # epoch 0, advances to 1
+    second = next(iter(ld))  # epoch 1
+    assert not np.array_equal(np.asarray(first), np.asarray(second))
+    ld.set_epoch(0)
+    again = next(iter(ld))
+    assert np.array_equal(np.asarray(first), np.asarray(again))

@@ -151,3 +151,19 @@ def test_sample_mjpeg_transcode(tmp_path):
                str(tmp_path / "t.mjpeg"), "--size", "160x120")
     assert "transcoded 8 frames" in out
     assert "PSNR" in out
+
+
+@pytest.mark.slow
+def test_sample_dataloader(test_mp4):
+    out = _run("sample_dataloader.py", test_mp4, "--clip-len", "4",
+               "--batch", "2", "--size", "64", "--workers", "1")
+    assert "clips/epoch" in out
+    assert "epoch 0:" in out
+
+
+@pytest.mark.slow
+def test_sample_train_video(test_mp4):
+    out = _run("sample_train_video.py", test_mp4, "--clip-len", "2",
+               "--batch", "2", "--size", "32", "--steps", "2")
+    assert "trained 2 steps" in out
+    assert "final loss" in out

@@ -72,6 +72,10 @@ _LAZY = {
     # parallel
     "MultiStreamPipeline": "parallel",
     "make_mesh": "parallel",
+    # data
+    "VideoCorpus": "data",
+    "ClipSampler": "data",
+    "VideoClipLoader": "data",
 }
 
 

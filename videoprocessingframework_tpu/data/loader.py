@@ -1,0 +1,468 @@
+"""Clip-sampling data loader: video corpus → batched device tensors.
+
+The pipeline per batch:
+
+  sample (file, start) windows → seek + decode ``clip_len`` frames per
+  clip into packed YUV420 host slots (native decoder packs straight into
+  the batch buffer, no intermediate copy) → ONE ``jax.device_put`` of the
+  flat [B·T, rows, W] batch (optionally with a ``jax.sharding`` layout so
+  the batch lands sharded across a mesh) → ONE fused postproc program
+  (CSC + resize + normalize, ops/fused.py) → reshape to [B, T, ...].
+
+Determinism: sampling is a pure function of (seed, epoch); with worker
+threads the clips are decoded concurrently but yielded in sample order,
+so the batch stream is bit-identical to the serial path.
+
+Reference analog: none — the reference's ML samples drive one stream
+sequentially (samples/SampleTorchResnet.py:1095-1151); random access is
+its SeekContext machinery (FFmpegDemuxer.cpp:259-388), which this loader
+drives per clip. The multi-process sharding hooks (``shard_index``/
+``shard_count``) mirror how its RTSP sample splits cameras across
+processes (samples/SampleDecodeRTSP.py).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from ..core.enums import ColorRange, ColorSpace, PixelFormat
+from ..utils.tracing import trace_range
+
+__all__ = ["VideoCorpus", "ClipSampler", "VideoClipLoader"]
+
+
+@dataclass(frozen=True)
+class _StreamInfo:
+    path: str
+    width: int
+    height: int
+    num_frames: int
+    color_space: ColorSpace
+    color_range: ColorRange
+    is_vfr: bool
+
+
+class VideoCorpus:
+    """Probe a set of video files once and pin the shared geometry.
+
+    All files must share (width, height): the loader compiles ONE fused
+    program per batch shape, and a static-shape program is what keeps the
+    whole pipeline a single XLA dispatch (heterogeneous sources should be
+    bucketed into one corpus per size). Colorimetry may vary per file —
+    it is resolved to one (space, range) for the fused kernel: pass
+    ``color_space=``/``color_range=`` to the loader to override the
+    corpus majority.
+
+    ``lengths``: optional explicit frame counts (containers that don't
+    declare ``nb_frames`` probe as 0 — supply the count, or the file is
+    rejected).
+    """
+
+    def __init__(self, sources: Sequence[str],
+                 lengths: Optional[Sequence[int]] = None):
+        from ..io.demuxer import FFmpegDemuxer
+
+        if not sources:
+            raise ValueError("empty corpus")
+        self.streams: list[_StreamInfo] = []
+        for i, src in enumerate(sources):
+            d = FFmpegDemuxer(src)
+            try:
+                n = int(d.num_frames)
+                if lengths is not None and lengths[i]:
+                    n = int(lengths[i])
+                if n <= 0:
+                    raise ValueError(
+                        f"{src}: container declares no frame count; pass "
+                        f"lengths=[...] to VideoCorpus"
+                    )
+                self.streams.append(_StreamInfo(
+                    path=src,
+                    width=d.width,
+                    height=d.height,
+                    num_frames=n,
+                    color_space=d.color_space,
+                    color_range=d.color_range,
+                    is_vfr=d.is_vfr,
+                ))
+            finally:
+                d.close()
+        w0, h0 = self.streams[0].width, self.streams[0].height
+        for s in self.streams:
+            if (s.width, s.height) != (w0, h0):
+                raise ValueError(
+                    f"corpus geometry mismatch: {s.path} is "
+                    f"{s.width}x{s.height}, expected {w0}x{h0} — bucket "
+                    f"sources by size (one loader per bucket)"
+                )
+        self.width, self.height = w0, h0
+
+    def __len__(self) -> int:
+        return len(self.streams)
+
+    def majority_colorimetry(self) -> tuple[ColorSpace, ColorRange]:
+        """Most common (space, range) pair; UNSPEC/UDEF resolve to the
+        BT.601/MPEG defaults the reference's converters assume
+        (TasksColorCvt.cpp:136-137)."""
+        from collections import Counter
+
+        pairs = Counter()
+        for s in self.streams:
+            sp = s.color_space
+            rg = s.color_range
+            if sp == ColorSpace.UNSPEC:
+                sp = ColorSpace.BT_601
+            if rg == ColorRange.UDEF:
+                rg = ColorRange.MPEG
+            pairs[(sp, rg)] += 1
+        return pairs.most_common(1)[0][0]
+
+
+class ClipSampler:
+    """Deterministic shuffled enumeration of clip windows.
+
+    The index space is every (file, start) with
+    ``start ∈ {0, hop, 2·hop, …}`` such that the clip's last frame
+    ``start + (clip_len-1)·stride`` is in range. ``epoch(e)`` returns the
+    windows permuted by a pure function of ``(seed, e)`` — rerunning an
+    epoch reproduces it exactly, on any worker count.
+    """
+
+    def __init__(
+        self,
+        corpus: VideoCorpus,
+        clip_len: int,
+        stride: int = 1,
+        hop: Optional[int] = None,
+        shuffle: bool = True,
+        seed: int = 0,
+    ):
+        if clip_len < 1 or stride < 1:
+            raise ValueError("clip_len and stride must be >= 1")
+        self.clip_len = clip_len
+        self.stride = stride
+        span = (clip_len - 1) * stride + 1
+        self.span = span
+        self.hop = int(hop) if hop else span
+        if self.hop < 1:
+            raise ValueError("hop must be >= 1")
+        self.shuffle = shuffle
+        self.seed = int(seed)
+        windows = []
+        for fi, s in enumerate(corpus.streams):
+            last_start = s.num_frames - span
+            for st in range(0, last_start + 1, self.hop):
+                windows.append((fi, st))
+        if not windows:
+            raise ValueError(
+                f"no clip of span {span} fits any corpus stream "
+                f"(shortest has "
+                f"{min(s.num_frames for s in corpus.streams)} frames)"
+            )
+        self._windows = np.asarray(windows, np.int64)
+
+    def __len__(self) -> int:
+        return len(self._windows)
+
+    def epoch(self, epoch: int = 0) -> np.ndarray:
+        """[(file_idx, start), …] for one epoch, shuffled per (seed, epoch)."""
+        if not self.shuffle:
+            return self._windows
+        rng = np.random.default_rng((self.seed, int(epoch)))
+        return self._windows[rng.permutation(len(self._windows))]
+
+
+class _ClipReader:
+    """One source: sequential-aware clip extraction.
+
+    Tracks the next frame index so back-to-back windows decode without a
+    seek (the shuffle=False / hop=span configuration never seeks at all);
+    any other start runs the PREV_KEY_FRAME seek + decode-to-target loop
+    (the reference's EXACT_FRAME semantics, FFmpegDemuxer.cpp:259-388).
+    """
+
+    def __init__(self, path: str, out_format: PixelFormat, threads: int):
+        from ..io.decoder import VideoReader
+
+        self.reader = VideoReader(path, threads=threads)
+        self.reader.decoder.output_format = out_format
+        self.path = path
+        self.next_idx = 0
+
+    def read_clip(self, start: int, clip_len: int, stride: int,
+                  out: np.ndarray) -> None:
+        """Decode frames start, start+stride, … into ``out[t]`` slots."""
+        from ..core.packet import SeekContext
+
+        t = 0
+        if start != self.next_idx:
+            ctx = SeekContext(seek_frame=int(start))
+            f = self.reader.decode(seek_ctx=ctx, out=out[0])
+            if f is None:
+                raise RuntimeError(
+                    f"{self.path}: seek to frame {start} hit EOF"
+                )
+            self.next_idx = start + 1
+            t = 1
+        idx = self.next_idx
+        want = start + t * stride
+        while t < clip_len:
+            dst = out[t] if idx == want else None
+            f = self.reader.decode(out=dst)
+            if f is None:
+                raise RuntimeError(
+                    f"{self.path}: EOF at frame {idx} inside clip "
+                    f"[{start}, +{clip_len}x{stride}] — container frame "
+                    f"count was optimistic; pass lengths= to VideoCorpus"
+                )
+            if idx == want:
+                t += 1
+                want = start + t * stride
+            idx += 1
+        self.next_idx = idx
+
+
+class VideoClipLoader:
+    """Corpus → shuffled clip batches on device: ``[B, T, ...]`` tensors.
+
+    ``output``: any :class:`~videoprocessingframework_tpu.ops.fused.
+    FusedPipeline` mode (``rgb_u8`` / ``rgb_f32`` / ``normalized`` /
+    ``normalized_nchw``) — the whole CSC+resize+normalize runs as one
+    program over the flat [B·T] batch — or ``"packed"`` for the raw
+    uploaded YUV420 batches.
+
+    ``sharding``: an optional :class:`jax.sharding.Sharding` for the flat
+    batch (e.g. ``NamedSharding(mesh, P("data"))``): the host batch is
+    placed sharded BEFORE the fused program runs, so postproc executes
+    data-parallel across the mesh and the yielded batch stays distributed
+    (B·T must divide the data-axis size; use ``drop_last=True``).
+
+    ``shard_index``/``shard_count``: multi-host sample-space sharding —
+    each process takes every ``shard_count``-th sample of the same
+    deterministic epoch permutation.
+
+    ``workers``: decode thread count; 0 = auto (min(batch, cores), serial
+    on 1-core hosts — the measured policy from the decode pool). Output
+    order (and bytes) are identical on every worker count.
+    """
+
+    def __init__(
+        self,
+        sources,
+        clip_len: int = 8,
+        frame_stride: int = 1,
+        batch_size: int = 4,
+        out_size: Optional[tuple[int, int]] = None,  # (height, width)
+        output: str = "normalized",
+        method: str = "lanczos",
+        shuffle: bool = True,
+        seed: int = 0,
+        hop: Optional[int] = None,
+        drop_last: bool = False,
+        workers: int = 0,
+        prefetch: int = 2,
+        device=None,
+        sharding=None,
+        shard_index: int = 0,
+        shard_count: int = 1,
+        color_space: Optional[ColorSpace] = None,
+        color_range: Optional[ColorRange] = None,
+        decode_threads: int = 0,
+        kernel: str = "auto",
+        compute: str = "auto",
+        lengths: Optional[Sequence[int]] = None,
+    ):
+        if isinstance(sources, VideoCorpus):
+            self.corpus = sources
+        else:
+            if isinstance(sources, (str, os.PathLike)):
+                sources = [sources]
+            self.corpus = VideoCorpus(
+                [str(s) for s in sources], lengths=lengths
+            )
+        if not (0 <= shard_index < shard_count):
+            raise ValueError("need 0 <= shard_index < shard_count")
+        self.sampler = ClipSampler(
+            self.corpus, clip_len, frame_stride, hop=hop,
+            shuffle=shuffle, seed=seed,
+        )
+        needs_seek = shuffle or self.sampler.hop != self.sampler.span
+        if needs_seek:
+            vfr = [s.path for s in self.corpus.streams if s.is_vfr]
+            if vfr:
+                raise ValueError(
+                    "random clip access seeks by frame number, which VFR "
+                    "streams don't support (reference contract: 'Can't "
+                    "seek by frame number in VFR streams') — use "
+                    f"shuffle=False with contiguous hop, or re-mux: {vfr}"
+                )
+        self.clip_len = clip_len
+        self.frame_stride = frame_stride
+        self.batch_size = int(batch_size)
+        self.drop_last = bool(drop_last)
+        self.shard_index, self.shard_count = int(shard_index), int(shard_count)
+        self.device = device
+        self.sharding = sharding
+        self.decode_threads = decode_threads
+        self.output = output
+        ncpu = os.cpu_count() or 1
+        self.workers = (
+            int(workers) if workers > 0
+            else (1 if ncpu == 1 else min(self.batch_size, ncpu))
+        )
+        # measured on small hosts (MultiStreamPipeline): keeping batches
+        # in flight serializes badly against the runtime on 1 core —
+        # block immediately there, overlap elsewhere
+        self.prefetch = 1 if ncpu == 1 else max(1, int(prefetch))
+
+        from ..core import geometry
+
+        w, h = self.corpus.width, self.corpus.height
+        if w % 2 or h % 2:
+            raise ValueError(
+                f"YUV420 packing needs even dimensions, corpus is {w}x{h}"
+            )
+        self._rows = geometry.host_frame_size(PixelFormat.YUV420, w, h) // w
+        sp, rg = self.corpus.majority_colorimetry()
+        self.color_space = color_space if color_space is not None else sp
+        self.color_range = color_range if color_range is not None else rg
+        if output == "packed":
+            self.pipeline = None
+        else:
+            from ..ops.fused import FusedPipeline
+
+            oh, ow = out_size or (h, w)
+            self.pipeline = FusedPipeline(
+                PixelFormat.YUV420,
+                self.color_space,
+                self.color_range,
+                out_size=(ow, oh),
+                method=method,
+                output=output,
+                kernel=kernel,
+                compute=compute,
+            )
+        self._epoch = 0
+
+    # -- sizes ---------------------------------------------------------------
+
+    def __len__(self) -> int:
+        """Batches per epoch for THIS shard."""
+        n = len(self.sampler)
+        mine = (n - self.shard_index + self.shard_count - 1) // self.shard_count
+        if self.drop_last:
+            return mine // self.batch_size
+        return (mine + self.batch_size - 1) // self.batch_size
+
+    @property
+    def clips_per_epoch(self) -> int:
+        return len(self.sampler)
+
+    # -- decode --------------------------------------------------------------
+
+    def _clips(self, samples: np.ndarray) -> Iterator[np.ndarray]:
+        """Packed [T, rows, W] clips, in sample order."""
+        T = self.clip_len
+        rows, w = self._rows, self.corpus.width
+        paths = [s.path for s in self.corpus.streams]
+
+        def decode_into(cache: dict, fi: int, start: int) -> np.ndarray:
+            rd = cache.get(fi)
+            if rd is None:
+                rd = cache[fi] = _ClipReader(
+                    paths[fi], PixelFormat.YUV420, self.decode_threads
+                )
+            buf = np.empty((T, rows, w), np.uint8)
+            rd.read_clip(int(start), T, self.frame_stride, buf)
+            return buf
+
+        if self.workers <= 1:
+            cache: dict = {}
+            for fi, start in samples:
+                with trace_range("ClipDecode"):
+                    yield decode_into(cache, fi, start)
+            return
+
+        # thread fan-out with a bounded in-order window; one reader cache
+        # per thread (native decode runs GIL-free)
+        from ..io.jpeg import _bounded_ordered_map
+
+        local = threading.local()
+
+        def one(sample):
+            cache = getattr(local, "cache", None)
+            if cache is None:
+                cache = local.cache = {}
+            fi, start = sample
+            return decode_into(cache, fi, start)
+
+        yield from _bounded_ordered_map(one, samples, self.workers)
+
+    # -- dispatch ------------------------------------------------------------
+
+    def _dispatch(self, clips: list) -> tuple:
+        import jax
+
+        flat = np.stack(clips).reshape(-1, self._rows, self.corpus.width)
+        with trace_range("ClipBatchDispatch"):
+            if self.sharding is not None:
+                try:
+                    staged = jax.device_put(flat, self.sharding)
+                except ValueError as e:
+                    raise ValueError(
+                        f"flat clip batch of {flat.shape[0]} frames does "
+                        f"not fit {self.sharding}: batch_size*clip_len "
+                        "must be divisible by the data-axis size (use "
+                        "drop_last=True to keep batches full)"
+                    ) from e
+            elif self.device is not None:
+                staged = jax.device_put(flat, self.device)
+            else:
+                staged = flat  # jit stages the transfer with the call
+            out = self.pipeline(staged) if self.pipeline is not None else (
+                staged if self.sharding is not None or self.device is not None
+                else jax.device_put(flat)
+            )
+        return out, len(clips)
+
+    def epoch(self, epoch: Optional[int] = None) -> Iterator:
+        """Yield ``[B, T, ...]`` device batches for one epoch."""
+        import jax
+
+        e = self._epoch if epoch is None else int(epoch)
+        samples = self.sampler.epoch(e)
+        if self.shard_count > 1:
+            samples = samples[self.shard_index::self.shard_count]
+        T = self.clip_len
+
+        def finish(disp):
+            out, b = disp
+            jax.block_until_ready(out)
+            return out.reshape((b, T) + out.shape[1:])
+
+        inflight: list = []
+        batch: list = []
+        for clip in self._clips(samples):
+            batch.append(clip)
+            if len(batch) == self.batch_size:
+                inflight.append(self._dispatch(batch))
+                batch = []
+                if len(inflight) >= self.prefetch:
+                    yield finish(inflight.pop(0))
+        if batch and not self.drop_last:
+            inflight.append(self._dispatch(batch))
+        while inflight:
+            yield finish(inflight.pop(0))
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def __iter__(self) -> Iterator:
+        it = self.epoch(self._epoch)
+        self._epoch += 1
+        return it
