@@ -216,3 +216,43 @@ def test_epoch_advance_via_iter(corpus):
     ld.set_epoch(0)
     again = next(iter(ld))
     assert np.array_equal(np.asarray(first), np.asarray(again))
+
+
+def test_labels(corpus, test_mp4):
+    ld = VideoClipLoader(
+        [test_mp4, test_mp4], clip_len=4, batch_size=3,
+        output="packed", labels=[7, 9], seed=2, workers=1,
+    )
+    order = ld.sampler.epoch(0)
+    n = 0
+    for batch, labels in ld.epoch(0):
+        b = np.asarray(batch).shape[0]
+        want = np.where(order[n:n + b, 0] == 0, 7, 9)
+        assert np.array_equal(labels, want)
+        n += b
+    assert n == ld.clips_per_epoch
+    with pytest.raises(ValueError, match="labels for"):
+        VideoClipLoader([test_mp4], clip_len=4, output="packed",
+                        labels=[1, 2])
+
+
+def test_checkpoint_resume(corpus):
+    kw = dict(clip_len=6, batch_size=2, output="packed", seed=13,
+              workers=1)
+    full = [np.asarray(b) for b in
+            VideoClipLoader(corpus, **kw).epoch(1)]
+
+    ld = VideoClipLoader(corpus, **kw)
+    it = ld.epoch(1)
+    got = [np.asarray(next(it)), np.asarray(next(it))]
+    state = ld.state_dict()
+    assert state == {"epoch": 1, "clips": 4}
+    del it
+
+    # fresh loader, same config: resumes after batch 2 exactly
+    ld2 = VideoClipLoader(corpus, **kw)
+    ld2.load_state_dict(state)
+    rest = [np.asarray(b) for b in ld2.epoch()]
+    assert len(got) + len(rest) == len(full)
+    for x, y in zip(got + rest, full):
+        assert np.array_equal(x, y)

@@ -249,6 +249,20 @@ class VideoClipLoader:
     ``workers``: decode thread count; 0 = auto (min(batch, cores), serial
     on 1-core hosts — the measured policy from the decode pool). Output
     order (and bytes) are identical on every worker count.
+
+    ``labels``: optional per-source labels (one per corpus file). When
+    given, batches are ``(tensor, label_array)`` pairs — the label of
+    each clip's source file, shaped [B] (classification corpora are
+    (video, label) pairs; labels ride host-side so the consumer decides
+    their placement).
+
+    Mid-epoch checkpoint/resume: :meth:`state_dict` captures (epoch,
+    clips consumed); a loader constructed with the same configuration
+    and :meth:`load_state_dict` resumes yielding the exact remaining
+    batch stream (sampling is a pure function of seed+epoch, so the skip
+    is deterministic). The reference has no checkpointing at all
+    (SURVEY.md §5 — seek is its closest analog); preemption-safe
+    training needs it.
     """
 
     def __init__(
@@ -276,6 +290,7 @@ class VideoClipLoader:
         kernel: str = "auto",
         compute: str = "auto",
         lengths: Optional[Sequence[int]] = None,
+        labels: Optional[Sequence] = None,
     ):
         if isinstance(sources, VideoCorpus):
             self.corpus = sources
@@ -347,7 +362,13 @@ class VideoClipLoader:
                 kernel=kernel,
                 compute=compute,
             )
+        if labels is not None and len(labels) != len(self.corpus):
+            raise ValueError(
+                f"{len(labels)} labels for {len(self.corpus)} corpus files"
+            )
+        self.labels = np.asarray(labels) if labels is not None else None
         self._epoch = 0
+        self._resume_clips = 0  # one-shot skip set by load_state_dict
 
     # -- sizes ---------------------------------------------------------------
 
@@ -405,9 +426,13 @@ class VideoClipLoader:
 
     # -- dispatch ------------------------------------------------------------
 
-    def _dispatch(self, clips: list) -> tuple:
+    def _dispatch(self, clips: list, files: Optional[list] = None) -> tuple:
         import jax
 
+        labels = (
+            self.labels[np.asarray(files)]
+            if self.labels is not None and files is not None else None
+        )
         flat = np.stack(clips).reshape(-1, self._rows, self.corpus.width)
         with trace_range("ClipBatchDispatch"):
             if self.sharding is not None:
@@ -428,39 +453,62 @@ class VideoClipLoader:
                 staged if self.sharding is not None or self.device is not None
                 else jax.device_put(flat)
             )
-        return out, len(clips)
+        return out, labels, len(clips)
 
     def epoch(self, epoch: Optional[int] = None) -> Iterator:
-        """Yield ``[B, T, ...]`` device batches for one epoch."""
+        """Yield ``[B, T, ...]`` device batches (or ``(batch, labels)``
+        pairs when the loader has labels) for one epoch."""
         import jax
 
         e = self._epoch if epoch is None else int(epoch)
         samples = self.sampler.epoch(e)
         if self.shard_count > 1:
             samples = samples[self.shard_index::self.shard_count]
+        skip = min(self._resume_clips, len(samples))
+        self._resume_clips = 0
+        self._pos = [e, skip]
+        samples = samples[skip:]
         T = self.clip_len
 
         def finish(disp):
-            out, b = disp
+            out, labels, b = disp
             jax.block_until_ready(out)
-            return out.reshape((b, T) + out.shape[1:])
+            out = out.reshape((b, T) + out.shape[1:])
+            self._pos[1] += b
+            return (out, labels) if labels is not None else out
 
         inflight: list = []
         batch: list = []
-        for clip in self._clips(samples):
+        files: list = []
+        for i, clip in enumerate(self._clips(samples)):
             batch.append(clip)
+            files.append(int(samples[i][0]))
             if len(batch) == self.batch_size:
-                inflight.append(self._dispatch(batch))
-                batch = []
+                inflight.append(self._dispatch(batch, files))
+                batch, files = [], []
                 if len(inflight) >= self.prefetch:
                     yield finish(inflight.pop(0))
         if batch and not self.drop_last:
-            inflight.append(self._dispatch(batch))
+            inflight.append(self._dispatch(batch, files))
         while inflight:
             yield finish(inflight.pop(0))
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = int(epoch)
+
+    # -- checkpoint/resume ---------------------------------------------------
+
+    def state_dict(self) -> dict:
+        """Position after the last yielded batch: resume-exact."""
+        e, clips = getattr(self, "_pos", [self._epoch, 0])
+        return {"epoch": int(e), "clips": int(clips)}
+
+    def load_state_dict(self, state: dict) -> None:
+        """Arm the loader so the next :meth:`epoch` / ``iter()`` call
+        resumes exactly after the checkpointed batch (same seed and
+        configuration assumed — sampling is deterministic)."""
+        self._epoch = int(state["epoch"])
+        self._resume_clips = int(state["clips"])
 
     def __iter__(self) -> Iterator:
         it = self.epoch(self._epoch)
