@@ -861,6 +861,42 @@ def main() -> int:
     result["extra"]["transcode_fps"] = round(transcode_fps, 1)
     result["extra"]["transcode_psnr_db"] = round(transcode_psnr, 2)
     _checkpoint(result)
+
+    # data-loader throughput (host path: decode + clip assembly + local
+    # placement), measured on the CPU backend in a subprocess so the
+    # number is weather-free and the parent never touches jax configs
+    if not args.quick and _time_left() > 90.0:
+        import subprocess
+
+        _progress("loader clips/s (subprocess, host-only)...")
+        loader_code = (
+            "import os, sys, time\n"
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "from jax._src import xla_bridge\n"
+            "xla_bridge._clear_backends(); jax.clear_caches()\n"
+            f"sys.path.insert(0, {str(REPO)!r})\n"
+            "from videoprocessingframework_tpu.data import VideoClipLoader\n"
+            f"ld = VideoClipLoader([{str(clip)!r}], clip_len=8,\n"
+            "    batch_size=4, output='packed', shuffle=False,\n"
+            f"    workers=0, lengths=[{clip_frames}])\n"
+            "t0 = time.perf_counter(); n = 0\n"
+            "for b in ld.epoch(0): n += int(b.shape[0])\n"
+            "print(round(n / (time.perf_counter() - t0), 2))\n"
+        )
+        try:
+            lp = subprocess.run(
+                [sys.executable, "-c", loader_code],
+                timeout=min(75.0, _time_left() - 15.0),
+                capture_output=True, text=True,
+            )
+            if lp.returncode == 0:
+                result["extra"]["loader_clips_per_s"] = float(
+                    lp.stdout.strip().splitlines()[-1]
+                )
+                _checkpoint(result)
+        except Exception:
+            pass
     if ncpu > 1:
         try:
             agg_fps, _ = transcode_metrics(

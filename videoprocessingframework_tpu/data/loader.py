@@ -386,54 +386,103 @@ class VideoClipLoader:
 
     # -- decode --------------------------------------------------------------
 
-    def _clips(self, samples: np.ndarray) -> Iterator[np.ndarray]:
-        """Packed [T, rows, W] clips, in sample order."""
-        T = self.clip_len
-        rows, w = self._rows, self.corpus.width
-        paths = [s.path for s in self.corpus.streams]
+    def _reader_for(self, cache: dict, fi: int) -> _ClipReader:
+        rd = cache.get(fi)
+        if rd is None:
+            rd = cache[fi] = _ClipReader(
+                self.corpus.streams[fi].path, PixelFormat.YUV420,
+                self.decode_threads,
+            )
+        return rd
 
-        def decode_into(cache: dict, fi: int, start: int) -> np.ndarray:
-            rd = cache.get(fi)
-            if rd is None:
-                rd = cache[fi] = _ClipReader(
-                    paths[fi], PixelFormat.YUV420, self.decode_threads
-                )
-            buf = np.empty((T, rows, w), np.uint8)
-            rd.read_clip(int(start), T, self.frame_stride, buf)
-            return buf
+    def _batch_buffers(self, count: int) -> list:
+        """Reusable [B, T, rows, W] batch buffers, allocated (and
+        page-touched) ONCE per loader. Decoding straight into slots of a
+        persistent ring matters twice: it removes the per-clip allocation
+        + np.stack copy, and it sidesteps fresh-page faults — measured on
+        the bench host at ~35 ms/MB (100 MB of new pages cost 3.5 s
+        while a copy into touched pages runs 4 GB/s), which made a
+        naive per-batch-allocating loader 6x slower than the decoder
+        underneath it. Same design as the decode pool's _BatchRing."""
+        bufs = getattr(self, "_bufs", None)
+        if bufs is None or len(bufs) < count:
+            shape = (self.batch_size, self.clip_len, self._rows,
+                     self.corpus.width)
+            bufs = [np.zeros(shape, np.uint8) for _ in range(count)]
+            self._bufs = bufs
+        return bufs
+
+    def _batches_of_clips(self, samples: np.ndarray) -> Iterator:
+        """Yield (buffer_index, filled_count, file_indices): each batch
+        decoded straight into slots of a persistent buffer. The caller
+        (epoch) must release buffers via the returned index after the
+        dispatched transfer completes."""
+        B, T = self.batch_size, self.clip_len
+        nbuf = self.prefetch + 1
+        bufs = self._batch_buffers(nbuf)
+        free: list[int] = list(range(nbuf))
+        self._free = free  # epoch() returns indices here after finish()
+        groups = [samples[i: i + B] for i in range(0, len(samples), B)]
 
         if self.workers <= 1:
             cache: dict = {}
-            for fi, start in samples:
+            for grp in groups:
+                if not free:  # all buffers in flight: caller bug
+                    raise RuntimeError("batch buffer ring exhausted")
+                bi = free.pop(0)
+                buf = bufs[bi]
                 with trace_range("ClipDecode"):
-                    yield decode_into(cache, fi, start)
+                    for s, (fi, start) in enumerate(grp):
+                        self._reader_for(cache, int(fi)).read_clip(
+                            int(start), T, self.frame_stride, buf[s]
+                        )
+                yield bi, len(grp), [int(fi) for fi, _ in grp]
             return
 
-        # thread fan-out with a bounded in-order window; one reader cache
-        # per thread (native decode runs GIL-free)
-        from ..io.jpeg import _bounded_ordered_map
+        # thread fan-out: the B clips of a batch decode concurrently into
+        # their slots (per-thread reader caches; native decode is
+        # GIL-free). Batches pipeline against dispatch via the buffer
+        # ring exactly like the serial path.
+        from concurrent.futures import ThreadPoolExecutor
 
         local = threading.local()
 
-        def one(sample):
+        def one(args):
+            buf_slot, fi, start = args
             cache = getattr(local, "cache", None)
             if cache is None:
                 cache = local.cache = {}
-            fi, start = sample
-            return decode_into(cache, fi, start)
+            self._reader_for(cache, int(fi)).read_clip(
+                int(start), T, self.frame_stride, buf_slot
+            )
 
-        yield from _bounded_ordered_map(one, samples, self.workers)
+        with ThreadPoolExecutor(max_workers=self.workers) as ex:
+            for grp in groups:
+                if not free:
+                    raise RuntimeError("batch buffer ring exhausted")
+                bi = free.pop(0)
+                buf = bufs[bi]
+                with trace_range("ClipDecode"):
+                    list(ex.map(one, [
+                        (buf[s], int(fi), int(start))
+                        for s, (fi, start) in enumerate(grp)
+                    ]))
+                yield bi, len(grp), [int(fi) for fi, _ in grp]
 
     # -- dispatch ------------------------------------------------------------
 
-    def _dispatch(self, clips: list, files: Optional[list] = None) -> tuple:
+    def _dispatch(self, bi: int, count: int, files: list) -> tuple:
         import jax
 
         labels = (
             self.labels[np.asarray(files)]
-            if self.labels is not None and files is not None else None
+            if self.labels is not None else None
         )
-        flat = np.stack(clips).reshape(-1, self._rows, self.corpus.width)
+        # contiguous flat [count·T, rows, W] view of the ring buffer — no
+        # copy, no fresh pages
+        flat = self._bufs[bi][:count].reshape(
+            -1, self._rows, self.corpus.width
+        )
         with trace_range("ClipBatchDispatch"):
             if self.sharding is not None:
                 try:
@@ -453,7 +502,7 @@ class VideoClipLoader:
                 staged if self.sharding is not None or self.device is not None
                 else jax.device_put(flat)
             )
-        return out, labels, len(clips)
+        return out, labels, count, bi
 
     def epoch(self, epoch: Optional[int] = None) -> Iterator:
         """Yield ``[B, T, ...]`` device batches (or ``(batch, labels)``
@@ -471,25 +520,24 @@ class VideoClipLoader:
         T = self.clip_len
 
         def finish(disp):
-            out, labels, b = disp
+            out, labels, b, bi = disp
+            # the transfer out of the host buffer must complete before
+            # its ring slot is reused (block_until_ready is the
+            # correctness barrier for buffer recycling)
             jax.block_until_ready(out)
+            self._free.append(bi)
             out = out.reshape((b, T) + out.shape[1:])
             self._pos[1] += b
             return (out, labels) if labels is not None else out
 
         inflight: list = []
-        batch: list = []
-        files: list = []
-        for i, clip in enumerate(self._clips(samples)):
-            batch.append(clip)
-            files.append(int(samples[i][0]))
-            if len(batch) == self.batch_size:
-                inflight.append(self._dispatch(batch, files))
-                batch, files = [], []
-                if len(inflight) >= self.prefetch:
-                    yield finish(inflight.pop(0))
-        if batch and not self.drop_last:
-            inflight.append(self._dispatch(batch, files))
+        for bi, count, files in self._batches_of_clips(samples):
+            if count < self.batch_size and self.drop_last:
+                self._free.append(bi)
+                continue
+            inflight.append(self._dispatch(bi, count, files))
+            if len(inflight) >= self.prefetch:
+                yield finish(inflight.pop(0))
         while inflight:
             yield finish(inflight.pop(0))
 
