@@ -256,3 +256,49 @@ def test_checkpoint_resume(corpus):
     assert len(got) + len(rest) == len(full)
     for x, y in zip(got + rest, full):
         assert np.array_equal(x, y)
+
+
+def _mk_avi(path, w, h, n=6, seed=0):
+    from videoprocessingframework_tpu.io.jpeg import MjpegWriter
+
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 256, (n, h, w), np.uint8)
+    u = rng.integers(0, 256, (n, h // 2, w // 2), np.uint8)
+    v = rng.integers(0, 256, (n, h // 2, w // 2), np.uint8)
+    with MjpegWriter(str(path), w, h, container="avi") as wr:
+        wr.write_planes(y, u, v)
+
+
+def test_bucketed_mixed_geometry(test_mp4, tmp_path):
+    from videoprocessingframework_tpu.data import BucketedClipLoader
+
+    a = tmp_path / "a.avi"
+    b = tmp_path / "b.avi"
+    _mk_avi(a, 96, 64, n=8, seed=1)
+    _mk_avi(b, 64, 48, n=8, seed=2)
+    ld = BucketedClipLoader(
+        [test_mp4, str(a), str(b)], out_size=(32, 32),
+        clip_len=2, batch_size=2, output="rgb_u8",
+        labels=[0, 1, 2], seed=4, workers=1,
+    )
+    assert len(ld.loaders) == 3
+    batches = list(ld.epoch(0))
+    assert len(batches) == len(ld)
+    total = 0
+    label_set = set()
+    for batch, labels in batches:
+        arr = np.asarray(batch)
+        assert arr.shape[1:] == (2, 32, 32, 3)
+        total += arr.shape[0]
+        label_set.update(labels.tolist())
+    assert total == ld.clips_per_epoch
+    assert label_set == {0, 1, 2}
+
+    # deterministic schedule; epochs differ
+    s0, s0b, s1 = ld._schedule(0), ld._schedule(0), ld._schedule(1)
+    assert np.array_equal(s0, s0b)
+    assert not np.array_equal(s0, s1)
+
+    with pytest.raises(ValueError, match="packed"):
+        BucketedClipLoader([test_mp4], out_size=(32, 32),
+                           output="packed")

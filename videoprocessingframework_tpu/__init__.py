@@ -76,6 +76,7 @@ _LAZY = {
     "VideoCorpus": "data",
     "ClipSampler": "data",
     "VideoClipLoader": "data",
+    "BucketedClipLoader": "data",
 }
 
 

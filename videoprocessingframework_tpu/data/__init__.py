@@ -10,10 +10,16 @@ This subpackage is that layer, built TPU-first on the framework's own
 demux/seek/decode stack and the fused postproc kernel.
 """
 
+from .bucketed import BucketedClipLoader  # noqa: F401
 from .loader import (  # noqa: F401
     ClipSampler,
     VideoClipLoader,
     VideoCorpus,
 )
 
-__all__ = ["VideoCorpus", "ClipSampler", "VideoClipLoader"]
+__all__ = [
+    "VideoCorpus",
+    "ClipSampler",
+    "VideoClipLoader",
+    "BucketedClipLoader",
+]
