@@ -1,0 +1,116 @@
+"""MjpegClipLoader: training clips through the split JPEG codec —
+frame-exact random access (all-intra, zero GOP replay), coefficient-ring
+decode, fused device batches, worker invariance, labels, resume, and
+parity with MjpegReader's sequential decode."""
+
+import numpy as np
+import pytest
+
+from videoprocessingframework_tpu.data import MjpegClipLoader
+from videoprocessingframework_tpu.io import MjpegReader, MjpegWriter
+from videoprocessingframework_tpu.io.jpeg import JpegStreamError
+
+W, H, N = 96, 64, 14
+
+
+def _mk_avi(path, n=N, seed=0, w=W, h=H, quality=90):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip((yy + xx) * 255 / (h + w) + rng.normal(0, 4, (n, h, w)),
+                0, 255).astype(np.uint8)
+    u = np.clip(128 + rng.normal(0, 6, (n, h // 2, w // 2)),
+                0, 255).astype(np.uint8)
+    v = np.clip(128 - rng.normal(0, 6, (n, h // 2, w // 2)),
+                0, 255).astype(np.uint8)
+    with MjpegWriter(str(path), w, h, quality=quality,
+                     container="avi") as wr:
+        wr.write_planes(y, u, v)
+
+
+@pytest.fixture(scope="module")
+def clip_avi(tmp_path_factory):
+    p = tmp_path_factory.mktemp("mjc") / "c.avi"
+    _mk_avi(p)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def all_rgb(clip_avi):
+    """Sequential ground truth via MjpegReader (same device pipeline)."""
+    rd = MjpegReader(clip_avi, output="rgb_u8")
+    return np.concatenate([np.asarray(b) for b in rd.batches()], axis=0)
+
+
+def test_clip_frames_exact(clip_avi, all_rgb):
+    T, stride = 3, 2
+    ld = MjpegClipLoader(
+        clip_avi, clip_len=T, frame_stride=stride, batch_size=2,
+        output="rgb_u8", shuffle=True, seed=5, workers=1,
+    )
+    samples = ld.sampler.epoch(0)
+    got = np.concatenate(
+        [np.asarray(b) for b in ld.epoch(0)], axis=0
+    )
+    assert got.shape == (len(samples), T, H, W, 3)
+    for clip, (fi, st) in zip(got, samples):
+        want = all_rgb[st: st + T * stride: stride]
+        assert np.array_equal(clip, want), f"clip at {st} differs"
+
+
+def test_worker_invariance_and_labels(clip_avi, tmp_path):
+    b = tmp_path / "b.avi"
+    _mk_avi(b, seed=9)
+    kw = dict(clip_len=2, batch_size=3, output="rgb_u8", shuffle=True,
+              seed=3, labels=[4, 6])
+    a1 = list(MjpegClipLoader([clip_avi, str(b)], workers=1, **kw).epoch(1))
+    a3 = list(MjpegClipLoader([clip_avi, str(b)], workers=3, **kw).epoch(1))
+    assert len(a1) == len(a3)
+    for (x, lx), (y, ly) in zip(a1, a3):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+        assert np.array_equal(lx, ly)
+        assert set(lx.tolist()) <= {4, 6}
+
+
+def test_resize_normalized_and_planes(clip_avi):
+    ld = MjpegClipLoader(clip_avi, clip_len=2, batch_size=2,
+                         out_size=(32, 48), output="normalized",
+                         drop_last=True, workers=1)
+    batch = next(iter(ld.epoch(0)))
+    arr = np.asarray(batch)
+    assert arr.shape == (2, 2, 32, 48, 3)
+    assert arr.dtype == np.float32
+
+    ld2 = MjpegClipLoader(clip_avi, clip_len=2, batch_size=2,
+                          output="planes", workers=1)
+    planes = next(iter(ld2.epoch(0)))
+    assert isinstance(planes, tuple) and len(planes) == 3
+    assert np.asarray(planes[0]).shape == (2, 2, H, W)
+    assert np.asarray(planes[1]).shape == (2, 2, H // 2, W // 2)
+
+
+def test_checkpoint_resume(clip_avi):
+    kw = dict(clip_len=2, batch_size=2, output="rgb_u8", seed=11,
+              workers=1)
+    full = [np.asarray(b) for b in
+            MjpegClipLoader(clip_avi, **kw).epoch(2)]
+    ld = MjpegClipLoader(clip_avi, **kw)
+    it = ld.epoch(2)
+    first = np.asarray(next(it))
+    state = ld.state_dict()
+    del it
+    ld2 = MjpegClipLoader(clip_avi, **kw)
+    ld2.load_state_dict(state)
+    rest = [np.asarray(b) for b in ld2.epoch()]
+    assert 1 + len(rest) == len(full)
+    assert np.array_equal(first, full[0])
+    for x, y in zip(rest, full[1:]):
+        assert np.array_equal(x, y)
+
+
+def test_rejects_non_mjpeg_and_mixed_tables(test_mp4, clip_avi, tmp_path):
+    with pytest.raises(JpegStreamError, match="not MJPEG"):
+        MjpegClipLoader([test_mp4], clip_len=2)
+    other = tmp_path / "q50.avi"
+    _mk_avi(other, quality=50)
+    with pytest.raises(JpegStreamError, match="quant tables"):
+        MjpegClipLoader([clip_avi, str(other)], clip_len=2)

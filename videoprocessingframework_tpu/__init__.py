@@ -77,6 +77,7 @@ _LAZY = {
     "ClipSampler": "data",
     "VideoClipLoader": "data",
     "BucketedClipLoader": "data",
+    "MjpegClipLoader": "data",
 }
 
 

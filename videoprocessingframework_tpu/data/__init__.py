@@ -16,10 +16,12 @@ from .loader import (  # noqa: F401
     VideoClipLoader,
     VideoCorpus,
 )
+from .mjpeg import MjpegClipLoader  # noqa: F401
 
 __all__ = [
     "VideoCorpus",
     "ClipSampler",
     "VideoClipLoader",
     "BucketedClipLoader",
+    "MjpegClipLoader",
 ]
