@@ -227,7 +227,104 @@ class _ClipReader:
         self.next_idx = idx
 
 
-class VideoClipLoader:
+class _ClipLoaderBase:
+    """Shared epoch machinery for the clip loaders.
+
+    Subclasses provide ``_batches_of_clips(samples)`` yielding
+    ``(buffer_index, filled_count, file_indices)`` against a persistent
+    buffer ring (set ``self._free`` to the ring's free-list), and
+    ``_dispatch(bi, count, files) -> (out, labels, count, bi)``. The
+    base contributes batching/len arithmetic, the prefetch/finish loop
+    with ring recycling, label pairing, deterministic multi-host sample
+    sharding, and mid-epoch ``state_dict``/``load_state_dict`` resume.
+    """
+
+    def __len__(self) -> int:
+        """Batches per epoch for THIS shard."""
+        n = len(self.sampler)
+        mine = (n - self.shard_index + self.shard_count - 1) // self.shard_count
+        if self.drop_last:
+            return mine // self.batch_size
+        return (mine + self.batch_size - 1) // self.batch_size
+
+    @property
+    def clips_per_epoch(self) -> int:
+        return len(self.sampler)
+
+    def _reshape_out(self, out, b: int):
+        T = self.clip_len
+
+        def r(a):
+            return a.reshape((b, T) + a.shape[1:])
+
+        return tuple(r(p) for p in out) if isinstance(out, tuple) else r(out)
+
+    def epoch(self, epoch: Optional[int] = None) -> Iterator:
+        """Yield ``[B, T, ...]`` device batches (``(batch, labels)``
+        pairs when the loader has labels) for one epoch."""
+        import jax
+
+        e = self._epoch if epoch is None else int(epoch)
+        samples = self.sampler.epoch(e)
+        if self.shard_count > 1:
+            samples = samples[self.shard_index::self.shard_count]
+        skip = min(self._resume_clips, len(samples))
+        self._resume_clips = 0
+        self._pos = [e, skip]
+        samples = samples[skip:]
+
+        def finish(disp):
+            out, labels, b, bi = disp
+            # the transfer out of the host buffer must complete before
+            # its ring slot is reused (block_until_ready is the
+            # correctness barrier for buffer recycling)
+            jax.block_until_ready(out)
+            self._free.append(bi)
+            out = self._reshape_out(out, b)
+            self._pos[1] += b
+            return (out, labels) if labels is not None else out
+
+        inflight: list = []
+        for bi, count, files in self._batches_of_clips(samples):
+            if count < self.batch_size and self.drop_last:
+                self._free.append(bi)
+                continue
+            inflight.append(self._dispatch(bi, count, files))
+            if len(inflight) >= self.prefetch:
+                yield finish(inflight.pop(0))
+        while inflight:
+            yield finish(inflight.pop(0))
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def __iter__(self) -> Iterator:
+        it = self.epoch(self._epoch)
+        self._epoch += 1
+        return it
+
+    # -- checkpoint/resume ---------------------------------------------------
+
+    def state_dict(self) -> dict:
+        """Position after the last yielded batch: resume-exact."""
+        e, clips = getattr(self, "_pos", [self._epoch, 0])
+        return {"epoch": int(e), "clips": int(clips)}
+
+    def load_state_dict(self, state: dict) -> None:
+        """Arm the loader so the next :meth:`epoch` / ``iter()`` call
+        resumes exactly after the checkpointed batch (same seed and
+        configuration assumed — sampling is deterministic)."""
+        self._epoch = int(state["epoch"])
+        self._resume_clips = int(state["clips"])
+
+    def _batch_labels(self, files: list):
+        return (
+            self.labels[np.asarray(files)]
+            if self.labels is not None else None
+        )
+
+
+class VideoClipLoader(_ClipLoaderBase):
     """Corpus → shuffled clip batches on device: ``[B, T, ...]`` tensors.
 
     ``output``: any :class:`~videoprocessingframework_tpu.ops.fused.
@@ -370,20 +467,6 @@ class VideoClipLoader:
         self._epoch = 0
         self._resume_clips = 0  # one-shot skip set by load_state_dict
 
-    # -- sizes ---------------------------------------------------------------
-
-    def __len__(self) -> int:
-        """Batches per epoch for THIS shard."""
-        n = len(self.sampler)
-        mine = (n - self.shard_index + self.shard_count - 1) // self.shard_count
-        if self.drop_last:
-            return mine // self.batch_size
-        return (mine + self.batch_size - 1) // self.batch_size
-
-    @property
-    def clips_per_epoch(self) -> int:
-        return len(self.sampler)
-
     # -- decode --------------------------------------------------------------
 
     def _reader_for(self, cache: dict, fi: int) -> _ClipReader:
@@ -474,10 +557,7 @@ class VideoClipLoader:
     def _dispatch(self, bi: int, count: int, files: list) -> tuple:
         import jax
 
-        labels = (
-            self.labels[np.asarray(files)]
-            if self.labels is not None else None
-        )
+        labels = self._batch_labels(files)
         # contiguous flat [count·T, rows, W] view of the ring buffer — no
         # copy, no fresh pages
         flat = self._bufs[bi][:count].reshape(
@@ -503,62 +583,3 @@ class VideoClipLoader:
                 else jax.device_put(flat)
             )
         return out, labels, count, bi
-
-    def epoch(self, epoch: Optional[int] = None) -> Iterator:
-        """Yield ``[B, T, ...]`` device batches (or ``(batch, labels)``
-        pairs when the loader has labels) for one epoch."""
-        import jax
-
-        e = self._epoch if epoch is None else int(epoch)
-        samples = self.sampler.epoch(e)
-        if self.shard_count > 1:
-            samples = samples[self.shard_index::self.shard_count]
-        skip = min(self._resume_clips, len(samples))
-        self._resume_clips = 0
-        self._pos = [e, skip]
-        samples = samples[skip:]
-        T = self.clip_len
-
-        def finish(disp):
-            out, labels, b, bi = disp
-            # the transfer out of the host buffer must complete before
-            # its ring slot is reused (block_until_ready is the
-            # correctness barrier for buffer recycling)
-            jax.block_until_ready(out)
-            self._free.append(bi)
-            out = out.reshape((b, T) + out.shape[1:])
-            self._pos[1] += b
-            return (out, labels) if labels is not None else out
-
-        inflight: list = []
-        for bi, count, files in self._batches_of_clips(samples):
-            if count < self.batch_size and self.drop_last:
-                self._free.append(bi)
-                continue
-            inflight.append(self._dispatch(bi, count, files))
-            if len(inflight) >= self.prefetch:
-                yield finish(inflight.pop(0))
-        while inflight:
-            yield finish(inflight.pop(0))
-
-    def set_epoch(self, epoch: int) -> None:
-        self._epoch = int(epoch)
-
-    # -- checkpoint/resume ---------------------------------------------------
-
-    def state_dict(self) -> dict:
-        """Position after the last yielded batch: resume-exact."""
-        e, clips = getattr(self, "_pos", [self._epoch, 0])
-        return {"epoch": int(e), "clips": int(clips)}
-
-    def load_state_dict(self, state: dict) -> None:
-        """Arm the loader so the next :meth:`epoch` / ``iter()`` call
-        resumes exactly after the checkpointed batch (same seed and
-        configuration assumed — sampling is deterministic)."""
-        self._epoch = int(state["epoch"])
-        self._resume_clips = int(state["clips"])
-
-    def __iter__(self) -> Iterator:
-        it = self.epoch(self._epoch)
-        self._epoch += 1
-        return it

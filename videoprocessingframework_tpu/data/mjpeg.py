@@ -31,7 +31,7 @@ import numpy as np
 from ..core.enums import CodecId, SeekMode
 from ..core.packet import SeekContext
 from ..utils.tracing import trace_range
-from .loader import ClipSampler, VideoCorpus
+from .loader import ClipSampler, VideoCorpus, _ClipLoaderBase
 
 __all__ = ["MjpegClipLoader"]
 
@@ -86,7 +86,7 @@ class _JpegClipReader:
         self.next_idx = idx
 
 
-class MjpegClipLoader:
+class MjpegClipLoader(_ClipLoaderBase):
     """Shuffled clip batches from MJPEG files, device-decoded.
 
     Same sampling semantics as :class:`~.loader.VideoClipLoader`
@@ -217,19 +217,6 @@ class MjpegClipLoader:
         self._epoch = 0
         self._resume_clips = 0
 
-    # -- sizes ---------------------------------------------------------------
-
-    def __len__(self) -> int:
-        n = len(self.sampler)
-        mine = (n - self.shard_index + self.shard_count - 1) // self.shard_count
-        if self.drop_last:
-            return mine // self.batch_size
-        return (mine + self.batch_size - 1) // self.batch_size
-
-    @property
-    def clips_per_epoch(self) -> int:
-        return len(self.sampler)
-
     # -- decode --------------------------------------------------------------
 
     def _coef_buffers(self, count: int) -> list:
@@ -320,10 +307,7 @@ class MjpegClipLoader:
     def _dispatch(self, bi: int, count: int, files: list) -> tuple:
         import jax
 
-        labels = (
-            self.labels[np.asarray(files)]
-            if self.labels is not None else None
-        )
+        labels = self._batch_labels(files)
         n = count * self.clip_len
         coeffs = tuple(c[:n] for c in self._bufs[bi])
         with trace_range("JpegClipDispatch"):
@@ -345,61 +329,3 @@ class MjpegClipLoader:
                 )
             out = self.pipeline(*coeffs)
         return out, labels, count, bi
-
-    def epoch(self, epoch: Optional[int] = None) -> Iterator:
-        """Yield ``[B, T, ...]`` batches (``(batch, labels)`` pairs with
-        labels; ``output='planes'`` yields per-plane tuples)."""
-        import jax
-
-        e = self._epoch if epoch is None else int(epoch)
-        samples = self.sampler.epoch(e)
-        if self.shard_count > 1:
-            samples = samples[self.shard_index::self.shard_count]
-        skip = min(self._resume_clips, len(samples))
-        self._resume_clips = 0
-        self._pos = [e, skip]
-        samples = samples[skip:]
-        T = self.clip_len
-
-        def reshape(a, b):
-            return a.reshape((b, T) + a.shape[1:])
-
-        def finish(disp):
-            out, labels, b, bi = disp
-            jax.block_until_ready(out)
-            self._free.append(bi)
-            out = (
-                tuple(reshape(p, b) for p in out)
-                if isinstance(out, tuple) else reshape(out, b)
-            )
-            self._pos[1] += b
-            return (out, labels) if labels is not None else out
-
-        inflight: list = []
-        for bi, count, files in self._batches_of_clips(samples):
-            if count < self.batch_size and self.drop_last:
-                self._free.append(bi)
-                continue
-            inflight.append(self._dispatch(bi, count, files))
-            if len(inflight) >= self.prefetch:
-                yield finish(inflight.pop(0))
-        while inflight:
-            yield finish(inflight.pop(0))
-
-    def set_epoch(self, epoch: int) -> None:
-        self._epoch = int(epoch)
-
-    def __iter__(self) -> Iterator:
-        it = self.epoch(self._epoch)
-        self._epoch += 1
-        return it
-
-    # -- checkpoint/resume ---------------------------------------------------
-
-    def state_dict(self) -> dict:
-        e, clips = getattr(self, "_pos", [self._epoch, 0])
-        return {"epoch": int(e), "clips": int(clips)}
-
-    def load_state_dict(self, state: dict) -> None:
-        self._epoch = int(state["epoch"])
-        self._resume_clips = int(state["clips"])
