@@ -226,30 +226,58 @@ def _luma_frames(path, n, width, height):
     return out
 
 
+def _ssim_np(a, b, window=8, max_val=255.0):
+    """Host-side mirror of ops.metrics.ssim (uniform non-overlapping
+    patches) so the bench's quality gate stays weather-free."""
+    h, w = a.shape
+    hh, ww = (h // window) * window, (w // window) * window
+
+    def patches(x):
+        x = x[:hh, :ww].astype(np.float64)
+        x = x.reshape(hh // window, window, ww // window, window)
+        return x.transpose(0, 2, 1, 3).reshape(-1, window * window)
+
+    pa, pb = patches(a), patches(b)
+    mu_a, mu_b = pa.mean(-1), pb.mean(-1)
+    var_a, var_b = pa.var(-1), pb.var(-1)
+    cov = (pa * pb).mean(-1) - mu_a * mu_b
+    c1, c2 = (0.01 * max_val) ** 2, (0.03 * max_val) ** 2
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+        (mu_a**2 + mu_b**2 + c1) * (var_a + var_b + c2)
+    )
+    return float(s.mean())
+
+
 def transcode_metrics(clip, width, height, preset="P1", streams=1):
     """Overlapped transcode (native decode worker + encoder thread,
-    io/transcode.py) fps + recon PSNR — the SampleMeasureVideoQuality
-    analog (BASELINE.md configs[4]). ``streams > 1`` runs the
-    stream-per-thread aggregate (multi-core hosts)."""
+    io/transcode.py) fps + recon PSNR/SSIM — the
+    SampleMeasureVideoQuality analog (BASELINE.md configs[4]; the
+    reference sample reports PSNR, SSIM added beyond it). ``streams > 1``
+    runs the stream-per-thread aggregate (multi-core hosts)."""
     from videoprocessingframework_tpu.io import transcode, transcode_many
 
     opts = {"preset": preset, "bitrate": "8M", "gop": "30"}
     if streams > 1:
         agg = transcode_many([str(clip)] * streams, opts)
-        return agg.fps, 0.0  # aggregate mode: fps only
+        return agg.fps, 0.0, 0.0  # aggregate mode: fps only
     stream, st = transcode(str(clip), opts)
 
-    # decode the re-encoded stream, PSNR of the first frames' luma
+    # decode the re-encoded stream, PSNR/SSIM of the first frames' luma
     es = BENCH_DIR / "transcode_check.h264"
     es.write_bytes(stream)
     originals = _luma_frames(clip, 8, width, height)
     recons = _luma_frames(es, 8, width, height)
-    psnrs = []
+    psnrs, ssims = [], []
     for orig, recon in zip(originals, recons):
         err = orig.astype(np.float64) - recon.astype(np.float64)
         mse = max((err**2).mean(), 1e-9)
         psnrs.append(10 * np.log10(255.0**2 / mse))
-    return st.fps, (float(np.mean(psnrs)) if psnrs else 0.0)
+        ssims.append(_ssim_np(orig, recon))
+    return (
+        st.fps,
+        float(np.mean(psnrs)) if psnrs else 0.0,
+        float(np.mean(ssims)) if ssims else 0.0,
+    )
 
 
 def kernel_fidelity(postproc, planes, out_h, out_w, space, rng):
@@ -483,8 +511,8 @@ def main() -> int:
     if args.ladder:
         ladder = {}
         for preset in ("P1", "P2", "P3", "P4", "P5"):
-            fps, psnr = transcode_metrics(clip, width, height, preset=preset)
-            ladder[preset] = {"fps": round(fps, 1), "psnr_db": round(psnr, 2)}
+            fps, psnr, ssim = transcode_metrics(clip, width, height, preset=preset)
+            ladder[preset] = {"fps": round(fps, 1), "psnr_db": round(psnr, 2), "ssim": round(ssim, 4)}
         print(json.dumps({"metric": "transcode preset ladder",
                           "clip": f"{width}x{height}", "ladder": ladder}))
         return 0
@@ -852,14 +880,15 @@ def main() -> int:
 
     try:
         _progress("transcode...")
-        transcode_fps, transcode_psnr = transcode_metrics(
+        transcode_fps, transcode_psnr, transcode_ssim = transcode_metrics(
             clip, width, height
         )
     except Exception:
-        transcode_fps, transcode_psnr = 0.0, 0.0
+        transcode_fps, transcode_psnr, transcode_ssim = 0.0, 0.0, 0.0
 
     result["extra"]["transcode_fps"] = round(transcode_fps, 1)
     result["extra"]["transcode_psnr_db"] = round(transcode_psnr, 2)
+    result["extra"]["transcode_ssim"] = round(transcode_ssim, 4)
     _checkpoint(result)
 
     # data-loader throughput (host path: decode + clip assembly + local
@@ -899,7 +928,7 @@ def main() -> int:
             pass
     if ncpu > 1:
         try:
-            agg_fps, _ = transcode_metrics(
+            agg_fps, _, _ = transcode_metrics(
                 clip, width, height, streams=min(ncpu, 8)
             )
             result["extra"]["transcode_agg_fps"] = round(agg_fps, 1)
