@@ -276,6 +276,8 @@ struct Parser {
             if (tq > 3)
               return vpf_set_error(VPF_ERR_PARSE, "jpeg: DQT id %d", tq);
             ++o;
+            if (o + (pq ? 128u : 64u) > segn)
+              return vpf_set_error(VPF_ERR_PARSE, "jpeg: truncated DQT");
             for (int z = 0; z < 64; ++z) {
               if (pq) {
                 qtab[tq][z] = (uint16_t)((seg[o] << 8) | seg[o + 1]);
@@ -314,6 +316,9 @@ struct Parser {
             comp[c].hs = seg[7 + 3 * c] >> 4;
             comp[c].vs = seg[7 + 3 * c] & 15;
             comp[c].tq = seg[8 + 3 * c];
+            if (comp[c].tq > 3) /* qtab[4]: OOB index from the wire */
+              return vpf_set_error(VPF_ERR_PARSE, "jpeg: SOF quant id %d",
+                                   comp[c].tq);
             if (comp[c].hs < 1 || comp[c].hs > 2 || comp[c].vs < 1 ||
                 comp[c].vs > 2)
               return vpf_set_error(VPF_ERR,
@@ -323,12 +328,18 @@ struct Parser {
           break;
         }
         case 0xDD: /* DRI */
+          if (segn < 2)
+            return vpf_set_error(VPF_ERR_PARSE, "jpeg: truncated DRI");
           restart = (seg[0] << 8) | seg[1];
           break;
         case 0xDA: { /* SOS */
           if (!W)
             return vpf_set_error(VPF_ERR_PARSE, "jpeg: SOS before SOF");
+          if (segn < 1)
+            return vpf_set_error(VPF_ERR_PARSE, "jpeg: truncated SOS");
           int ns = seg[0];
+          if (segn < 1 + 2 * (size_t)ns + 3)
+            return vpf_set_error(VPF_ERR_PARSE, "jpeg: truncated SOS");
           if (ns != ncomp)
             return vpf_set_error(
                 VPF_ERR, "jpeg: non-interleaved scan (%d of %d components)",
@@ -340,6 +351,13 @@ struct Parser {
               if (comp[c].id == cid) {
                 comp[c].td = seg[2 + 2 * s] >> 4;
                 comp[c].ta = seg[2 + 2 * s] & 15;
+                if (comp[c].td > 3 || comp[c].ta > 3)
+                  /* dc[4]/ac[4]: OOB index from the wire (found by the
+                   * fuzz gate: a flipped SOS selector byte segfaulted
+                   * decode_scan through a garbage HuffTable) */
+                  return vpf_set_error(VPF_ERR_PARSE,
+                                       "jpeg: SOS Huffman id %d/%d",
+                                       comp[c].td, comp[c].ta);
                 found = true;
               }
             if (!found)
