@@ -74,6 +74,16 @@ for _ in range(300):
         m[i + 2: i + 4] = rng.integers(0, 256, 2, np.uint8)
     feed(m)
 
+# 5) valid headers + fully random entropy payloads (drives the Huffman
+# decode loop through arbitrary symbol sequences / run-length overruns)
+sos = bytes(valid).find(b"\xff\xda")
+hdr_end = sos + 2 + ((int(valid[sos + 2]) << 8) | int(valid[sos + 3]))
+hdr = valid[:hdr_end]
+for n in (0, 1, 17, 300, valid.size):
+    for _ in range(60):
+        body = rng.integers(0, 256, n, np.uint8).astype(np.uint8)
+        feed(np.concatenate([hdr, body, np.frombuffer(b"\xff\xd9", np.uint8)]))
+
 print(f"fuzz done: {ok} decoded, {bad} rejected cleanly")
 """
 
