@@ -164,17 +164,22 @@ def test_drop_last_and_len(corpus):
 
 
 def test_multihost_shard_split(corpus):
-    """shard_index/shard_count partition the epoch without overlap."""
+    """shard_index/shard_count partition the epoch: disjoint, complete,
+    and equal (as clip content) to the unsharded epoch."""
     kw = dict(clip_len=8, batch_size=2, output="packed", shuffle=True,
               seed=5, workers=1)
     full = VideoClipLoader(corpus, **kw)
-    n = full.clips_per_epoch
-    seen = []
+    want = {
+        bytes(c) for b in full.epoch(0) for c in np.asarray(b)
+    }
+    seen: list = []
     for si in range(2):
         ld = VideoClipLoader(corpus, shard_index=si, shard_count=2, **kw)
         for b in ld.epoch(0):
-            seen.append(np.asarray(b))
-    assert sum(b.shape[0] for b in seen) == n
+            seen.extend(bytes(c) for c in np.asarray(b))
+    assert len(seen) == full.clips_per_epoch
+    assert len(set(seen)) == len(seen)  # no overlap between shards
+    assert set(seen) == want            # complete coverage
 
 
 def test_sharded_device_placement(corpus):

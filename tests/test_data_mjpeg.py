@@ -114,3 +114,29 @@ def test_rejects_non_mjpeg_and_mixed_tables(test_mp4, clip_avi, tmp_path):
     _mk_avi(other, quality=50)
     with pytest.raises(JpegStreamError, match="quant tables"):
         MjpegClipLoader([clip_avi, str(other)], clip_len=2)
+
+
+def test_midstream_quant_change_detected(tmp_path):
+    """Adaptive-DQT streams must raise, not silently decode with stale
+    bases (the pipeline folds one table set into its basis matrices)."""
+    import numpy as np
+
+    from videoprocessingframework_tpu.io.jpeg import JpegCoefEncoder
+    from videoprocessingframework_tpu.ops.jpeg import JpegDeviceEncoder
+
+    p = tmp_path / "adaptive.mjpeg"
+    rng = np.random.default_rng(0)
+    with open(p, "wb") as f:
+        for q in (90, 90, 90, 50, 50, 50):
+            enc = JpegDeviceEncoder(H, W, quality=q)
+            ce = JpegCoefEncoder(W, H, quant_tables=enc.quant_tables)
+            y = rng.integers(0, 256, (1, H, W), np.uint8)
+            u = rng.integers(0, 256, (1, H // 2, W // 2), np.uint8)
+            v = rng.integers(0, 256, (1, H // 2, W // 2), np.uint8)
+            cy, cu, cv = (np.asarray(c) for c in enc.encode_planes(y, u, v))
+            f.write(ce.encode(cy[0], cu[0], cv[0]))
+    ld = MjpegClipLoader(str(p), clip_len=2, batch_size=2,
+                         output="rgb_u8", shuffle=False, workers=1,
+                         lengths=[6])
+    with pytest.raises(JpegStreamError, match="quant tables changed"):
+        list(ld.epoch(0))

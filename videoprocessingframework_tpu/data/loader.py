@@ -148,7 +148,7 @@ class ClipSampler:
         self.stride = stride
         span = (clip_len - 1) * stride + 1
         self.span = span
-        self.hop = int(hop) if hop else span
+        self.hop = int(hop) if hop is not None else span
         if self.hop < 1:
             raise ValueError("hop must be >= 1")
         self.shuffle = shuffle
@@ -238,6 +238,62 @@ class _ClipLoaderBase:
     with ring recycling, label pairing, deterministic multi-host sample
     sharding, and mid-epoch ``state_dict``/``load_state_dict`` resume.
     """
+
+    def _init_common(
+        self, *, clip_len, frame_stride, batch_size, shuffle, seed, hop,
+        drop_last, workers, prefetch, device, sharding, shard_index,
+        shard_count, labels, output,
+    ) -> None:
+        """Shared configuration (requires ``self.corpus`` set): sampler,
+        batching/shard/placement params, the measured worker/prefetch
+        policy, the VFR seek gate, and label validation."""
+        if not (0 <= shard_index < shard_count):
+            raise ValueError("need 0 <= shard_index < shard_count")
+        self.sampler = ClipSampler(
+            self.corpus, clip_len, frame_stride, hop=hop,
+            shuffle=shuffle, seed=seed,
+        )
+        self.clip_len = clip_len
+        self.frame_stride = frame_stride
+        self.batch_size = int(batch_size)
+        self.drop_last = bool(drop_last)
+        self.shard_index, self.shard_count = int(shard_index), int(shard_count)
+        self.device = device
+        self.sharding = sharding
+        self.output = output
+        ncpu = os.cpu_count() or 1
+        self.workers = (
+            int(workers) if workers > 0
+            else (1 if ncpu == 1 else min(self.batch_size, ncpu))
+        )
+        # measured on small hosts (MultiStreamPipeline): keeping batches
+        # in flight serializes badly against the runtime on 1 core —
+        # block immediately there, overlap elsewhere
+        self.prefetch = 1 if ncpu == 1 else max(1, int(prefetch))
+        # frame-number seeks happen whenever per-reader access isn't
+        # strictly sequential: shuffled sampling, overlapping hops, or
+        # worker fan-out (threads interleave windows across readers)
+        needs_seek = (
+            shuffle or self.sampler.hop != self.sampler.span
+            or self.workers > 1
+        )
+        if needs_seek:
+            vfr = [s.path for s in self.corpus.streams if s.is_vfr]
+            if vfr:
+                raise ValueError(
+                    "random clip access seeks by frame number, which VFR "
+                    "streams don't support (reference contract: 'Can't "
+                    "seek by frame number in VFR streams') — use "
+                    "shuffle=False with contiguous hop and workers=1, or "
+                    f"re-mux: {vfr}"
+                )
+        if labels is not None and len(labels) != len(self.corpus):
+            raise ValueError(
+                f"{len(labels)} labels for {len(self.corpus)} corpus files"
+            )
+        self.labels = np.asarray(labels) if labels is not None else None
+        self._epoch = 0
+        self._resume_clips = 0  # one-shot skip set by load_state_dict
 
     def __len__(self) -> int:
         """Batches per epoch for THIS shard."""
@@ -397,40 +453,14 @@ class VideoClipLoader(_ClipLoaderBase):
             self.corpus = VideoCorpus(
                 [str(s) for s in sources], lengths=lengths
             )
-        if not (0 <= shard_index < shard_count):
-            raise ValueError("need 0 <= shard_index < shard_count")
-        self.sampler = ClipSampler(
-            self.corpus, clip_len, frame_stride, hop=hop,
-            shuffle=shuffle, seed=seed,
+        self._init_common(
+            clip_len=clip_len, frame_stride=frame_stride,
+            batch_size=batch_size, shuffle=shuffle, seed=seed, hop=hop,
+            drop_last=drop_last, workers=workers, prefetch=prefetch,
+            device=device, sharding=sharding, shard_index=shard_index,
+            shard_count=shard_count, labels=labels, output=output,
         )
-        needs_seek = shuffle or self.sampler.hop != self.sampler.span
-        if needs_seek:
-            vfr = [s.path for s in self.corpus.streams if s.is_vfr]
-            if vfr:
-                raise ValueError(
-                    "random clip access seeks by frame number, which VFR "
-                    "streams don't support (reference contract: 'Can't "
-                    "seek by frame number in VFR streams') — use "
-                    f"shuffle=False with contiguous hop, or re-mux: {vfr}"
-                )
-        self.clip_len = clip_len
-        self.frame_stride = frame_stride
-        self.batch_size = int(batch_size)
-        self.drop_last = bool(drop_last)
-        self.shard_index, self.shard_count = int(shard_index), int(shard_count)
-        self.device = device
-        self.sharding = sharding
         self.decode_threads = decode_threads
-        self.output = output
-        ncpu = os.cpu_count() or 1
-        self.workers = (
-            int(workers) if workers > 0
-            else (1 if ncpu == 1 else min(self.batch_size, ncpu))
-        )
-        # measured on small hosts (MultiStreamPipeline): keeping batches
-        # in flight serializes badly against the runtime on 1 core —
-        # block immediately there, overlap elsewhere
-        self.prefetch = 1 if ncpu == 1 else max(1, int(prefetch))
 
         from ..core import geometry
 
@@ -459,13 +489,6 @@ class VideoClipLoader(_ClipLoaderBase):
                 kernel=kernel,
                 compute=compute,
             )
-        if labels is not None and len(labels) != len(self.corpus):
-            raise ValueError(
-                f"{len(labels)} labels for {len(self.corpus)} corpus files"
-            )
-        self.labels = np.asarray(labels) if labels is not None else None
-        self._epoch = 0
-        self._resume_clips = 0  # one-shot skip set by load_state_dict
 
     # -- decode --------------------------------------------------------------
 

@@ -132,6 +132,12 @@ class MjpegClipLoader(_ClipLoaderBase):
         if isinstance(sources, (str, os.PathLike)):
             sources = [sources]
         sources = [str(s) for s in sources]
+        # ONE open per file: codec check + first-packet JPEG probe
+        # together (VideoCorpus below opens each once more for the
+        # stream properties). One configuration per corpus: geometry +
+        # sampling pinned by the device pipeline, quant tables fold into
+        # its basis matrices.
+        snap0 = None
         for s in sources:
             d = FFmpegDemuxer(s)
             try:
@@ -140,17 +146,6 @@ class MjpegClipLoader(_ClipLoaderBase):
                         f"{s}: codec is {d.codec.name}, not MJPEG — use "
                         "VideoClipLoader for inter-coded corpora"
                     )
-            finally:
-                d.close()
-        self.corpus = VideoCorpus(sources, lengths=lengths)
-
-        # probe the JPEG structure of every file; one configuration per
-        # corpus (geometry + sampling pinned by VideoCorpus/devpipe,
-        # quant tables fold into the device bases)
-        snap0 = None
-        for s in sources:
-            d = FFmpegDemuxer(s)
-            try:
                 first = d.demux()
             finally:
                 d.close()
@@ -169,11 +164,12 @@ class MjpegClipLoader(_ClipLoaderBase):
                     f"{sources[0]} — one encoder configuration per "
                     "corpus (bucket or re-encode)"
                 )
+        self.corpus = VideoCorpus(sources, lengths=lengths)
         self._info = snap0
         self.pipeline = JpegDevicePipeline(
             snap0,
             out_size=out_size,
-            output="planes" if output == "planes" else output,
+            output=output,
             method=method,
             compute=compute,
         )
@@ -182,40 +178,14 @@ class MjpegClipLoader(_ClipLoaderBase):
         self._nblocks = [
             int(snap0.bh[c]) * int(snap0.bw[c]) for c in range(self.ncomp)
         ]
-
-        vfr = [s.path for s in self.corpus.streams if s.is_vfr]
-        if vfr:
-            raise ValueError(
-                "clip access seeks by frame number, which VFR streams "
-                f"don't support — re-mux to CFR: {vfr}"
-            )
-        if not (0 <= shard_index < shard_count):
-            raise ValueError("need 0 <= shard_index < shard_count")
-        self.sampler = ClipSampler(
-            self.corpus, clip_len, frame_stride, hop=hop,
-            shuffle=shuffle, seed=seed,
+        self._qt0 = tuple(snap0.qt[: self.ncomp])
+        self._init_common(
+            clip_len=clip_len, frame_stride=frame_stride,
+            batch_size=batch_size, shuffle=shuffle, seed=seed, hop=hop,
+            drop_last=drop_last, workers=workers, prefetch=prefetch,
+            device=device, sharding=sharding, shard_index=shard_index,
+            shard_count=shard_count, labels=labels, output=output,
         )
-        self.clip_len = clip_len
-        self.frame_stride = frame_stride
-        self.batch_size = int(batch_size)
-        self.drop_last = bool(drop_last)
-        self.shard_index, self.shard_count = int(shard_index), int(shard_count)
-        self.device = device
-        self.sharding = sharding
-        self.output = output
-        ncpu = os.cpu_count() or 1
-        self.workers = (
-            int(workers) if workers > 0
-            else (1 if ncpu == 1 else min(self.batch_size, ncpu))
-        )
-        self.prefetch = 1 if ncpu == 1 else max(1, int(prefetch))
-        if labels is not None and len(labels) != len(self.corpus):
-            raise ValueError(
-                f"{len(labels)} labels for {len(self.corpus)} corpus files"
-            )
-        self.labels = np.asarray(labels) if labels is not None else None
-        self._epoch = 0
-        self._resume_clips = 0
 
     # -- decode --------------------------------------------------------------
 
@@ -261,9 +231,25 @@ class MjpegClipLoader(_ClipLoaderBase):
                         )
                     ring[c][s * T + t] = coeffs[c]
 
-            self._reader_for(cache, fi).read_clip(
-                int(start), T, self.frame_stride, sink
+            rd = self._reader_for(cache, fi)
+            rd.read_clip(int(start), T, self.frame_stride, sink)
+            # the device pipeline's bases fold the corpus-probe quant
+            # tables; decoding a frame quantized with OTHER tables would
+            # silently produce wrong pixels (adaptive-DQT encoders do
+            # this) — compare against the pinned tables every clip
+            qt = tuple(
+                tuple(rd.dec.info.qt[c][:64]) for c in range(self.ncomp)
             )
+            if qt != self._qt0:
+                from ..io.jpeg import JpegStreamError
+
+                raise JpegStreamError(
+                    f"{self.corpus.streams[fi].path}: quant tables "
+                    "changed mid-stream — MjpegClipLoader folds one "
+                    "table set into the device bases (re-encode, or "
+                    "decode this file via MjpegReader which rebuilds "
+                    "bases per change)"
+                )
 
         if self.workers <= 1:
             cache: dict = {}
