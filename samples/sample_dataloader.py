@@ -36,6 +36,10 @@ if __name__ == "__main__":
     ap.add_argument("--workers", type=int, default=0)
     ap.add_argument("--sharded", action="store_true",
                     help="place batches sharded over a data mesh")
+    ap.add_argument("--mjpeg", action="store_true",
+                    help="MJPEG corpus via the split codec "
+                    "(host entropy decode, device pixel path); with no "
+                    "inputs a synthetic MJPEG clip is written")
     args = ap.parse_args()
     sources = args.inputs or [default_input()]
 
@@ -51,7 +55,30 @@ if __name__ == "__main__":
         sharding = batch_sharding(mesh)
         log.info("sharding batches over %d devices", n)
 
-    loader = VideoClipLoader(
+    cls = VideoClipLoader
+    if args.mjpeg:
+        from videoprocessingframework_tpu.data import MjpegClipLoader
+
+        cls = MjpegClipLoader
+        if not args.inputs:
+            import tempfile
+
+            import numpy as np
+
+            from videoprocessingframework_tpu.io import MjpegWriter
+
+            w, h, n = 640, 360, 48
+            path = _pathlib.Path(tempfile.mkdtemp()) / "synth.avi"
+            rng = np.random.default_rng(0)
+            with MjpegWriter(str(path), w, h, container="avi") as wr:
+                y = rng.integers(0, 256, (n, h, w), np.uint8)
+                u = np.full((n, h // 2, w // 2), 110, np.uint8)
+                v = np.full((n, h // 2, w // 2), 140, np.uint8)
+                wr.write_planes(y, u, v)
+            sources = [str(path)]
+            log.info("synthesized MJPEG corpus: %s", path)
+
+    loader = cls(
         sources,
         clip_len=args.clip_len,
         frame_stride=args.stride,

@@ -167,3 +167,11 @@ def test_sample_train_video(test_mp4):
                "--batch", "2", "--size", "32", "--steps", "2")
     assert "trained 2 steps" in out
     assert "final loss" in out
+
+
+@pytest.mark.slow
+def test_sample_dataloader_mjpeg():
+    out = _run("sample_dataloader.py", "--mjpeg", "--clip-len", "2",
+               "--batch", "2", "--size", "48", "--workers", "1")
+    assert "synthesized MJPEG corpus" in out
+    assert "epoch 0:" in out

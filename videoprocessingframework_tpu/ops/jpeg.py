@@ -195,22 +195,14 @@ def jpeg_decode_fused(
     paths).
     """
     (bhy, bwy), (bhc, bwc), (h, w), sampling = geometry
-
-    def plane(c, b, bh, bw, ph, pw):
-        pix = jnp.einsum(
-            "nbk,kp->nbp", c.astype(jnp.float32), b, precision="highest"
-        ) + 128.0
-        # round to the u8 the pixel-domain decoder would emit — keeps the
-        # downstream resize+CSC semantics identical to the libav path
-        # (and lets its split-bf16 integer fast path apply)
-        return jnp.rint(jnp.clip(_assemble(pix, bh, bw, ph, pw), 0, 255)
-                        ).astype(jnp.uint8)
-
+    # _plane_from_coeffs rounds to the u8 the pixel-domain decoder would
+    # emit — keeps the downstream resize+CSC semantics identical to the
+    # libav path (and lets its split-bf16 integer fast path apply)
     ch, cw = _chroma_dims(h, w, sampling)
     src = _src_format(sampling)
-    y = plane(cy, by, bhy, bwy, h, w)
-    u = plane(cu, bu, bhc, bwc, ch, cw)
-    v = plane(cv, bv, bhc, bwc, ch, cw)
+    y = _plane_from_coeffs(cy, by, bhy, bwy, h, w)
+    u = _plane_from_coeffs(cu, bu, bhc, bwc, ch, cw)
+    v = _plane_from_coeffs(cv, bv, bhc, bwc, ch, cw)
     return decode_postproc(
         y, u, v,
         src_format=src,
@@ -392,18 +384,10 @@ def _jpeg_decode_fused_gray(
 def _jpeg_planes(cy, cu, cv, by, bu, bv, *, geometry):
     (bhy, bwy), (bhc, bwc), (h, w), sampling = geometry
     ch, cw = _chroma_dims(h, w, sampling)
-
-    def plane(c, b, bh, bw, ph, pw):
-        pix = jnp.einsum(
-            "nbk,kp->nbp", c.astype(jnp.float32), b, precision="highest"
-        ) + 128.0
-        return jnp.rint(jnp.clip(_assemble(pix, bh, bw, ph, pw), 0, 255)
-                        ).astype(jnp.uint8)
-
     return (
-        plane(cy, by, bhy, bwy, h, w),
-        plane(cu, bu, bhc, bwc, ch, cw),
-        plane(cv, bv, bhc, bwc, ch, cw),
+        _plane_from_coeffs(cy, by, bhy, bwy, h, w),
+        _plane_from_coeffs(cu, bu, bhc, bwc, ch, cw),
+        _plane_from_coeffs(cv, bv, bhc, bwc, ch, cw),
     )
 
 
@@ -570,13 +554,7 @@ def _jpeg_transcode(
     sch, scw = _chroma_dims(sh, sw, sampling)
     dch, dcw = _chroma_dims(dh, dw, sampling)
     mode = "split_bf16" if compute in ("auto", "split_bf16") else "highest"
-
-    def plane(c, b, bh, bw, ph, pw):
-        pix = jnp.einsum(
-            "nbk,kp->nbp", c.astype(jnp.float32), b, precision="highest"
-        ) + 128.0
-        return jnp.rint(jnp.clip(_assemble(pix, bh, bw, ph, pw), 0, 255)
-                        ).astype(jnp.uint8)
+    plane = _plane_from_coeffs
 
     def resized(p, ih, iw, oh, ow):
         if (ih, iw) == (oh, ow):
@@ -588,10 +566,7 @@ def _jpeg_transcode(
         r = _resize_plane2d(p, rmat, cmat, jnp.float32, mode)
         return jnp.rint(jnp.clip(r, 0, 255)).astype(jnp.uint8)
 
-    def fwd(p, a, bh, bw):
-        blk = _blockify(p, bh, bw).astype(jnp.float32) - 128.0
-        c = jnp.einsum("nbp,pk->nbk", blk, a, precision="highest")
-        return jnp.clip(jnp.rint(c), -2047, 2047).astype(jnp.int16)
+    fwd = _coeffs_from_plane
 
     y = resized(plane(cy, by, sbhy, sbwy, sh, sw), sh, sw, dh, dw)
     u = resized(plane(cu, bu, sbhc, sbwc, sch, scw), sch, scw, dch, dcw)
