@@ -6,9 +6,10 @@ a jitted data-parallel training step consuming them.
 
 Beyond-parity: the reference has no training at all (SURVEY.md §2.9);
 its closest sample feeds a torch model one frame at a time
-(samples/SampleTorchResnet.py:1095-1151). Clips train a tiny
-frame-classifier here (each frame labeled by its clip's source file) —
-the plumbing, not the model, is the point."""
+(samples/SampleTorchResnet.py:1095-1151). Clips train the bundled
+VideoClassifier (per-frame backbone + temporal attention; each clip
+labeled by its source file) — the plumbing, not the task, is the
+point."""
 
 import pathlib as _pathlib
 import sys as _sys
@@ -39,7 +40,7 @@ if __name__ == "__main__":
     import optax
 
     from videoprocessingframework_tpu.data import VideoClipLoader
-    from videoprocessingframework_tpu.models import init_params, resnet18_like
+    from videoprocessingframework_tpu.models import init_params
     from videoprocessingframework_tpu.parallel import make_mesh
     from videoprocessingframework_tpu.parallel.mesh import batch_sharding
     from videoprocessingframework_tpu.parallel.train import (
@@ -49,9 +50,9 @@ if __name__ == "__main__":
 
     import math
 
-    # the flat [batch·clip_len] frame batch shards over 'data', so the
-    # mesh size must divide it — use the largest common divisor
-    n_dev = math.gcd(len(jax.devices()), args.batch * args.clip_len)
+    # the clip batch [B, T, H, W, C] shards its B dim over 'data', so
+    # the mesh size must divide B — use the largest common divisor
+    n_dev = math.gcd(len(jax.devices()), args.batch)
     mesh = make_mesh(n_dev, ("data", "model"), shape=(n_dev, 1))
     log.info("mesh: %d device(s) on 'data'", n_dev)
 
@@ -63,37 +64,32 @@ if __name__ == "__main__":
         output="rgb_f32",
         drop_last=True,
         sharding=batch_sharding(mesh),
+        labels=list(range(len(sources))),  # clip label = source file
         seed=0,
     )
     nclass = max(2, len(loader.corpus))
     log.info("corpus: %d file(s), %d clips/epoch", len(loader.corpus),
              loader.clips_per_epoch)
 
-    model = resnet18_like(num_classes=nclass)
+    from videoprocessingframework_tpu.models import video_resnet18_like
+
+    model = video_resnet18_like(num_classes=nclass)
     variables = shard_variables(
-        mesh, init_params(model, (2, args.size, args.size, 3))
+        mesh,
+        init_params(model, (1, args.clip_len, args.size, args.size, 3)),
     )
     opt = optax.sgd(0.01, momentum=0.9)
     opt_state = opt.init(variables["params"])
     step = make_train_step(model, mesh, opt)
 
-    # frame labels: the clip's source-file index (a self-supervised toy)
-    samples_per_epoch = loader.sampler.epoch(0)
-
     done = 0
     t0 = time.perf_counter()
     epoch = 0
     while done < args.steps:
-        order = loader.sampler.epoch(epoch)
-        for bi, batch in enumerate(loader.epoch(epoch)):
-            b, t = batch.shape[:2]
-            # flatten clips to frames; label = source file of each clip
-            images = batch.reshape((b * t,) + batch.shape[2:])
-            clip_ids = order[bi * b: bi * b + b, 0]
-            labels = np.repeat(clip_ids.astype(np.int32) % nclass, t)
+        for batch, labels in loader.epoch(epoch):
             variables, opt_state, metrics = step(
                 variables, opt_state,
-                {"image": images, "label": labels},
+                {"image": batch, "label": labels.astype(np.int32) % nclass},
             )
             done += 1
             if done >= args.steps:

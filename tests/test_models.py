@@ -125,3 +125,79 @@ def test_torchvision_weight_converter_roundtrip():
     x = np.random.default_rng(0).random((1, 224, 224, 3), np.float32)
     out = model.apply(converted, x, train=False)
     assert out.shape == (1, 1000) and np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("temporal", ["mean", "attention", "last"])
+def test_video_classifier_forward(temporal):
+    m = models.video_resnet18_like(num_classes=6, temporal=temporal)
+    variables = models.init_params(m, (1, 4, 32, 32, 3))
+    out = jax.jit(lambda v, x: m.apply(v, x, train=False))(
+        variables, jnp.zeros((2, 4, 32, 32, 3))
+    )
+    assert out.shape == (2, 6)
+    assert out.dtype == jnp.float32
+
+
+def test_video_classifier_trains_and_backbone_tree():
+    import optax
+
+    m = models.video_resnet18_like(num_classes=4)
+    variables = models.init_params(m, (1, 2, 32, 32, 3))
+    # backbone param tree mirrors the image ResNet's (graftable trunk)
+    img = models.resnet18_like(num_classes=4)
+    img_vars = models.init_params(img, (1, 32, 32, 3))
+    bb = variables["params"]["backbone"]
+    for key in img_vars["params"]:
+        if key == "classifier":
+            continue  # embedding projection differs by design
+        assert key in bb, f"backbone missing {key}"
+        a = jax.tree_util.tree_map(lambda x: x.shape, img_vars["params"][key])
+        b = jax.tree_util.tree_map(lambda x: x.shape, bb[key])
+        assert a == b
+
+    # one SGD step decreases loss on a tiny overfit batch
+    opt = optax.sgd(0.1, momentum=0.9)
+    opt_state = opt.init(variables["params"])
+    x = np.random.default_rng(0).random((2, 2, 32, 32, 3)).astype(np.float32)
+    y = np.array([0, 1], np.int32)
+
+    @jax.jit
+    def step(variables, opt_state):
+        def loss_fn(p, bs):
+            logits, new = m.apply(
+                {"params": p, "batch_stats": bs}, x, train=True,
+                mutable=["batch_stats"],
+            )
+            l = optax.softmax_cross_entropy_with_integer_labels(
+                logits, y
+            ).mean()
+            return l, new["batch_stats"]
+
+        (l, bs), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"], variables["batch_stats"]
+        )
+        upd, opt_state = opt.update(g, opt_state, variables["params"])
+        p = optax.apply_updates(variables["params"], upd)
+        return {"params": p, "batch_stats": bs}, opt_state, l
+
+    losses = []
+    for _ in range(4):
+        variables, opt_state, l = step(variables, opt_state)
+        losses.append(float(l))
+    assert losses[-1] < losses[0]
+
+
+def test_video_classifier_from_clip_loader(test_mp4):
+    from videoprocessingframework_tpu.data import VideoClipLoader
+
+    ld = VideoClipLoader(
+        [test_mp4], clip_len=2, batch_size=2, out_size=(32, 32),
+        output="rgb_f32", drop_last=True, workers=1,
+    )
+    batch = next(iter(ld.epoch(0)))
+    m = models.video_resnet18_like(num_classes=3)
+    variables = models.init_params(m, (1, 2, 32, 32, 3))
+    out = jax.jit(lambda v, x: m.apply(v, x, train=False))(
+        variables, batch
+    )
+    assert out.shape == (2, 3)
