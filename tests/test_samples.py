@@ -175,3 +175,11 @@ def test_sample_dataloader_mjpeg():
                "--batch", "2", "--size", "48", "--workers", "1")
     assert "synthesized MJPEG corpus" in out
     assert "epoch 0:" in out
+
+
+@pytest.mark.slow
+def test_sample_serving(test_mp4):
+    out = _run("sample_serving.py", test_mp4, "--clients", "2",
+               "--frames", "8", "--max-batch", "4")
+    assert "served 8 requests" in out
+    assert "p50" in out

@@ -78,6 +78,8 @@ _LAZY = {
     "VideoClipLoader": "data",
     "BucketedClipLoader": "data",
     "MjpegClipLoader": "data",
+    # serving
+    "InferenceServer": "serving",
 }
 
 

@@ -1,0 +1,256 @@
+"""Dynamic-batching inference serving over a compiled model.
+
+The production-serving layer above the decode pipelines: callers submit
+single items (frames, clips, or preprocessed tensors) from any thread
+and get a Future; a collector thread groups requests into batches,
+pads each to a fixed BUCKET size, and runs one compiled program per
+batch. TPU-first constraints shape the design:
+
+* **Static shapes.** XLA compiles per input shape, so ragged batches
+  are padded up to a small ladder of bucket sizes (powers of two by
+  default) — every bucket compiles once, then serving never recompiles.
+  ``warmup()`` pre-compiles the whole ladder.
+* **Batching is where TPU throughput lives.** The collector waits up to
+  ``max_wait_ms`` for co-arriving requests (classic dynamic batching):
+  latency-bound services set it near zero, throughput-bound ones
+  higher.
+* **One dispatch in flight.** The collector dispatches batch *i+1*
+  while *i* computes (jax dispatch is async); results land on the
+  caller futures as they materialize.
+
+The reference has no serving layer (its samples loop one frame at a
+time through pybind calls); this is the beyond-parity piece a
+deployment actually runs. Works with any callable over a leading batch
+axis: a jitted model, a FusedPipeline, or a fused
+preprocess+model composition.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+__all__ = ["InferenceServer"]
+
+
+class _Stats:
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.requests = 0
+        self.batches = 0
+        self.padded_items = 0
+        self.latencies_ms: list[float] = []
+
+    def record(self, n: int, pad: int, lat_ms: Sequence[float]) -> None:
+        with self.lock:
+            self.requests += n
+            self.batches += 1
+            self.padded_items += pad
+            self.latencies_ms.extend(lat_ms)
+            if len(self.latencies_ms) > 10000:
+                self.latencies_ms = self.latencies_ms[-5000:]
+
+    def snapshot(self) -> dict:
+        with self.lock:
+            lats = np.asarray(self.latencies_ms[-5000:], np.float64)
+            out = {
+                "requests": self.requests,
+                "batches": self.batches,
+                "padded_items": self.padded_items,
+                "mean_batch": (
+                    self.requests / self.batches if self.batches else 0.0
+                ),
+            }
+            if lats.size:
+                out["latency_ms_p50"] = float(np.percentile(lats, 50))
+                out["latency_ms_p99"] = float(np.percentile(lats, 99))
+            return out
+
+
+class InferenceServer:
+    """Thread-safe dynamic batcher over ``infer_fn``.
+
+    ``infer_fn(batch) -> batch_out`` must accept a leading batch axis of
+    any bucket size (same trailing shape as ``item_shape``) and return
+    an array (or tuple/list of arrays) with the same leading size.
+
+    ``buckets``: ascending batch sizes to pad to; default powers of two
+    up to ``max_batch``. For a mesh-sharded ``infer_fn`` pass bucket
+    sizes that the data axis divides.
+
+    ``max_wait_ms``: how long the collector holds the FIRST request of
+    a batch hoping for co-arrivals. 0 = dispatch immediately (lowest
+    latency, worst batching).
+    """
+
+    def __init__(
+        self,
+        infer_fn: Callable,
+        item_shape: tuple,
+        dtype=np.uint8,
+        max_batch: int = 32,
+        max_wait_ms: float = 2.0,
+        buckets: Optional[Sequence[int]] = None,
+    ):
+        self.infer_fn = infer_fn
+        self.item_shape = tuple(item_shape)
+        self.dtype = np.dtype(dtype)
+        if buckets is None:
+            buckets, b = [], 1
+            while b < max_batch:
+                buckets.append(b)
+                b *= 2
+            buckets.append(max_batch)
+        self.buckets = sorted(set(int(b) for b in buckets))
+        self.max_batch = self.buckets[-1]
+        self.max_wait_s = max(0.0, float(max_wait_ms)) / 1e3
+        self.stats = _Stats()
+        self._q: queue.Queue = queue.Queue()
+        self._closed = False
+        # persistent padded staging buffers, one per bucket (fresh-page
+        # faults cost ~35 ms/MB on small hosts — same ring rationale as
+        # the loaders; one batch in flight ⇒ two buffers per bucket
+        # alternate so staging batch i+1 never overwrites in-flight i)
+        self._staging = {
+            b: [np.zeros((b,) + self.item_shape, self.dtype)
+                for _ in range(2)]
+            for b in self.buckets
+        }
+        self._flip = {b: 0 for b in self.buckets}
+        self._worker = threading.Thread(
+            target=self._run, daemon=True, name="vpf-serving"
+        )
+        self._worker.start()
+
+    # -- client API ----------------------------------------------------------
+
+    def submit(self, item) -> Future:
+        """Enqueue one item; returns a Future resolving to its output."""
+        a = np.asarray(item, self.dtype)
+        if a.shape != self.item_shape:
+            raise ValueError(
+                f"item shape {a.shape} != server shape {self.item_shape}"
+            )
+        if self._closed:
+            raise RuntimeError("server is closed")
+        fut: Future = Future()
+        self._q.put((a, fut, time.perf_counter()))
+        return fut
+
+    def submit_many(self, items) -> list[Future]:
+        return [self.submit(x) for x in items]
+
+    def infer(self, item, timeout: Optional[float] = None):
+        """Blocking convenience: submit + wait."""
+        return self.submit(item).result(timeout=timeout)
+
+    def warmup(self) -> None:
+        """Pre-compile every bucket size (first compile is slow on TPU;
+        do it before taking traffic)."""
+        import jax
+
+        for b in self.buckets:
+            jax.block_until_ready(self.infer_fn(self._staging[b][0]))
+
+    def snapshot(self) -> dict:
+        return self.stats.snapshot()
+
+    def close(self) -> None:
+        if not self._closed:
+            self._closed = True
+            self._q.put(None)  # wake the collector
+            self._worker.join(timeout=30.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- collector -----------------------------------------------------------
+
+    def _collect(self):
+        """Block for the first request, then gather co-arrivals up to
+        max_batch or max_wait. Returns list of (item, future, t_submit)
+        or None at shutdown."""
+        first = self._q.get()
+        if first is None:
+            return None
+        batch = [first]
+        deadline = time.perf_counter() + self.max_wait_s
+        while len(batch) < self.max_batch:
+            left = deadline - time.perf_counter()
+            try:
+                nxt = (
+                    self._q.get_nowait() if left <= 0
+                    else self._q.get(timeout=left)
+                )
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._q.put(None)  # re-signal shutdown after this batch
+                break
+            batch.append(nxt)
+        return batch
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.max_batch
+
+    def _run(self):
+        import jax
+
+        inflight = None  # (outputs, requests, padded_count)
+
+        def land(disp):
+            out, reqs, pad = disp
+            jax.block_until_ready(out)
+            t_done = time.perf_counter()
+            lats = []
+            for i, (_a, fut, t_sub) in enumerate(reqs):
+                try:
+                    if isinstance(out, (tuple, list)):
+                        fut.set_result(tuple(o[i] for o in out))
+                    else:
+                        fut.set_result(out[i])
+                except Exception:  # future already cancelled
+                    pass
+                lats.append((t_done - t_sub) * 1e3)
+            self.stats.record(len(reqs), pad, lats)
+
+        while True:
+            reqs = self._collect()
+            if reqs is None:
+                if inflight is not None:
+                    land(inflight)
+                return
+            n = len(reqs)
+            b = self._bucket_for(n)
+            buf = self._staging[b][self._flip[b]]
+            self._flip[b] ^= 1
+            for i, (a, _f, _t) in enumerate(reqs):
+                buf[i] = a
+            try:
+                out = self.infer_fn(buf)
+            except Exception as e:
+                for _a, fut, _t in reqs:
+                    fut.set_exception(e)
+                if inflight is not None and self._q.empty():
+                    land(inflight)
+                    inflight = None
+                continue
+            if inflight is not None:
+                land(inflight)
+            inflight = (out, reqs, b - n)
+            if self._q.empty():
+                # no pending traffic: land now rather than holding
+                # results hostage to the next arrival
+                land(inflight)
+                inflight = None
