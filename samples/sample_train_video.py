@@ -33,6 +33,11 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--checkpoint", default=None, metavar="DIR",
+                    help="preemption-safe training: save loader + model "
+                    "+ optimizer state every --save-every steps; a rerun "
+                    "with the same DIR resumes exactly")
+    ap.add_argument("--save-every", type=int, default=2)
     args = ap.parse_args()
     sources = args.inputs or [default_input()]
 
@@ -82,19 +87,58 @@ if __name__ == "__main__":
     opt_state = opt.init(variables["params"])
     step = make_train_step(model, mesh, opt)
 
+    # preemption-safe resume: model/optimizer via orbax, loader position
+    # via its own state_dict (sampling is a pure fn of seed+epoch, so
+    # the resumed run yields the exact remaining batch stream)
+    import json
+
     done = 0
+    ckdir = _pathlib.Path(args.checkpoint) if args.checkpoint else None
+    if ckdir is not None and (ckdir / "meta.json").exists():
+        from videoprocessingframework_tpu.models.checkpoint import (
+            load_checkpoint,
+        )
+
+        meta = json.loads((ckdir / "meta.json").read_text())
+        restored = load_checkpoint(
+            str(ckdir / "model"),
+            like={"variables": variables, "opt_state": opt_state},
+        )
+        variables = restored["variables"]
+        opt_state = restored["opt_state"]
+        loader.load_state_dict(meta["loader"])
+        done = int(meta["step"])
+        log.info("resumed at step %d (loader %s)", done, meta["loader"])
+
+    def save(done):
+        from videoprocessingframework_tpu.models.checkpoint import (
+            save_checkpoint,
+        )
+
+        ckdir.mkdir(parents=True, exist_ok=True)
+        save_checkpoint(
+            str(ckdir / "model"),
+            {"variables": variables, "opt_state": opt_state},
+        )
+        (ckdir / "meta.json").write_text(json.dumps(
+            {"step": done, "loader": loader.state_dict()}
+        ))
+
     t0 = time.perf_counter()
-    epoch = 0
+    metrics = {"loss": np.nan, "accuracy": np.nan}  # if already complete
     while done < args.steps:
-        for batch, labels in loader.epoch(epoch):
+        for batch, labels in loader.epoch():
             variables, opt_state, metrics = step(
                 variables, opt_state,
                 {"image": batch, "label": labels.astype(np.int32) % nclass},
             )
             done += 1
+            if ckdir is not None and done % args.save_every == 0:
+                save(done)
             if done >= args.steps:
                 break
-        epoch += 1
+        else:  # epoch exhausted without hitting the step budget
+            loader.set_epoch(loader.state_dict()["epoch"] + 1)
     jax.block_until_ready(metrics)
     dt = time.perf_counter() - t0
     log.info(

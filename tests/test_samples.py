@@ -183,3 +183,16 @@ def test_sample_serving(test_mp4):
                "--frames", "8", "--max-batch", "4")
     assert "served 8 requests" in out
     assert "p50" in out
+
+
+@pytest.mark.slow
+def test_sample_train_video_checkpoint_resume(test_mp4, tmp_path):
+    ck = str(tmp_path / "ck")
+    _run("sample_train_video.py", test_mp4, "--clip-len", "2",
+         "--batch", "2", "--size", "32", "--steps", "2",
+         "--checkpoint", ck, "--save-every", "1")
+    out = _run("sample_train_video.py", test_mp4, "--clip-len", "2",
+               "--batch", "2", "--size", "32", "--steps", "3",
+               "--checkpoint", ck, "--save-every", "1")
+    assert "resumed at step 2" in out
+    assert "trained 3 steps" in out
