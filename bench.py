@@ -89,6 +89,19 @@ def _supervise() -> int:
         [sys.executable, __file__, *sys.argv[1:], "--_run"],
         env=env, start_new_session=True,
     )
+
+    # an outer `timeout` TERMs only the supervisor (the child is in its
+    # own session): forward it — kill the group and emit the checkpoint,
+    # preserving the one-JSON-line contract on every exit path
+    class _Term(Exception):
+        pass
+
+    def _on_term(signum, frame):
+        raise _Term()
+
+    _signal.signal(_signal.SIGTERM, _on_term)
+    _signal.signal(_signal.SIGINT, _on_term)
+
     note = None
     try:
         child.wait(timeout=max(30.0, _time_left() + 90.0))
@@ -97,6 +110,12 @@ def _supervise() -> int:
             os.killpg(child.pid, _signal.SIGKILL)
         child.wait()
         note = "wedged child killed past deadline; last checkpoint emitted"
+    except _Term:
+        with contextlib.suppress(Exception):
+            os.killpg(child.pid, _signal.SIGKILL)
+        with contextlib.suppress(Exception):
+            child.wait()
+        note = "supervisor terminated; bench group killed, checkpoint emitted"
     data = None
     with contextlib.suppress(Exception):
         with open(partial) as f:
@@ -352,7 +371,7 @@ def _fidelity_child(npz_path: str) -> int:
     batch = int(data["batch"])
     kern = "pallas" if jax.default_backend() != "cpu" else "xla"
 
-    def build_postproc(output):
+    def build_postproc(output, warm=True):
         kwargs = dict(
             out_size=(224, 224), method="lanczos", output=output
         )
@@ -361,7 +380,8 @@ def _fidelity_child(npz_path: str) -> int:
                 PixelFormat.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
                 kernel=kern, **kwargs,
             )
-            jax.block_until_ready(p(*planes))
+            if warm:  # also the kernel-eligibility probe for this shape
+                jax.block_until_ready(p(*planes))
             return p
         except ValueError:  # shape not kernel-eligible: let auto decide
             return FusedPipeline(
@@ -392,7 +412,11 @@ def _fidelity_child(npz_path: str) -> int:
 
     model = resnet50()
     variables = init_params(model, (1, 224, 224, 3))
-    pre_norm = build_postproc("normalized")
+    # warm=False: eligibility was proven by the rgb_u8 probe at this
+    # geometry, and the only shape this instance ever runs is rb=32,
+    # warmed below — a batch-2 warm-up here would be a wasted compile
+    # (minutes-class through the tunnel under bad weather)
+    pre_norm = build_postproc("normalized", warm=False)
     # batch 32: conv utilization keeps improving past the decode batch
     # (measured +25% over batch 8, v5e); planar plane views as the pool
     # feeds them
@@ -403,8 +427,17 @@ def _fidelity_child(npz_path: str) -> int:
         np.zeros((rb, height // 2, width // 2), np.uint8),
     )
     # concrete warm-up so the kernel autotune picks OUTSIDE the slope
-    # fn's trace (inside a trace it falls back to XLA)
-    jax.block_until_ready(pre_norm(*resnet_planes))
+    # fn's trace (inside a trace it falls back to XLA). The f32 output
+    # has a 4x VMEM footprint vs the rgb_u8 probe, so eligibility can
+    # differ — fall back to auto selection on a pinned-kernel reject.
+    try:
+        jax.block_until_ready(pre_norm(*resnet_planes))
+    except ValueError:
+        pre_norm = FusedPipeline(
+            PixelFormat.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
+            out_size=(224, 224), method="lanczos", output="normalized",
+        )
+        jax.block_until_ready(pre_norm(*resnet_planes))
     resnet_fps, _ = device_slope_fps(
         lambda y, u, v, p: model.apply(p, pre_norm(y, u, v), train=False),
         resnet_planes, lo_n=10, hi_n=30,
@@ -868,12 +901,19 @@ def main() -> int:
                  h=height, w=width, batch=args.batch)
         # nice 19: the child's host work (jit compile) must not contend
         # with the transcode measurement on small hosts — its long pole
-        # is waiting on the tunnel, which idle-priority doesn't slow
+        # is waiting on the tunnel, which idle-priority doesn't slow.
+        # stderr goes to a FILE, not a PIPE: nothing drains the pipes
+        # during the overlap window, and verbose jax/XLA warnings past
+        # the ~64 KB pipe capacity would block the child exactly when it
+        # should be paying its reverse-channel init. stdout (3 short
+        # JSON lines) stays a pipe.
+        fid_err = open(BENCH_DIR / "fidelity_err.log", "w")
         fid_child = subprocess.Popen(
             [sys.executable, __file__, "--_fidelity", str(npz)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            stdout=subprocess.PIPE, stderr=fid_err, text=True,
             preexec_fn=lambda: os.nice(19),
         )
+        fid_err.close()  # the child holds its own fd now
         atexit.register(
             lambda: fid_child.poll() is None and fid_child.kill()
         )
@@ -900,6 +940,7 @@ def main() -> int:
         _progress("loader clips/s (subprocess, host-only)...")
         loader_code = (
             "import os, sys, time\n"
+            "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
             "import jax\n"
             "jax.config.update('jax_platforms', 'cpu')\n"
             "from jax._src import xla_bridge\n"
@@ -966,19 +1007,22 @@ def main() -> int:
 
         _progress(f"device metrics (collect child): {_time_left():.0f}s left")
         try:
-            child_out, child_err = fid_child.communicate(
+            child_out, _ = fid_child.communicate(
                 timeout=max(30.0, _time_left() - 30.0)
             )
         except subprocess.TimeoutExpired:
             fid_child.kill()
-            child_out, child_err = fid_child.communicate()
+            child_out, _ = fid_child.communicate()
             result["extra"]["device_metrics_note"] = (
                 "child killed at deadline (weather); partial results kept"
             )
         if fid_child.returncode not in (0, None) and not child_out.strip():
+            try:
+                tail = (BENCH_DIR / "fidelity_err.log").read_text()[-160:]
+            except OSError:
+                tail = ""
             result["extra"]["kernel_ulp_error"] = (
-                f"child rc={fid_child.returncode}: "
-                f"{(child_err or '').strip()[-160:]}"
+                f"child rc={fid_child.returncode}: {tail.strip()}"
             )
         for line in (child_out or "").strip().splitlines():
             try:

@@ -39,6 +39,12 @@ class VideoClassifier(nn.Module):
     ``temporal``: ``"mean"`` (average the T frame features — the strong
     simple baseline), ``"attention"`` (single-layer self-attention over
     time with a learned CLS query), or ``"last"``.
+
+    Note: the ``"attention"`` head learns per-timestep positions, so its
+    parameters bake in the clip length T seen at ``init`` — apply with a
+    different T raises a flax shape error (train and serve at one clip
+    length, the standard video-model regime). ``"mean"``/``"last"``
+    generalize over T.
     """
 
     stage_sizes: tuple

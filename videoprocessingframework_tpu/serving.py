@@ -112,6 +112,7 @@ class InferenceServer:
         self.stats = _Stats()
         self._q: queue.Queue = queue.Queue()
         self._closed = False
+        self._submit_lock = threading.Lock()
         # persistent padded staging buffers, one per bucket (fresh-page
         # faults cost ~35 ms/MB on small hosts — same ring rationale as
         # the loaders; one batch in flight ⇒ two buffers per bucket
@@ -136,10 +137,14 @@ class InferenceServer:
             raise ValueError(
                 f"item shape {a.shape} != server shape {self.item_shape}"
             )
-        if self._closed:
-            raise RuntimeError("server is closed")
         fut: Future = Future()
-        self._q.put((a, fut, time.perf_counter()))
+        # the closed-check and enqueue are one atomic step vs close():
+        # otherwise a submit racing close() can land its request BEHIND
+        # the shutdown sentinel and its future never resolves
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._q.put((a, fut, time.perf_counter()))
         return fut
 
     def submit_many(self, items) -> list[Future]:
@@ -161,10 +166,12 @@ class InferenceServer:
         return self.stats.snapshot()
 
     def close(self) -> None:
-        if not self._closed:
+        with self._submit_lock:
+            if self._closed:
+                return
             self._closed = True
             self._q.put(None)  # wake the collector
-            self._worker.join(timeout=30.0)
+        self._worker.join(timeout=30.0)
 
     def __enter__(self):
         return self
@@ -211,7 +218,19 @@ class InferenceServer:
 
         def land(disp):
             out, reqs, pad = disp
-            jax.block_until_ready(out)
+            try:
+                # async runtime errors (device OOM, kernel faults,
+                # transfer failures) surface HERE, not at dispatch —
+                # they must resolve the batch's futures, not kill the
+                # collector thread (which would hang every later caller)
+                jax.block_until_ready(out)
+            except Exception as e:
+                for _a, fut, _t in reqs:
+                    try:
+                        fut.set_exception(e)
+                    except Exception:
+                        pass
+                return
             t_done = time.perf_counter()
             lats = []
             for i, (_a, fut, t_sub) in enumerate(reqs):
@@ -242,6 +261,11 @@ class InferenceServer:
             except Exception as e:
                 for _a, fut, _t in reqs:
                     fut.set_exception(e)
+                # the dispatch never happened: revert the flip so the
+                # NEXT batch reuses this just-staged buffer instead of
+                # cycling onto the one a still-in-flight batch may be
+                # reading from
+                self._flip[b] ^= 1
                 if inflight is not None and self._q.empty():
                     land(inflight)
                     inflight = None
