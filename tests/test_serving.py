@@ -152,3 +152,31 @@ def test_serving_video_pipeline_composition(test_mp4):
         futs = srv.submit_many(frames)
         got = np.stack([np.asarray(f.result(timeout=120)) for f in futs])
     assert np.allclose(got, want, atol=1e-4)
+
+
+def test_serving_sharded_infer_fn():
+    """Mesh-sharded infer_fn: buckets are multiples of the data axis."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from videoprocessingframework_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the multi-device CPU mesh")
+    mesh = make_mesh(4, ("data",))
+    sharding = NamedSharding(mesh, P("data"))
+
+    @jax.jit
+    def fn(batch):
+        x = jax.device_put(batch, sharding)
+        return x.astype(jnp.float32).sum(axis=(1, 2, 3))
+
+    items = [np.full(SHAPE, i, np.uint8) for i in range(10)]
+    with InferenceServer(
+        fn, SHAPE, buckets=[4, 8], max_wait_ms=10.0
+    ) as srv:
+        srv.warmup()
+        futs = srv.submit_many(items)
+        got = [float(f.result(timeout=60)) for f in futs]
+    want = [float(i) * np.prod(SHAPE) for i in range(10)]
+    assert got == want
