@@ -307,3 +307,28 @@ def test_bucketed_mixed_geometry(test_mp4, tmp_path):
     with pytest.raises(ValueError, match="packed"):
         BucketedClipLoader([test_mp4], out_size=(32, 32),
                            output="packed")
+
+
+def test_bucketed_checkpoint_resume(test_mp4, tmp_path):
+    from videoprocessingframework_tpu.data import BucketedClipLoader
+
+    a = tmp_path / "ra.avi"
+    _mk_avi(a, 96, 64, n=10, seed=3)
+    kw = dict(out_size=(32, 32), clip_len=2, batch_size=2,
+              output="rgb_u8", seed=9, workers=1)
+    full = [np.asarray(b) for b in
+            BucketedClipLoader([test_mp4, str(a)], **kw).epoch(1)]
+
+    ld = BucketedClipLoader([test_mp4, str(a)], **kw)
+    it = ld.epoch(1)
+    first = [np.asarray(next(it)) for _ in range(3)]
+    state = ld.state_dict()
+    assert state == {"epoch": 1, "batches": 3}
+    del it
+
+    ld2 = BucketedClipLoader([test_mp4, str(a)], **kw)
+    ld2.load_state_dict(state)
+    rest = [np.asarray(b) for b in ld2.epoch()]
+    assert len(first) + len(rest) == len(full)
+    for x, y in zip(first + rest, full):
+        assert np.array_equal(x, y)

@@ -75,6 +75,7 @@ class BucketedClipLoader:
             ))
             self.bucket_files.append(idxs)
         self._epoch = 0
+        self._resume_batches = 0
 
     def __len__(self) -> int:
         return sum(len(ld) for ld in self.loaders)
@@ -95,9 +96,27 @@ class BucketedClipLoader:
 
     def epoch(self, epoch: Optional[int] = None):
         e = self._epoch if epoch is None else int(epoch)
-        iters = [iter(ld.epoch(e)) for ld in self.loaders]
-        for b in self._schedule(e):
-            yield next(iters[b])
+        sched = self._schedule(e)
+        skip = min(self._resume_batches, len(sched))
+        self._resume_batches = 0
+        # arm each sub-loader to resume past its consumed clips (their
+        # own deterministic state machinery does the skipping). A
+        # bucket's LAST batch can be ragged (drop_last=False), so clamp
+        # k full batches to the bucket's shard-local clip count.
+        consumed = np.zeros(len(self.loaders), np.int64)
+        for b in sched[:skip]:
+            consumed[b] += 1
+        for i, ld in enumerate(self.loaders):
+            n = len(ld.sampler)
+            mine = (n - ld.shard_index + ld.shard_count - 1) // ld.shard_count
+            clips = min(int(consumed[i]) * ld.batch_size, mine)
+            ld.load_state_dict({"epoch": e, "clips": clips})
+        self._pos = [e, skip]
+        iters = [iter(ld.epoch()) for ld in self.loaders]
+        for b in sched[skip:]:
+            out = next(iters[b])
+            self._pos[1] += 1
+            yield out
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = int(epoch)
@@ -106,3 +125,14 @@ class BucketedClipLoader:
         it = self.epoch(self._epoch)
         self._epoch += 1
         return it
+
+    # -- checkpoint/resume ---------------------------------------------------
+
+    def state_dict(self) -> dict:
+        """Position after the last yielded batch (batch-granular)."""
+        e, batches = getattr(self, "_pos", [self._epoch, 0])
+        return {"epoch": int(e), "batches": int(batches)}
+
+    def load_state_dict(self, state: dict) -> None:
+        self._epoch = int(state["epoch"])
+        self._resume_batches = int(state["batches"])
