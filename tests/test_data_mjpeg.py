@@ -140,3 +140,43 @@ def test_midstream_quant_change_detected(tmp_path):
                          lengths=[6])
     with pytest.raises(JpegStreamError, match="quant tables changed"):
         list(ld.epoch(0))
+
+
+def test_gray_and_444_corpora(tmp_path):
+    """The loader is generic over the probe's component count/sampling:
+    grayscale (1-component) and 4:4:4 corpora work unchanged."""
+    from videoprocessingframework_tpu.io.jpeg import JpegCoefEncoder
+    from videoprocessingframework_tpu.ops.jpeg import JpegDeviceEncoder
+
+    rng = np.random.default_rng(1)
+
+    # grayscale raw MJPEG
+    g = tmp_path / "g.mjpeg"
+    enc = JpegDeviceEncoder(H, W, quality=90, subsampled="gray")
+    ce = JpegCoefEncoder(W, H, quant_tables=enc.quant_tables,
+                         subsampled="gray")
+    with open(g, "wb") as f:
+        for i in range(6):
+            y = rng.integers(0, 256, (1, H, W), np.uint8)
+            (cy,) = (np.asarray(c) for c in enc.encode_planes(y))
+            f.write(ce.encode(cy[0]))
+    ld = MjpegClipLoader(str(g), clip_len=2, batch_size=2,
+                         output="rgb_u8", shuffle=True, seed=1,
+                         workers=1, lengths=[6])
+    assert ld.ncomp == 1
+    batch = np.asarray(next(iter(ld.epoch(0))))
+    assert batch.shape == (2, 2, H, W, 3)
+    # gray: all three channels carry the luma
+    assert np.array_equal(batch[..., 0], batch[..., 1])
+
+    # 4:4:4 via MjpegWriter
+    p = tmp_path / "c444.avi"
+    yy = rng.integers(0, 256, (6, H, W), np.uint8)
+    uu = rng.integers(0, 256, (6, H, W), np.uint8)
+    vv = rng.integers(0, 256, (6, H, W), np.uint8)
+    with MjpegWriter(str(p), W, H, sampling="444", container="avi") as wr:
+        wr.write_planes(yy, uu, vv)
+    ld = MjpegClipLoader(str(p), clip_len=2, batch_size=2,
+                         output="planes", shuffle=False, workers=1)
+    planes = next(iter(ld.epoch(0)))
+    assert np.asarray(planes[1]).shape == (2, 2, H, W)  # full-res chroma
