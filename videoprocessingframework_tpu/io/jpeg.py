@@ -189,7 +189,17 @@ class JpegCoefDecoder:
                 np.array(out.qt[c][:64]), np.array(self.info.qt[c][:64])
             )
             for c in range(n)
-        ) or (out.width, out.height) != (self.info.width, self.info.height)
+        ) or (
+            # cover every structural field: a sampling-factor change at
+            # an MCU-aligned size can keep dims AND block counts within
+            # the old scratch capacity, so dims alone under-detect
+            (out.width, out.height, int(out.ncomp)) !=
+            (self.info.width, self.info.height, int(self.info.ncomp))
+        ) or any(
+            (int(out.hs[c]), int(out.vs[c])) !=
+            (int(self.info.hs[c]), int(self.info.vs[c]))
+            for c in range(n)
+        )
         if changed:
             self._adopt(out)  # sets quant_dirty on table change
         return res
@@ -753,12 +763,24 @@ class MjpegReader:
         info = self.coef.probe(self._pending[0])
         from ..ops.jpeg import JpegDevicePipeline
 
+        self._out_size = out_size  # None = follow the source geometry
         self.pipeline = JpegDevicePipeline(
             info, out_size=out_size, output=output,
             method=method, compute=compute,
         )
         self.width = self.pipeline.width
         self.height = self.pipeline.height
+
+    @staticmethod
+    def _geo_key(snap):
+        """Everything that changes the block layout or the crop: dims,
+        component count, sampling factors. Coefficient-array shapes
+        alone under-detect (a dims change inside the same MCU grid keeps
+        every [blocks, 64] shape)."""
+        return (
+            snap.width, snap.height, snap.ncomp,
+            tuple(snap.hs), tuple(snap.vs),
+        )
 
     def _packets(self) -> Iterator[np.ndarray]:
         while self._pending:
@@ -777,7 +799,7 @@ class MjpegReader:
         boundary and the pipeline is rebuilt.
         """
         pend: list[tuple[np.ndarray, ...]] = []
-        shape0 = None
+        geo0 = None
         for pkt in self._packets():
             f = self.coef.decode(pkt)
             if self.coef.quant_dirty:
@@ -786,17 +808,19 @@ class MjpegReader:
                     yield self._emit(pend)
                     pend = []
                 self.pipeline.set_quant_tables(self.coef.info)
-            s = tuple(c.shape for c in f)
-            if shape0 is None:
-                shape0 = s
-            elif s != shape0:  # geometry change: flush + rebuild
+            geo = self._geo_key(_snapshot(self.coef.info))
+            if geo0 is None:
+                geo0 = geo
+            elif geo != geo0:  # geometry change: flush + rebuild
                 if pend:
                     yield self._emit(pend)
                     pend = []
-                shape0 = s
+                geo0 = geo
+                # out_size=None keeps following the source geometry —
+                # never silently pin the OLD stream size as a resize
                 self.pipeline = self.pipeline.__class__(
                     self.coef.info,
-                    out_size=(self.pipeline.out_h, self.pipeline.out_w),
+                    out_size=self._out_size,
                     output=self.pipeline.output,
                     method=self.pipeline.method,
                     compute=self.pipeline.compute,

@@ -82,6 +82,30 @@ _ROWS_EQ = "oh,nhw->now"
 _COLS_EQ = "pw,nhw->nhp"
 
 
+def _split_stage1(xi, m, eq):
+    """Integer input × constant matrix as hi+lo bf16 MXU passes (the
+    input is exact in bf16, so only the matrix splits — 2 passes)."""
+    hi, lo = _bf16_split_const(m)
+    xb = xi.astype(jnp.bfloat16)
+    return jnp.einsum(
+        eq, hi, xb, preferred_element_type=jnp.float32
+    ) + jnp.einsum(eq, lo, xb, preferred_element_type=jnp.float32)
+
+
+def _split_stage2(t, m, eq):
+    """f32 intermediate × constant matrix: elision-proof hi+lo split of
+    the activation, lo×lo dropped (3 passes). Shared by the plane and
+    NHWC resize paths so the split strategy can never desynchronize
+    between the decode and encode directions."""
+    mhi, mlo = _bf16_split_const(m)
+    thi, tlo = _bf16_split_f32(t)
+    return (
+        jnp.einsum(eq, mhi, thi, preferred_element_type=jnp.float32)
+        + jnp.einsum(eq, mhi, tlo, preferred_element_type=jnp.float32)
+        + jnp.einsum(eq, mlo, thi, preferred_element_type=jnp.float32)
+    )
+
+
 def _resize_plane2d(x, rmat, cmat, dtype, mode="highest"):
     """(N, H, W) → (N, out_h, out_w) via the two resize matmuls.
 
@@ -105,25 +129,13 @@ def _resize_plane2d(x, rmat, cmat, dtype, mode="highest"):
     if mode == "split_bf16" and jnp.issubdtype(x.dtype, jnp.integer) and (
         dtype == jnp.float32
     ):
-        def stage1(xi, m, eq):
-            hi, lo = _bf16_split_const(m)
-            xb = xi.astype(jnp.bfloat16)
-            return jnp.einsum(
-                eq, hi, xb, preferred_element_type=jnp.float32
-            ) + jnp.einsum(eq, lo, xb, preferred_element_type=jnp.float32)
-
-        def stage2(t, m, eq):
-            mhi, mlo = _bf16_split_const(m)
-            thi, tlo = _bf16_split_f32(t)
-            return (
-                jnp.einsum(eq, mhi, thi, preferred_element_type=jnp.float32)
-                + jnp.einsum(eq, mhi, tlo, preferred_element_type=jnp.float32)
-                + jnp.einsum(eq, mlo, thi, preferred_element_type=jnp.float32)
-            )
-
         if rows_first:
-            return stage2(stage1(x, rmat, _ROWS_EQ), cmat, _COLS_EQ)
-        return stage2(stage1(x, cmat, _COLS_EQ), rmat, _ROWS_EQ)
+            return _split_stage2(
+                _split_stage1(x, rmat, _ROWS_EQ), cmat, _COLS_EQ
+            )
+        return _split_stage2(
+            _split_stage1(x, cmat, _COLS_EQ), rmat, _ROWS_EQ
+        )
 
     rmat = rmat.astype(dtype)
     cmat = cmat.astype(dtype)
@@ -209,6 +221,14 @@ def decode_postproc(
         packed = planes[0]
         h = packed.shape[-2] * 2 // 3
         w = packed.shape[-1]
+        if h % 4:
+            # each chroma plane occupies H/4 packed rows — H=270-style
+            # even heights can't use this layout (the reshape below
+            # would fail opaquely inside the jitted program)
+            raise ValueError(
+                f"packed planar YUV420 requires height % 4 == 0, got "
+                f"{h}; pass separate (y, u, v) planes instead"
+            )
         lead = packed.shape[:-2]
         chroma = packed[..., h:, :]
         planes = (
@@ -460,7 +480,11 @@ class FusedPipeline:
                     return acc
                 return f
 
-            lo, hi = chained(10), chained(60)
+            # CLAUDE.md slope rule: short chains read up to 2x+
+            # optimistic through tunnel noise — chain length is nearly
+            # free here (the scan body is the same compiled program; the
+            # cost is RTT-dominated), so use the long-chain policy
+            lo, hi = chained(50), chained(350)
             int(lo(*args)); int(hi(*args))  # compile
             t_lo = min(_walltime(lambda: int(lo(*args))) for _ in range(2))
             t_hi = min(_walltime(lambda: int(hi(*args))) for _ in range(2))
@@ -549,25 +573,13 @@ def _resize_nhwc(x, rmat, cmat, mode):
         hin * win * ow + oh * hin * ow
     )
     if mode == "split_bf16" and jnp.issubdtype(x.dtype, jnp.integer):
-        def stage1(xi, m, eq):
-            hi, lo = _bf16_split_const(m)
-            xb = xi.astype(jnp.bfloat16)
-            return jnp.einsum(
-                eq, hi, xb, preferred_element_type=jnp.float32
-            ) + jnp.einsum(eq, lo, xb, preferred_element_type=jnp.float32)
-
-        def stage2(t, m, eq):
-            mhi, mlo = _bf16_split_const(m)
-            thi, tlo = _bf16_split_f32(t)
-            return (
-                jnp.einsum(eq, mhi, thi, preferred_element_type=jnp.float32)
-                + jnp.einsum(eq, mhi, tlo, preferred_element_type=jnp.float32)
-                + jnp.einsum(eq, mlo, thi, preferred_element_type=jnp.float32)
-            )
-
         if rows_first:
-            return stage2(stage1(x, rmat, _ROWS_NHWC), cmat, _COLS_NHWC)
-        return stage2(stage1(x, cmat, _COLS_NHWC), rmat, _ROWS_NHWC)
+            return _split_stage2(
+                _split_stage1(x, rmat, _ROWS_NHWC), cmat, _COLS_NHWC
+            )
+        return _split_stage2(
+            _split_stage1(x, cmat, _COLS_NHWC), rmat, _ROWS_NHWC
+        )
     x = x.astype(jnp.float32)
     if rows_first:
         t = jnp.einsum(_ROWS_NHWC, rmat, x, precision="highest")
@@ -643,6 +655,10 @@ def planes_to_host_packed(y, u, v) -> np.ndarray:
     u = np.asarray(u)
     v = np.asarray(v)
     n, h, w = y.shape
+    if h % 4:
+        raise ValueError(
+            f"packed planar YUV420 requires height % 4 == 0, got {h}"
+        )
     return np.concatenate(
         [y, u.reshape(n, h // 4, w), v.reshape(n, h // 4, w)], axis=1
     )
