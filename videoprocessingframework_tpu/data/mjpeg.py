@@ -63,15 +63,17 @@ class _JpegClipReader:
         return res.packet
 
     def read_clip(self, start: int, clip_len: int, stride: int,
-                  sink) -> None:
-        """Entropy-decode frames start, start+stride, …; ``sink(t,
-        coeffs)`` receives each frame's per-component arrays. Skipped
+                  dest) -> None:
+        """Entropy-decode frames start, start+stride, … straight into
+        the caller's buffers: ``dest(t)`` returns the per-component
+        ``[blocks, 64]`` int16 destinations for clip frame t (zero-copy
+        — the native parse writes the ring slot directly). Skipped
         frames are demuxed but never entropy-decoded."""
         t = 0
         if start != self.next_idx:
             # all-intra: the PREV_KEY_FRAME seek lands exactly on frame
             # `start` — zero replay
-            sink(0, self.dec.decode(self._packet(start)))
+            self.dec.decode_into(self._packet(start), dest(0))
             self.next_idx = start + 1
             t = 1
         idx = self.next_idx
@@ -79,7 +81,7 @@ class _JpegClipReader:
         while t < clip_len:
             pkt = self._packet(None)
             if idx == want:
-                sink(t, self.dec.decode(pkt))
+                self.dec.decode_into(pkt, dest(t))
                 t += 1
                 want = start + t * stride
             idx += 1
@@ -179,6 +181,10 @@ class MjpegClipLoader(_ClipLoaderBase):
             int(snap0.bh[c]) * int(snap0.bw[c]) for c in range(self.ncomp)
         ]
         self._qt0 = tuple(snap0.qt[: self.ncomp])
+        self._geo0 = (
+            snap0.width, snap0.height, snap0.ncomp,
+            tuple(snap0.hs), tuple(snap0.vs),
+        )
         self._init_common(
             clip_len=clip_len, frame_stride=frame_stride,
             batch_size=batch_size, shuffle=shuffle, seed=seed, hop=hop,
@@ -220,29 +226,30 @@ class MjpegClipLoader(_ClipLoaderBase):
         groups = [samples[i: i + B] for i in range(0, len(samples), B)]
 
         def fill_one(cache, ring, s, fi, start):
-            def sink(t, coeffs):
-                for c in range(self.ncomp):
-                    if coeffs[c].shape != ring[c][0].shape:
-                        from ..io.jpeg import JpegStreamError
-
-                        raise JpegStreamError(
-                            f"{self.corpus.streams[fi].path}: mid-stream "
-                            "geometry change inside a clip corpus"
-                        )
-                    ring[c][s * T + t] = coeffs[c]
-
             rd = self._reader_for(cache, fi)
-            rd.read_clip(int(start), T, self.frame_stride, sink)
-            # the device pipeline's bases fold the corpus-probe quant
-            # tables; decoding a frame quantized with OTHER tables would
-            # silently produce wrong pixels (adaptive-DQT encoders do
-            # this) — compare against the pinned tables every clip
-            qt = tuple(
-                tuple(rd.dec.info.qt[c][:64]) for c in range(self.ncomp)
+            rd.read_clip(
+                int(start), T, self.frame_stride,
+                lambda t: [ring[c][s * T + t] for c in range(self.ncomp)],
             )
-            if qt != self._qt0:
-                from ..io.jpeg import JpegStreamError
+            # pinned-configuration guards (checked per clip — any change
+            # the decoder adopted mid-clip shows in its info):
+            # geometry/sampling changes break the ring layout, and the
+            # device bases fold ONE quant-table set — decoding frames
+            # quantized with other tables would be silently wrong
+            # (adaptive-DQT encoders do this)
+            from ..io.jpeg import JpegStreamError, _snapshot
 
+            snap = _snapshot(rd.dec.info)
+            geo = (
+                snap.width, snap.height, snap.ncomp,
+                tuple(snap.hs), tuple(snap.vs),
+            )
+            if geo != self._geo0:
+                raise JpegStreamError(
+                    f"{self.corpus.streams[fi].path}: mid-stream "
+                    "geometry change inside a clip corpus"
+                )
+            if tuple(snap.qt[: self.ncomp]) != self._qt0:
                 raise JpegStreamError(
                     f"{self.corpus.streams[fi].path}: quant tables "
                     "changed mid-stream — MjpegClipLoader folds one "

@@ -145,26 +145,22 @@ class JpegCoefDecoder:
         ):
             self.quant_dirty = True
 
-    def decode(self, data) -> tuple[np.ndarray, ...]:
-        """One image → per-component ``[blocks, 64]`` int16 (zigzag).
-
-        Returned arrays are fresh copies (the internal scratch is reused
-        across calls). Raises :class:`JpegStreamError` for streams the
-        device path cannot take, RuntimeError for corrupt bitstreams.
-        """
-        a = _as_u8(data)
-        if self.info is None:
-            self.probe(a)
+    def _parse_into(self, a: np.ndarray, get_bufs):
+        """Run the native parse writing straight into the arrays
+        ``get_bufs()`` returns (one contiguous int16 array per
+        component). Returns the image's own info struct; re-probes +
+        retries once if the geometry grew (``get_bufs`` is re-queried so
+        a reallocated scratch is picked up)."""
         assert self.info is not None
         n = int(self.info.ncomp)
         out = _lib.VpfJpegInfo()
         for _ in range(2):  # second pass after a geometry re-probe
+            bufs = get_bufs()
             ptrs = (_i16p * n)(
-                *(self._bufs[c].ctypes.data_as(_i16p) for c in range(n))
+                *(bufs[c].ctypes.data_as(_i16p) for c in range(n))
             )
             caps = (C.c_uint32 * 4)(
-                *(self._bufs[c].shape[0] for c in range(n)),
-                *([0] * (4 - n)),
+                *(b.shape[0] for b in bufs[:n]), *([0] * (4 - n)),
             )
             rc = self._lib.vpf_jpeg_parse(
                 a.ctypes.data_as(_u8p), a.size, C.byref(out), ptrs, caps
@@ -178,31 +174,56 @@ class JpegCoefDecoder:
             raise JpegStreamError(_lib.last_error())
         else:
             raise RuntimeError(_lib.last_error())
+        # NOTE: _track_changes may _adopt (reallocating self._bufs), so
+        # the buffers the parse actually wrote are returned alongside
+        self._track_changes(out, n)
+        return out, bufs
+
+    def _track_changes(self, out, n: int) -> None:
+        """Adopt structural/table changes (cheap byte-compares — this
+        runs per frame on the hot path)."""
+        info = self.info
+        structural = (
+            (out.width, out.height, int(out.ncomp)) !=
+            (info.width, info.height, int(info.ncomp))
+        ) or bytes(out.hs)[:n] != bytes(info.hs)[:n] \
+          or bytes(out.vs)[:n] != bytes(info.vs)[:n]
+        tables = any(
+            bytes(out.qt[c]) != bytes(info.qt[c]) for c in range(n)
+        )
+        if structural or tables:
+            self._adopt(out)  # sets quant_dirty on table change
+
+    def decode_into(self, data, outs) -> "_lib.VpfJpegInfo":
+        """Entropy-decode one image DIRECTLY into caller arrays (one
+        contiguous ``[blocks, 64]`` int16 per component) — the zero-copy
+        hot path the clip loaders use (the copy-out of :meth:`decode`
+        costs ~0.5 ms/frame at 1080p). The caller guarantees capacity;
+        returns the image's info struct."""
+        a = _as_u8(data)
+        if self.info is None:
+            self.probe(a)
+        out, _ = self._parse_into(a, lambda: outs)
+        return out
+
+    def decode(self, data) -> tuple[np.ndarray, ...]:
+        """One image → per-component ``[blocks, 64]`` int16 (zigzag).
+
+        Returned arrays are fresh copies (the internal scratch is reused
+        across calls). Raises :class:`JpegStreamError` for streams the
+        device path cannot take, RuntimeError for corrupt bitstreams.
+        """
+        a = _as_u8(data)
+        if self.info is None:
+            self.probe(a)
+        out, bufs = self._parse_into(a, lambda: self._bufs)
+        n = int(out.ncomp)
         # copy out with the geometry THIS image declared (a shrinking
         # mid-stream change fits the old scratch; slice to the new count)
-        res = tuple(
-            self._bufs[c][: int(out.bh[c]) * int(out.bw[c])].copy()
+        return tuple(
+            bufs[c][: int(out.bh[c]) * int(out.bw[c])].copy()
             for c in range(n)
         )
-        changed = any(
-            not np.array_equal(
-                np.array(out.qt[c][:64]), np.array(self.info.qt[c][:64])
-            )
-            for c in range(n)
-        ) or (
-            # cover every structural field: a sampling-factor change at
-            # an MCU-aligned size can keep dims AND block counts within
-            # the old scratch capacity, so dims alone under-detect
-            (out.width, out.height, int(out.ncomp)) !=
-            (self.info.width, self.info.height, int(self.info.ncomp))
-        ) or any(
-            (int(out.hs[c]), int(out.vs[c])) !=
-            (int(self.info.hs[c]), int(self.info.vs[c]))
-            for c in range(n)
-        )
-        if changed:
-            self._adopt(out)  # sets quant_dirty on table change
-        return res
 
     def decode_batch(
         self, packets: Sequence
