@@ -332,3 +332,53 @@ def test_bucketed_checkpoint_resume(test_mp4, tmp_path):
     assert len(first) + len(rest) == len(full)
     for x, y in zip(first + rest, full):
         assert np.array_equal(x, y)
+
+
+def test_keyframe_aligned_sampling(tmp_path):
+    """align_keyframes snaps clip starts to the GOP structure: every
+    sampled window begins on a keyframe (zero replay decode on seeks)
+    and content stays frame-exact."""
+    from videoprocessingframework_tpu.io import VideoEncoder
+
+    w, h, nf, gop = 320, 240, 48, 8
+    enc = VideoEncoder({"codec": "h264", "preset": "P1", "s": f"{w}x{h}",
+                        "fps": "30", "gop": str(gop), "bf": "0",
+                        "bitrate": "2M"})
+    rng = np.random.default_rng(0)
+    from videoprocessingframework_tpu.core.enums import CodecId
+    from videoprocessingframework_tpu.io import StreamMuxer
+
+    p = tmp_path / "gop8.mp4"
+    mux = StreamMuxer(str(p), CodecId.H264, w, h, fps=30.0, format="mp4")
+    n_out = 0
+    for i in range(nf):
+        y = rng.integers(0, 256, (h, w), np.uint8)
+        uv = np.full((h // 2, w), 120 + i, np.uint8)
+        out = enc.encode(np.concatenate([y.ravel(), uv.ravel()]))
+        if out is not None:
+            mux.write(out[0], pts=n_out); n_out += 1
+    for pkt, _ in enc.flush():
+        mux.write(pkt, pts=n_out); n_out += 1
+    mux.close()
+
+    corpus = VideoCorpus([str(p)], lengths=[nf])
+    kf = corpus.keyframe_indices(0)
+    assert kf[0] == 0
+    assert np.all(kf % gop == 0)
+    assert len(kf) == nf // gop
+
+    ld = VideoClipLoader(
+        corpus, clip_len=4, batch_size=2, output="packed",
+        shuffle=True, seed=2, workers=1, align_keyframes=True,
+    )
+    samples = ld.sampler.epoch(0)
+    assert np.all(np.isin(samples[:, 1], kf))
+
+    # content matches sequential decode
+    rd = VideoReader(str(p))
+    rd.decoder.output_format = PixelFormat.YUV420
+    frames = [f.data.reshape(h * 3 // 2, w).copy() for f in rd.frames()]
+    all_f = np.stack(frames)
+    got = np.concatenate([np.asarray(b) for b in ld.epoch(0)], axis=0)
+    for clip, (fi, st) in zip(got, samples):
+        assert np.array_equal(clip, all_f[st: st + 4])

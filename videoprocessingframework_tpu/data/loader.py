@@ -105,6 +105,36 @@ class VideoCorpus:
     def __len__(self) -> int:
         return len(self.streams)
 
+    def keyframe_indices(self, file_index: int) -> np.ndarray:
+        """Display-order frame indices of the stream's keyframes.
+
+        One demux-only pass (no decode — packet metadata carries the key
+        flag); cached per file. Packets arrive in decode order, so the
+        display index of each keyframe is its rank by pts."""
+        cache = getattr(self, "_kf_cache", None)
+        if cache is None:
+            cache = self._kf_cache = {}
+        if file_index in cache:
+            return cache[file_index]
+        from ..io.demuxer import FFmpegDemuxer
+
+        d = FFmpegDemuxer(self.streams[file_index].path)
+        pts, keys = [], []
+        try:
+            while True:
+                r = d.demux()
+                if r is None:
+                    break
+                pts.append(r.pkt_data.pts)
+                keys.append(bool(r.pkt_data.key))
+        finally:
+            d.close()
+        order = np.argsort(np.asarray(pts, np.int64), kind="stable")
+        keys = np.asarray(keys, bool)[order]
+        idx = np.flatnonzero(keys).astype(np.int64)
+        cache[file_index] = idx
+        return idx
+
     def majority_colorimetry(self) -> tuple[ColorSpace, ColorRange]:
         """Most common (space, range) pair; UNSPEC/UDEF resolve to the
         BT.601/MPEG defaults the reference's converters assume
@@ -141,6 +171,7 @@ class ClipSampler:
         hop: Optional[int] = None,
         shuffle: bool = True,
         seed: int = 0,
+        starts_per_file: Optional[Sequence] = None,
     ):
         if clip_len < 1 or stride < 1:
             raise ValueError("clip_len and stride must be >= 1")
@@ -154,10 +185,19 @@ class ClipSampler:
         self.shuffle = shuffle
         self.seed = int(seed)
         windows = []
-        for fi, s in enumerate(corpus.streams):
-            last_start = s.num_frames - span
-            for st in range(0, last_start + 1, self.hop):
-                windows.append((fi, st))
+        if starts_per_file is not None:
+            # explicit start positions (e.g. keyframe-aligned sampling):
+            # the positions replace the hop grid
+            for fi, s in enumerate(corpus.streams):
+                last_start = s.num_frames - span
+                for st in starts_per_file[fi]:
+                    if 0 <= int(st) <= last_start:
+                        windows.append((fi, int(st)))
+        else:
+            for fi, s in enumerate(corpus.streams):
+                last_start = s.num_frames - span
+                for st in range(0, last_start + 1, self.hop):
+                    windows.append((fi, st))
         if not windows:
             raise ValueError(
                 f"no clip of span {span} fits any corpus stream "
@@ -242,7 +282,7 @@ class _ClipLoaderBase:
     def _init_common(
         self, *, clip_len, frame_stride, batch_size, shuffle, seed, hop,
         drop_last, workers, prefetch, device, sharding, shard_index,
-        shard_count, labels, output,
+        shard_count, labels, output, sampler_starts=None,
     ) -> None:
         """Shared configuration (requires ``self.corpus`` set): sampler,
         batching/shard/placement params, the measured worker/prefetch
@@ -251,7 +291,7 @@ class _ClipLoaderBase:
             raise ValueError("need 0 <= shard_index < shard_count")
         self.sampler = ClipSampler(
             self.corpus, clip_len, frame_stride, hop=hop,
-            shuffle=shuffle, seed=seed,
+            shuffle=shuffle, seed=seed, starts_per_file=sampler_starts,
         )
         self.clip_len = clip_len
         self.frame_stride = frame_stride
@@ -444,6 +484,7 @@ class VideoClipLoader(_ClipLoaderBase):
         compute: str = "auto",
         lengths: Optional[Sequence[int]] = None,
         labels: Optional[Sequence] = None,
+        align_keyframes: bool = False,
     ):
         if isinstance(sources, VideoCorpus):
             self.corpus = sources
@@ -453,12 +494,25 @@ class VideoClipLoader(_ClipLoaderBase):
             self.corpus = VideoCorpus(
                 [str(s) for s in sources], lengths=lengths
             )
+        starts = None
+        if align_keyframes:
+            # snap clip starts to keyframes: a random seek into an
+            # inter-coded stream replays from the previous keyframe
+            # (GOP/2 wasted decodes per clip on average — with gop=30
+            # and 8-frame clips that is ~65% of all decode work);
+            # keyframe-aligned windows make every seek land exactly on
+            # its first frame. One demux-only indexing pass per file.
+            starts = [
+                self.corpus.keyframe_indices(fi)
+                for fi in range(len(self.corpus))
+            ]
         self._init_common(
             clip_len=clip_len, frame_stride=frame_stride,
             batch_size=batch_size, shuffle=shuffle, seed=seed, hop=hop,
             drop_last=drop_last, workers=workers, prefetch=prefetch,
             device=device, sharding=sharding, shard_index=shard_index,
             shard_count=shard_count, labels=labels, output=output,
+            sampler_starts=starts,
         )
         self.decode_threads = decode_threads
 
