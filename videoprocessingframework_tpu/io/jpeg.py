@@ -120,6 +120,15 @@ class JpegCoefDecoder:
 
     def probe(self, data) -> _lib.VpfJpegInfo:
         """Parse headers only (through SOS): geometry + quant tables."""
+        info = self.peek(data)
+        self._adopt(info)
+        return info
+
+    def peek(self, data) -> _lib.VpfJpegInfo:
+        """Header-only parse WITHOUT adopting (no scratch reallocation,
+        no state change) — microseconds, vs milliseconds for the entropy
+        decode. Lets callers detect geometry/table changes BEFORE
+        decoding into preallocated buffers."""
         a = _as_u8(data)
         info = _lib.VpfJpegInfo()
         rc = self._lib.vpf_jpeg_probe(
@@ -127,7 +136,6 @@ class JpegCoefDecoder:
         )
         if rc != _lib.OK:
             raise JpegStreamError(_lib.last_error())
-        self._adopt(info)
         return info
 
     def _adopt(self, info: _lib.VpfJpegInfo) -> None:
@@ -591,6 +599,9 @@ class MjpegTranscoder:
         quant-table or geometry changes (same contract as MjpegReader)."""
         from ..ops.jpeg import JpegDeviceTranscoder
 
+        if self.workers <= 1:
+            yield from self._coef_batches_serial()
+            return
         pend: list = []
         key0 = None
         for f, snap in self._frames():
@@ -608,33 +619,100 @@ class MjpegTranscoder:
                 if pend:
                     yield self._stack(pend)
                     pend = []
-                size_changed = key[0] != key0[0]
+                self._on_key_change(key0, key, snap)
                 key0 = key
-                if size_changed:  # geometry change: rebuild
-                    resizing = self._cfg["out_size"] is not None
-                    if not resizing and self._mux is not None:
-                        raise JpegStreamError(
-                            "mid-stream geometry change with a container "
-                            "sink needs a fixed out_size (the muxed "
-                            "stream has one geometry)"
-                        )
-                    self.device = JpegDeviceTranscoder(
-                        snap,
-                        quality=self._cfg["quality"],
-                        out_size=self._cfg["out_size"],
-                        method=self._cfg["method"],
-                        compute=self._cfg["compute"],
-                    )
-                    if not resizing:  # output geometry follows source
-                        self._new_sink_encoder()
-                else:  # DQT-only change: swap the inverse bases
-                    self.device.set_src_quant_tables(list(snap.qt))
             pend.append(f)
             if len(pend) >= self.batch:
                 yield self._stack(pend)
                 pend = []
         if pend:
             yield self._stack(pend)
+
+    def _on_key_change(self, key0, key, snap) -> None:
+        """Rebuild for a mid-stream configuration change (the caller has
+        flushed pending frames)."""
+        from ..ops.jpeg import JpegDeviceTranscoder
+
+        if key[0] != key0[0]:  # geometry change: rebuild
+            resizing = self._cfg["out_size"] is not None
+            if not resizing and self._mux is not None:
+                raise JpegStreamError(
+                    "mid-stream geometry change with a container "
+                    "sink needs a fixed out_size (the muxed "
+                    "stream has one geometry)"
+                )
+            self.device = JpegDeviceTranscoder(
+                snap,
+                quality=self._cfg["quality"],
+                out_size=self._cfg["out_size"],
+                method=self._cfg["method"],
+                compute=self._cfg["compute"],
+            )
+            if not resizing:  # output geometry follows source
+                self._new_sink_encoder()
+        else:  # DQT-only change: swap the inverse bases
+            self.device.set_src_quant_tables(list(snap.qt))
+
+    def _coef_batches_serial(self):
+        """Zero-copy serial batcher: a µs header peek per packet decides
+        configuration changes BEFORE the entropy decode writes straight
+        into double-buffered coefficient rings (no per-frame copy-out,
+        no np.stack — the same ring discipline as the clip loaders; two
+        rings alternate against run()'s single in-flight batch)."""
+        dec = self.coef
+
+        def key_and_snap(pkt):
+            info = dec.peek(pkt)
+            snap = _snapshot(info)
+            geo = (
+                snap.width, snap.height, snap.ncomp,
+                tuple(snap.hs), tuple(snap.vs),
+            )
+            return (geo, tuple(snap.qt)), snap
+
+        def new_rings(snap):
+            nblocks = [
+                int(snap.bh[c]) * int(snap.bw[c])
+                for c in range(int(snap.ncomp))
+            ]
+            return [
+                tuple(
+                    np.zeros((self.batch, nb, 64), np.int16)
+                    for nb in nblocks
+                )
+                for _ in range(2)
+            ]
+
+        rings = None
+        ring_i = 0
+        fill = 0
+        key0 = None
+        for pkt in self._packets():
+            key, snap = key_and_snap(pkt)
+            if key0 is None:
+                key0 = key
+                rings = new_rings(snap)
+            elif key != key0:
+                if fill:
+                    ring = rings[ring_i]
+                    yield tuple(c[:fill] for c in ring)
+                    ring_i ^= 1
+                    fill = 0
+                if key[0] != key0[0]:
+                    rings = new_rings(snap)  # block layout changed
+                self._on_key_change(key0, key, snap)
+                key0 = key
+            ring = rings[ring_i]
+            dec.decode_into(
+                pkt, [ring[c][fill] for c in range(len(ring))]
+            )
+            fill += 1
+            if fill >= self.batch:
+                yield ring
+                ring_i ^= 1
+                fill = 0
+        if fill:
+            yield tuple(c[:fill] for c in rings[ring_i])
 
     @staticmethod
     def _stack(frames):
