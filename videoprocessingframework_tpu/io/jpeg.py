@@ -895,50 +895,84 @@ class MjpegReader:
 
         Per-frame quant-table changes rebuild the bases (cheap, no
         recompile); geometry changes mid-stream are split at the
-        boundary and the pipeline is rebuilt.
-        """
-        pend: list[tuple[np.ndarray, ...]] = []
-        geo0 = None
-        for pkt in self._packets():
-            f = self.coef.decode(pkt)
-            if self.coef.quant_dirty:
-                self.coef.quant_dirty = False
-                if pend:
-                    yield self._emit(pend)
-                    pend = []
-                self.pipeline.set_quant_tables(self.coef.info)
-            geo = self._geo_key(_snapshot(self.coef.info))
-            if geo0 is None:
-                geo0 = geo
-            elif geo != geo0:  # geometry change: flush + rebuild
-                if pend:
-                    yield self._emit(pend)
-                    pend = []
-                geo0 = geo
-                # out_size=None keeps following the source geometry —
-                # never silently pin the OLD stream size as a resize
-                self.pipeline = self.pipeline.__class__(
-                    self.coef.info,
-                    out_size=self._out_size,
-                    output=self.pipeline.output,
-                    method=self.pipeline.method,
-                    compute=self.pipeline.compute,
+        boundary and the pipeline is rebuilt. The decode path is
+        zero-copy: a µs header peek per packet decides changes BEFORE
+        the entropy decode writes straight into double-buffered
+        coefficient rings (same discipline as the clip loaders; two
+        rings alternate against one in-flight device batch)."""
+        def new_rings(snap):
+            nblocks = [
+                int(snap.bh[c]) * int(snap.bw[c])
+                for c in range(int(snap.ncomp))
+            ]
+            return [
+                tuple(
+                    np.zeros((self.batch, nb, 64), np.int16)
+                    for nb in nblocks
                 )
-                self.width = self.pipeline.width
-                self.height = self.pipeline.height
-            pend.append(f)
-            if len(pend) >= self.batch:
-                yield self._emit(pend)
-                pend = []
-        if pend:
-            yield self._emit(pend)
+                for _ in range(2)
+            ]
 
-    def _emit(self, frames):
-        coeffs = (
-            np.stack([f[c] for f in frames])
-            for c in range(len(frames[0]))
-        )
-        return self.pipeline(*coeffs)
+        import jax
+
+        rings = None
+        ring_i = 0
+        fill = 0
+        key0 = None
+        # block_until_ready is the correctness barrier before recycling
+        # host buffers: track the output dispatched from each ring and
+        # wait on it before the ring is refilled (consumers may hold
+        # yielded batches without materializing them)
+        pending = [None, None]
+
+        def dispatch(coeffs):
+            out = self.pipeline(*coeffs)
+            pending[ring_i] = out
+            return out
+
+        for pkt in self._packets():
+            snap = _snapshot(self.coef.peek(pkt))
+            key = (self._geo_key(snap), tuple(snap.qt))
+            if key0 is None:
+                key0 = key
+                rings = new_rings(snap)
+            elif key != key0:
+                if fill:
+                    yield dispatch(c[:fill] for c in rings[ring_i])
+                    ring_i ^= 1
+                    fill = 0
+                if key[0] != key0[0]:  # geometry change: rebuild
+                    rings = new_rings(snap)
+                    pending = [None, None]  # fresh buffers, no waits
+                    # out_size=None keeps following the source geometry
+                    # — never silently pin the OLD size as a resize
+                    self.pipeline = self.pipeline.__class__(
+                        snap,
+                        out_size=self._out_size,
+                        output=self.pipeline.output,
+                        method=self.pipeline.method,
+                        compute=self.pipeline.compute,
+                    )
+                    self.width = self.pipeline.width
+                    self.height = self.pipeline.height
+                else:  # DQT-only: swap the bases
+                    self.pipeline.set_quant_tables(snap)
+                key0 = key
+            if fill == 0 and pending[ring_i] is not None:
+                jax.block_until_ready(pending[ring_i])
+                pending[ring_i] = None
+            ring = rings[ring_i]
+            self.coef.decode_into(
+                pkt, [ring[c][fill] for c in range(len(ring))]
+            )
+            self.coef.quant_dirty = False  # handled via the peek key
+            fill += 1
+            if fill >= self.batch:
+                yield dispatch(rings[ring_i])
+                ring_i ^= 1
+                fill = 0
+        if fill:
+            yield dispatch(c[:fill] for c in rings[ring_i])
 
     def frames(self):
         """Per-frame convenience iterator over :meth:`batches`."""

@@ -284,13 +284,13 @@ class JpegDevicePipeline:
         self.set_quant_tables(info)
 
     def set_quant_tables(self, info) -> None:
-        """(Re)build the dequant+IDCT bases — cheap, no recompile."""
+        """(Re)build the dequant+IDCT bases — cheap, no recompile.
+        Accepts the ctypes probe struct or any info-like with indexable
+        per-component ``qt`` (e.g. a snapshot)."""
         self._bases = tuple(
             jnp.asarray(
                 dequant_idct_basis(
-                    np.ctypeslib.as_array(info.qt[c])
-                    if not isinstance(info.qt[c], np.ndarray) else info.qt[c],
-                    np.float32,
+                    np.asarray(info.qt[c][:64], np.uint16), np.float32
                 )
             )
             for c in range(self.ncomp)
