@@ -197,3 +197,21 @@ def test_gray_validation():
     enc3 = J.JpegDeviceEncoder(128, 128)
     with pytest.raises(ValueError, match="expected 3 planes"):
         enc3.encode_planes(y)
+
+
+def test_gray_encode_rgb():
+    """RGB → gray coefficients in one program (odd target sizes OK)."""
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, (2, 200, 320, 3), np.uint8)
+    enc = J.JpegDeviceEncoder(H, W, quality=90, subsampled="gray")
+    (cy,) = (np.asarray(c) for c in enc.encode_rgb(rgb))
+    g = J.encode_geometry(H, W, "gray")
+    assert cy.shape == (2, g[0][0] * g[0][1], 64)
+
+    # golden: resize+RGB→Y via the fused helpers' own float64 anchors
+    from videoprocessingframework_tpu.ops.fused import encode_feed_gray
+
+    y = np.asarray(encode_feed_gray(rgb, out_h=H, out_w=W))
+    ql, _ = enc.quant_tables
+    (want,) = J.golden_encode((y,), (ql,), g)
+    assert np.abs(cy.astype(int) - want.astype(int)).max() <= 1

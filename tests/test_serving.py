@@ -180,3 +180,28 @@ def test_serving_sharded_infer_fn():
         got = [float(f.result(timeout=60)) for f in futs]
     want = [float(i) * np.prod(SHAPE) for i in range(10)]
     assert got == want
+
+
+def test_serving_backpressure():
+    import time
+
+    release = threading.Event()
+
+    def slow(batch):
+        release.wait(timeout=30)
+        return batch.astype(jnp.float32).sum(axis=(1, 2, 3))
+
+    srv = InferenceServer(slow, SHAPE, buckets=[1], max_wait_ms=0.0,
+                          max_queue=2)
+    try:
+        futs = [srv.submit(np.zeros(SHAPE, np.uint8))]
+        time.sleep(0.2)  # worker picks up the first, blocks in slow()
+        futs += [srv.submit(np.zeros(SHAPE, np.uint8)) for _ in range(2)]
+        with pytest.raises(RuntimeError, match="queue full"):
+            srv.submit(np.zeros(SHAPE, np.uint8))
+        release.set()
+        for f in futs:
+            f.result(timeout=30)
+    finally:
+        release.set()
+        srv.close()

@@ -646,6 +646,46 @@ def encode_feed(
     return y, u, v
 
 
+@partial(
+    jax.jit,
+    static_argnames=("out_h", "out_w", "space", "rng", "method", "swap",
+                     "compute"),
+)
+def encode_feed_gray(
+    rgb: jnp.ndarray,
+    *,
+    out_h: int,
+    out_w: int,
+    space: ColorSpace = ColorSpace.BT_601,
+    rng: ColorRange = ColorRange.JPEG,
+    method: str = "lanczos",
+    swap: bool = False,
+    compute: str = "auto",
+):
+    """Luma-only :func:`encode_feed`: RGB → resized u8 Y plane in one
+    program (grayscale encoder targets; no 4:2:0 fold, so odd target
+    sizes are fine)."""
+    n, h, w, c = rgb.shape
+    if c != 3:
+        raise ValueError(f"expected (N, H, W, 3) RGB, got {rgb.shape}")
+    if swap:
+        rgb = rgb[..., ::-1]
+    if not jnp.issubdtype(rgb.dtype, jnp.integer):
+        rgb = rgb.astype(jnp.float32) * 255.0
+    if compute not in ("auto", "split_bf16", "highest"):
+        raise ValueError(f"unknown compute mode {compute!r}")
+    mode = "split_bf16" if compute in ("auto", "split_bf16") else "highest"
+    rmat = jnp.asarray(resize_matrix(h, out_h, method))
+    cmat = jnp.asarray(resize_matrix(w, out_w, method))
+    out = _resize_nhwc(rgb, rmat, cmat, mode)
+    m, off = cs.ycbcr_from_rgb_matrix(space, rng)
+    y = jnp.einsum(
+        "...c,c->...", out, jnp.asarray(m[0], jnp.float32),
+        precision="highest",
+    ) + jnp.float32(off[0])
+    return _round_u8(y)
+
+
 def planes_to_host_packed(y, u, v) -> np.ndarray:
     """Assemble (y, u, v) device planes into the packed planar-YUV420 host
     frame layout ``(N, H*3/2, W)`` that VideoEncoder.encode consumes. The

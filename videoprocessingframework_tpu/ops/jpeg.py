@@ -508,12 +508,23 @@ class JpegDeviceEncoder:
     def encode_rgb(self, rgb):
         """(N, H, W, 3) u8 RGB (or f32 in [0,1]) → coefficient batches,
         resizing to the target size in the same program. JPEG convention:
-        full-range BT.601 (the inverse of the decode path)."""
-        if self.sampling != "420":
+        full-range BT.601 (the inverse of the decode path). Grayscale
+        targets keep only the luma of the same fused program."""
+        if self.sampling not in ("420", "gray"):
             raise ValueError(
                 "encode_rgb emits 4:2:0 (encode_feed); use encode_planes "
                 f"for 4:{'4:4' if self.sampling == '444' else '2:2'} input"
             )
+        if self.sampling == "gray":
+            from .fused import encode_feed_gray
+
+            y = encode_feed_gray(
+                rgb,
+                out_h=self.height,
+                out_w=self.width,
+                method=self.method,
+            )
+            return self.encode_planes(y)
         from .fused import encode_feed
 
         y, u, v = encode_feed(

@@ -96,6 +96,7 @@ class InferenceServer:
         max_batch: int = 32,
         max_wait_ms: float = 2.0,
         buckets: Optional[Sequence[int]] = None,
+        max_queue: Optional[int] = None,
     ):
         self.infer_fn = infer_fn
         self.item_shape = tuple(item_shape)
@@ -110,6 +111,7 @@ class InferenceServer:
         self.max_batch = self.buckets[-1]
         self.max_wait_s = max(0.0, float(max_wait_ms)) / 1e3
         self.stats = _Stats()
+        self.max_queue = int(max_queue) if max_queue else 0
         self._q: queue.Queue = queue.Queue()
         self._closed = False
         self._submit_lock = threading.Lock()
@@ -144,6 +146,12 @@ class InferenceServer:
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("server is closed")
+            if self.max_queue and self._q.qsize() >= self.max_queue:
+                # backpressure: refuse instead of growing an unbounded
+                # latency queue (the caller retries or sheds load)
+                raise RuntimeError(
+                    f"serving queue full ({self.max_queue} pending)"
+                )
             self._q.put((a, fut, time.perf_counter()))
         return fut
 
