@@ -617,19 +617,8 @@ def encode_feed(
     """
     if out_h % 2 or out_w % 2:
         raise ValueError("YUV420 target size must be even")
-    n, h, w, c = rgb.shape
-    if c != 3:
-        raise ValueError(f"expected (N, H, W, 3) RGB, got {rgb.shape}")
-    if swap:
-        rgb = rgb[..., ::-1]
-    if not jnp.issubdtype(rgb.dtype, jnp.integer):
-        rgb = rgb.astype(jnp.float32) * 255.0
-    if compute not in ("auto", "split_bf16", "highest"):
-        raise ValueError(f"unknown compute mode {compute!r}")
-    mode = "split_bf16" if compute in ("auto", "split_bf16") else "highest"
-    rmat = jnp.asarray(resize_matrix(h, out_h, method))
-    cmat = jnp.asarray(resize_matrix(w, out_w, method))
-    out = _resize_nhwc(rgb, rmat, cmat, mode)     # (N, oh, ow, 3) f32
+    n = rgb.shape[0]
+    out = _encode_feed_resized(rgb, out_h, out_w, method, swap, compute)
 
     m, off = cs.ycbcr_from_rgb_matrix(space, rng)
     ycc = jnp.einsum(
@@ -644,6 +633,25 @@ def encode_feed(
     u = _round_u8(cbcr[..., 0])
     v = _round_u8(cbcr[..., 1])
     return y, u, v
+
+
+def _encode_feed_resized(rgb, out_h, out_w, method, swap, compute):
+    """Shared outbound prologue: validate, channel-swap, scale float
+    inputs, resize → (N, out_h, out_w, 3) f32. One implementation so
+    the 4:2:0 and gray feeds can never drift."""
+    if rgb.ndim != 4 or rgb.shape[-1] != 3:
+        raise ValueError(f"expected (N, H, W, 3) RGB, got {rgb.shape}")
+    h, w = rgb.shape[1], rgb.shape[2]
+    if swap:
+        rgb = rgb[..., ::-1]
+    if not jnp.issubdtype(rgb.dtype, jnp.integer):
+        rgb = rgb.astype(jnp.float32) * 255.0
+    if compute not in ("auto", "split_bf16", "highest"):
+        raise ValueError(f"unknown compute mode {compute!r}")
+    mode = "split_bf16" if compute in ("auto", "split_bf16") else "highest"
+    rmat = jnp.asarray(resize_matrix(h, out_h, method))
+    cmat = jnp.asarray(resize_matrix(w, out_w, method))
+    return _resize_nhwc(rgb, rmat, cmat, mode)
 
 
 @partial(
@@ -664,20 +672,11 @@ def encode_feed_gray(
 ):
     """Luma-only :func:`encode_feed`: RGB → resized u8 Y plane in one
     program (grayscale encoder targets; no 4:2:0 fold, so odd target
-    sizes are fine)."""
-    n, h, w, c = rgb.shape
-    if c != 3:
-        raise ValueError(f"expected (N, H, W, 3) RGB, got {rgb.shape}")
-    if swap:
-        rgb = rgb[..., ::-1]
-    if not jnp.issubdtype(rgb.dtype, jnp.integer):
-        rgb = rgb.astype(jnp.float32) * 255.0
-    if compute not in ("auto", "split_bf16", "highest"):
-        raise ValueError(f"unknown compute mode {compute!r}")
-    mode = "split_bf16" if compute in ("auto", "split_bf16") else "highest"
-    rmat = jnp.asarray(resize_matrix(h, out_h, method))
-    cmat = jnp.asarray(resize_matrix(w, out_w, method))
-    out = _resize_nhwc(rgb, rmat, cmat, mode)
+    sizes are fine). NOTE the defaults differ from :func:`encode_feed`
+    deliberately — gray targets are the JPEG path's convention
+    (full-range BT.601); callers with other colorimetry pass it
+    explicitly."""
+    out = _encode_feed_resized(rgb, out_h, out_w, method, swap, compute)
     m, off = cs.ycbcr_from_rgb_matrix(space, rng)
     y = jnp.einsum(
         "...c,c->...", out, jnp.asarray(m[0], jnp.float32),

@@ -522,6 +522,8 @@ class JpegDeviceEncoder:
                 rgb,
                 out_h=self.height,
                 out_w=self.width,
+                space=ColorSpace.BT_601,
+                rng=ColorRange.JPEG,
                 method=self.method,
             )
             return self.encode_planes(y)

@@ -35,7 +35,12 @@ from typing import Callable, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["InferenceServer"]
+__all__ = ["InferenceServer", "ServingQueueFull"]
+
+
+class ServingQueueFull(RuntimeError):
+    """Backpressure: the bounded request queue is full — retryable (the
+    closed-server RuntimeError is not)."""
 
 
 class _Stats:
@@ -111,7 +116,9 @@ class InferenceServer:
         self.max_batch = self.buckets[-1]
         self.max_wait_s = max(0.0, float(max_wait_ms)) / 1e3
         self.stats = _Stats()
-        self.max_queue = int(max_queue) if max_queue else 0
+        if max_queue is not None and int(max_queue) < 1:
+            raise ValueError("max_queue must be >= 1 (or None = unbounded)")
+        self.max_queue = int(max_queue) if max_queue is not None else 0
         self._q: queue.Queue = queue.Queue()
         self._closed = False
         self._submit_lock = threading.Lock()
@@ -144,19 +151,42 @@ class InferenceServer:
         # otherwise a submit racing close() can land its request BEHIND
         # the shutdown sentinel and its future never resolves
         with self._submit_lock:
-            if self._closed:
-                raise RuntimeError("server is closed")
-            if self.max_queue and self._q.qsize() >= self.max_queue:
-                # backpressure: refuse instead of growing an unbounded
-                # latency queue (the caller retries or sheds load)
-                raise RuntimeError(
-                    f"serving queue full ({self.max_queue} pending)"
-                )
-            self._q.put((a, fut, time.perf_counter()))
+            self._admit([(a, fut)])
         return fut
 
+    def _admit(self, pairs) -> None:
+        """Enqueue under the held submit lock; all-or-nothing vs the
+        capacity bound and the shutdown sentinel."""
+        if self._closed:
+            raise RuntimeError("server is closed")
+        if self.max_queue and (
+            self._q.qsize() + len(pairs) > self.max_queue
+        ):
+            # backpressure: refuse instead of growing an unbounded
+            # latency queue (the caller retries or sheds load)
+            raise ServingQueueFull(
+                f"serving queue full ({self.max_queue} pending)"
+            )
+        now = time.perf_counter()
+        for a, fut in pairs:
+            self._q.put((a, fut, now))
+
     def submit_many(self, items) -> list[Future]:
-        return [self.submit(x) for x in items]
+        """Atomic batch submit: either every item is admitted (futures
+        returned for all) or none is (ServingQueueFull) — a mid-list
+        failure never strands accepted items without handles."""
+        staged = []
+        for item in items:
+            a = np.asarray(item, self.dtype)
+            if a.shape != self.item_shape:
+                raise ValueError(
+                    f"item shape {a.shape} != server shape "
+                    f"{self.item_shape}"
+                )
+            staged.append((a, Future()))
+        with self._submit_lock:
+            self._admit(staged)
+        return [fut for _a, fut in staged]
 
     def infer(self, item, timeout: Optional[float] = None):
         """Blocking convenience: submit + wait."""
