@@ -180,3 +180,29 @@ def test_gray_and_444_corpora(tmp_path):
                          output="planes", shuffle=False, workers=1)
     planes = next(iter(ld.epoch(0)))
     assert np.asarray(planes[1]).shape == (2, 2, H, W)  # full-res chroma
+
+
+def test_bucketed_mjpeg(tmp_path):
+    """BucketedClipLoader over mixed-geometry MJPEG corpora via
+    loader_cls=MjpegClipLoader: the split codec per bucket."""
+    from videoprocessingframework_tpu.data import BucketedClipLoader
+
+    a = tmp_path / "ba.avi"
+    b = tmp_path / "bb.avi"
+    _mk_avi(a, n=8, seed=1)
+    _mk_avi(b, n=8, seed=2, w=64, h=48)
+    ld = BucketedClipLoader(
+        [str(a), str(b)], out_size=(32, 32), clip_len=2, batch_size=2,
+        output="rgb_u8", labels=[3, 5], seed=6, workers=1,
+        loader_cls=MjpegClipLoader,
+    )
+    assert len(ld.loaders) == 2
+    total = 0
+    seen = set()
+    for batch, labels in ld.epoch(0):
+        arr = np.asarray(batch)
+        assert arr.shape[1:] == (2, 32, 32, 3)
+        total += arr.shape[0]
+        seen.update(labels.tolist())
+    assert total == ld.clips_per_epoch
+    assert seen == {3, 5}

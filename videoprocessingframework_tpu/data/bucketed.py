@@ -42,6 +42,7 @@ class BucketedClipLoader:
         labels: Optional[Sequence] = None,
         lengths: Optional[Sequence[int]] = None,
         seed: int = 0,
+        loader_cls=None,
         **kw,
     ):
         if kw.get("output", "normalized") == "packed":
@@ -61,11 +62,15 @@ class BucketedClipLoader:
             finally:
                 d.close()
         self.seed = int(seed)
-        self.loaders: list[VideoClipLoader] = []
+        # loader_cls: VideoClipLoader (default) or MjpegClipLoader for
+        # mixed-geometry MJPEG corpora (same constructor contract)
+        if loader_cls is None:
+            loader_cls = VideoClipLoader
+        self.loaders: list = []
         self.bucket_files: list[list[int]] = []
         for geo in sorted(buckets):
             idxs = buckets[geo]
-            self.loaders.append(VideoClipLoader(
+            self.loaders.append(loader_cls(
                 [sources[i] for i in idxs],
                 out_size=out_size,
                 labels=None if labels is None else [labels[i] for i in idxs],
