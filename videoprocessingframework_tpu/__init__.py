@@ -80,6 +80,7 @@ _LAZY = {
     "MjpegClipLoader": "data",
     # serving
     "InferenceServer": "serving",
+    "ServingQueueFull": "serving",
 }
 
 
