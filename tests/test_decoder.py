@@ -2,8 +2,12 @@
 count, monotonic pts, seek-vs-continuous bit-exactness, standalone
 demux+decode with flush-drain, resolution change, error contracts."""
 
+import pathlib
+
 import numpy as np
 import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
 
 from videoprocessingframework_tpu.core.enums import (
     CodecId,
@@ -166,3 +170,37 @@ def test_motion_vectors(test_mp4):
                 assert mvs.dtype.names[:3] == ("source", "w", "h")
                 break
     assert got_mvs
+
+
+def test_decode_stderr_clean_of_sps_warnings(test_mp4):
+    """The decoder gets Annex.B-form parameter sets at open (demuxer
+    annexb_extradata), so libav never warns "non-existing SPS 0
+    referenced in buffering period" — the BSF emits [SEI][SPS][PPS][IDR]
+    per access unit and without extradata the buffering-period SEI
+    arrives before the SPS (VERDICT r3: the MULTICHIP artifact tail)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os\n"
+        "os.environ['VPF_TPU_FORCE_CPU'] = '1'\n"
+        "import sys\n"
+        f"sys.path.insert(0, {str(REPO / 'samples')!r})\n"
+        "import utils\n"
+        "from videoprocessingframework_tpu.io import (NativeDecodePool,\n"
+        "    VideoReader)\n"
+        "from videoprocessingframework_tpu.core.enums import PixelFormat\n"
+        f"r = VideoReader({'PATH'!r})\n"
+        "assert sum(1 for _ in r.frames()) > 0\n"
+        f"p = NativeDecodePool([{'PATH'!r}], batch_size=4,\n"
+        "    out_format=PixelFormat.YUV420, plane_major=True)\n"
+        "assert p.acquire_planes() is not None\n"
+        "p.release(); p.close()\n"
+    ).replace("'PATH'", repr(test_mp4))
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "non-existing SPS" not in out.stderr
+    assert "non-existing SPS" not in out.stdout

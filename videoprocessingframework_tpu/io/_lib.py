@@ -187,6 +187,11 @@ def load() -> C.CDLL:
         C.c_int,
         [C.c_void_p, C.POINTER(_u8p), C.POINTER(C.c_size_t)],
     )
+    sig(
+        "vpf_demuxer_annexb_extradata",
+        C.c_int,
+        [C.c_void_p, C.POINTER(_u8p), C.POINTER(C.c_size_t)],
+    )
 
     sig(
         "vpf_decoder_create",

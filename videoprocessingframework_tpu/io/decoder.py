@@ -270,10 +270,13 @@ class VideoReader:
         self._last_sei: Optional[np.ndarray] = None
         if source is not None:
             self.demuxer: Optional[FFmpegDemuxer] = FFmpegDemuxer(source, opts)
-            # Annex.B input: parameter sets are in-band after the BSF, so no
-            # extradata is handed to the codec.
+            # Hand the codec the Annex.B-form parameter sets so SPS/PPS
+            # are known at open: the BSF emits [SEI][SPS][PPS][IDR] per
+            # access unit, and a buffering-period SEI arriving before
+            # the in-band SPS makes libav warn per stream open.
             self.decoder = VideoDecoder(
-                self.demuxer.codec, threads=threads, output_format=None
+                self.demuxer.codec, threads=threads, output_format=None,
+                extradata=self.demuxer.annexb_extradata,
             )
             self.format = self.demuxer.format
         else:

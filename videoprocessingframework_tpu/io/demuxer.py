@@ -155,6 +155,23 @@ class FFmpegDemuxer:
             return b""
         return bytes(bytearray(ptr[: size.value]))
 
+    @property
+    def annexb_extradata(self) -> bytes:
+        """Parameter sets in the same form as the demuxed packets
+        (Annex.B start codes after the mp4toannexb BSF). Hand this to
+        the decoder so SPS/PPS are known at open — before the first
+        access unit's SEI, which otherwise precedes the in-band SPS in
+        BSF output order (libav then warns "non-existing SPS 0
+        referenced in buffering period" once per stream)."""
+        ptr = C.POINTER(C.c_uint8)()
+        size = C.c_size_t()
+        self._lib.vpf_demuxer_annexb_extradata(
+            self._h, C.byref(ptr), C.byref(size)
+        )
+        if not size.value:
+            return b""
+        return bytes(bytearray(ptr[: size.value]))
+
     # -- demux / seek --------------------------------------------------------
 
     def demux(self, need_sei: bool = False) -> Optional[DemuxResult]:

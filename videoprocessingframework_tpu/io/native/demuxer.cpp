@@ -394,3 +394,21 @@ VPF_API int vpf_demuxer_extradata(void* h, const uint8_t** data,
   *size = (size_t)d->vs()->codecpar->extradata_size;
   return VPF_OK;
 }
+
+/* Extradata matching the ANNEX.B packets this demuxer emits: the
+ * mp4toannexb BSF's par_out (start-code SPS/PPS), falling back to the
+ * container extradata when no BSF is active (raw annexb inputs carry
+ * parameter sets in-band). Handing this to the decoder at open means
+ * the SPS is known BEFORE the first access unit's SEI — without it a
+ * buffering-period SEI precedes the in-band SPS in BSF output order
+ * and libav logs "non-existing SPS 0 referenced in buffering period"
+ * per stream open. */
+VPF_API int vpf_demuxer_annexb_extradata(void* h, const uint8_t** data,
+                                         size_t* size) {
+  auto* d = static_cast<Demuxer*>(h);
+  const AVCodecParameters* par =
+      d->bsf_annexb ? d->bsf_annexb->par_out : d->vs()->codecpar;
+  *data = par->extradata;
+  *size = (size_t)par->extradata_size;
+  return VPF_OK;
+}

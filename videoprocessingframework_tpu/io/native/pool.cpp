@@ -31,6 +31,7 @@ int vpf_demuxer_demux(void*, const uint8_t**, size_t*, VpfPacketData*,
                       const uint8_t**, size_t*);
 int vpf_demuxer_codec_id(void*);
 void* vpf_decoder_create(int, const uint8_t*, size_t, int, int);
+int vpf_demuxer_annexb_extradata(void*, const uint8_t**, size_t*);
 void vpf_decoder_destroy(void*);
 int vpf_decoder_decode(void*, const uint8_t*, size_t, const VpfPacketData*);
 int vpf_decoder_flush_frame(void*);
@@ -125,7 +126,14 @@ struct Pool {
       dmx = vpf_demuxer_open(p.urls[sid % p.urls.size()].c_str(), nullptr,
                              nullptr, 0);
       if (!dmx) return false;
-      dec = vpf_decoder_create(vpf_demuxer_codec_id(dmx), nullptr, 0, 0, 0);
+      /* Annex.B-form parameter sets at open: without them the first
+       * access unit's SEI precedes the in-band SPS (BSF output order)
+       * and libav warns "non-existing SPS referenced" per stream. */
+      const uint8_t* extra = nullptr;
+      size_t extra_size = 0;
+      vpf_demuxer_annexb_extradata(dmx, &extra, &extra_size);
+      dec = vpf_decoder_create(vpf_demuxer_codec_id(dmx), extra, extra_size,
+                               0, 0);
       if (!dec) {
         vpf_demuxer_close(dmx);
         dmx = nullptr;
