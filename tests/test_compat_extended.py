@@ -173,29 +173,52 @@ def test_encode_from_tensor_roundtrip(tmp_path):
     assert enc.EncodeFromNVCVImage(t, pkt, False) is False
 
 
-def test_decode_surface_from_packet_nvcv_output(test_mp4):
-    """NVCV-output overload (ref PyNvDecoder.cpp:822-923 /
-    SampleTypeConversionTest.py): trailing bool returns framework tensors
-    (zero-copy DLPack views of the decoded planes)."""
+def test_decode_surface_from_packet_nvcv_output(test_mp4, capsys):
+    """NVCV-output overload, reference spelling (PyNvDecoder.cpp:822-923 /
+    SampleTypeConversionTest.py:108-117): `DecodeSurfaceFromPacket(pd_in,
+    packet, pd_out, True)` returns an nvcv.Image-shaped object with
+    lowercase .width/.height, usable as the input of
+    EncodeFromNVCVImage — the sample's decode→nvcv→encode loop unchanged."""
     import torch
 
     dmx = nvc.PyFFmpegDemuxer(test_mp4)
     dec = nvc.PyNvDecoder(
         dmx.Width(), dmx.Height(), dmx.Format(), dmx.Codec(), 0
     )
+    res = f"{dmx.Width()}x{dmx.Height()}"
+    enc = nvc.PyNvEncoder(
+        {"preset": "P5", "tuning_info": "high_quality", "codec": "h264",
+         "profile": "high", "s": res, "bitrate": "10M"}, 0
+    )
     packet = np.ndarray(0, np.uint8)
+    enc_frame = np.ndarray(0, np.uint8)
     pd_in, pd_out = nvc.PacketData(), nvc.PacketData()
-    tensors = None
+    encoded = False
+    image = None
     while dmx.DemuxSinglePacket(packet):
         dmx.LastPacketData(pd_in)
-        out = dec.DecodeSurfaceFromPacket(pd_in, packet, pd_out, True)
-        if isinstance(out, list):
-            tensors = out
+        surface_nv12 = dec.DecodeSurfaceFromPacket(pd_in, packet, pd_out,
+                                                   True)
+        if surface_nv12.width == 0 and surface_nv12.height == 0:
+            continue
+        image = surface_nv12
+        if enc.EncodeFromNVCVImage(surface_nv12, enc_frame):
+            encoded = True
             break
-    assert tensors is not None
-    assert all(isinstance(t, torch.Tensor) for t in tensors)
-    assert tensors[0].shape[0] == dmx.Height()
-    assert tensors[0].dtype == torch.uint8
+    assert isinstance(image, nvc.NVCVImage)
+    assert (image.width, image.height) == (dmx.Width(), dmx.Height())
+    assert encoded and enc_frame.size > 0
+
+    # the DLPack export is the __cuda_array_interface__ analog: a packed
+    # (H*3/2, W) uint8 device frame, torch-importable
+    t = torch.from_dlpack(image)
+    assert t.shape == (dmx.Height() * 3 // 2, dmx.Width())
+    assert t.dtype == torch.uint8
+
+    # reference contract (PyNvDecoder.cpp:828-831): bool False -> message
+    # on stdout + None return
+    assert dec.DecodeSurfaceFromPacket(pd_in, packet, pd_out, False) is None
+    assert "bOutputNVCVImage" in capsys.readouterr().out
 
 
 def test_caps_enums_full_reference_vocabulary(test_mp4):

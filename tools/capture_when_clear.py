@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Background weather watcher: probe the TPU relay tunnel periodically
+and fire a full `bench.py` capture (plus one `tpu_validation.py` drive)
+the moment the link clears.
+
+The tunnel's throughput swings 20 MB/s - 2 GB/s over minutes (CLAUDE.md
+"weather"); good-weather captures are a scarce resource, so this tool
+makes them automatic: run it in the background for a whole round and it
+leaves its best capture under  docs/bench_captures/.
+
+Usage:  python tools/capture_when_clear.py [--interval-s 900]
+                                           [--threshold-mbps 150]
+                                           [--once]
+
+Each probe runs in a `timeout`-bounded subprocess (a blocking jax call
+can wedge un-SIGTERM-ably under dead weather — CLAUDE.md), as does each
+bench attempt (bench.py self-supervises, but belt and braces).
+"""
+
+import argparse
+import datetime
+import json
+import pathlib
+import subprocess
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+PROBE = r"""
+import time, numpy as np, jax
+d = jax.devices()[0]
+x = np.zeros((8, 1024, 1024), np.float32)
+a = jax.device_put(x, d); a.block_until_ready()      # wake the link
+best = 0.0
+for _ in range(3):                                   # ramp-aware: best of 3
+    t0 = time.perf_counter()
+    a = jax.device_put(x, d); a.block_until_ready()
+    best = max(best, 32.0 / (time.perf_counter() - t0))
+print(f"PROBE_MBPS {best:.1f}")
+"""
+
+
+def probe_mbps(timeout_s: float = 150.0) -> float:
+    try:
+        r = subprocess.run(
+            ["timeout", str(int(timeout_s)), sys.executable, "-c", PROBE],
+            capture_output=True, text=True, cwd=REPO,
+        )
+    except Exception:
+        return 0.0
+    for ln in (r.stdout or "").splitlines():
+        if ln.startswith("PROBE_MBPS"):
+            return float(ln.split()[1])
+    return 0.0
+
+
+def run_capture(outdir: pathlib.Path, stamp: str) -> dict | None:
+    """One full bench capture; returns the parsed JSON line (or None)."""
+    log = outdir / f"bench_{stamp}.log"
+    with log.open("w") as fh:
+        subprocess.run(
+            ["timeout", "720", sys.executable, str(REPO / "bench.py")],
+            stdout=fh, stderr=subprocess.STDOUT, cwd=REPO,
+        )
+    for ln in reversed(log.read_text().splitlines()):
+        if ln.startswith("{") and '"metric"' in ln:
+            try:
+                return json.loads(ln)
+            except Exception:
+                return None
+    return None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--interval-s", type=float, default=900.0)
+    ap.add_argument("--threshold-mbps", type=float, default=150.0)
+    ap.add_argument("--once", action="store_true",
+                    help="single probe+capture attempt, then exit")
+    ap.add_argument("--validate", action="store_true",
+                    help="also run tools/tpu_validation.py on first clear")
+    args = ap.parse_args()
+
+    outdir = REPO / "docs" / "bench_captures"
+    outdir.mkdir(parents=True, exist_ok=True)
+    best_ratio = -1.0
+    validated = False
+
+    while True:
+        stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+        mbps = probe_mbps()
+        print(f"[{stamp}] probe {mbps:.1f} MB/s", flush=True)
+        if mbps >= args.threshold_mbps:
+            rec = run_capture(outdir, stamp)
+            if rec:
+                extra = rec.get("extra", {})
+                ratio = float(extra.get("sustained_ratio", 0.0))
+                print(f"[{stamp}] capture: {rec.get('value')} fps, "
+                      f"sustained_ratio {ratio}", flush=True)
+                if ratio > best_ratio:
+                    best_ratio = ratio
+                    (outdir / "best.json").write_text(
+                        json.dumps(rec, indent=1) + "\n")
+                if args.validate and not validated and ratio >= 0.5:
+                    vlog = outdir / f"validation_{stamp}.log"
+                    with vlog.open("w") as fh:
+                        subprocess.run(
+                            ["timeout", "580", sys.executable,
+                             str(REPO / "tools" / "tpu_validation.py")],
+                            stdout=fh, stderr=subprocess.STDOUT, cwd=REPO)
+                    validated = "ALL OK" in vlog.read_text()
+                    print(f"[{stamp}] validation: "
+                          f"{'OK' if validated else 'FAILED'}", flush=True)
+                if ratio >= 0.8 and (validated or not args.validate):
+                    print("target capture achieved; exiting", flush=True)
+                    return 0
+        if args.once:
+            return 0
+        time.sleep(args.interval_s)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

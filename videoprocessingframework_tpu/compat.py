@@ -336,6 +336,69 @@ class Surface:
         return repr(self._core)
 
 
+class NVCVImage:
+    """NVCV ``Image`` analog (reference PyNvDecoder.cpp:822-923 builds an
+    ``nvcv.as_image`` over the decoded surface via
+    ``__cuda_array_interface__``; SampleTypeConversionTest.py consumes it).
+
+    Wraps the decoded Surface's device planes; exposes the nvcv-style
+    lowercase ``width``/``height`` properties the reference sample reads,
+    exports the packed frame via DLPack (the TPU-native replacement for
+    ``__cuda_array_interface__``), and is accepted by
+    ``PyNvEncoder.EncodeFromNVCVImage`` — so the reference sample's
+    decode→nvcv→encode loop runs unchanged."""
+
+    def __init__(self, surface: "Surface"):
+        self._surface = surface
+        self._packed = None
+
+    @property
+    def width(self) -> int:
+        return self._surface.Width()
+
+    @property
+    def height(self) -> int:
+        return self._surface.Height()
+
+    @property
+    def format(self) -> PixelFormat:
+        return self._surface.Format()
+
+    @property
+    def surface(self) -> "Surface":
+        return self._surface
+
+    def packed(self):
+        """One device array holding the whole frame: zero-copy for
+        single-plane formats; one on-device concat for multi-plane
+        formats whose planes share a row width (NV12: (H*3/2, W) u8);
+        byte-flattened concat otherwise (YUV420's W/2 chroma rows)."""
+        if self._packed is None:
+            import jax.numpy as jnp
+
+            core = self._surface.core
+            planes = [core.plane(i).array for i in range(core.num_planes)]
+            if len(planes) == 1:
+                self._packed = planes[0]
+            elif len({p.shape[-1] for p in planes}) == 1:
+                self._packed = jnp.concatenate(planes, axis=0)
+            else:
+                self._packed = jnp.concatenate(
+                    [p.reshape(-1).view(jnp.uint8) for p in planes]
+                )
+        return self._packed
+
+    def __dlpack__(self, **kwargs):
+        return self.packed().__dlpack__(**kwargs)
+
+    def __dlpack_device__(self):
+        return self.packed().__dlpack_device__()
+
+    def __repr__(self):
+        return (f"NVCVImage({self.width}x{self.height}, "
+                f"{self._surface.Format().name})")
+
+
 class CudaBuffer:
     """1-D device memory token (reference CudaBuffer analog; HBM-backed)."""
 
@@ -403,6 +466,8 @@ def _tensor_to_numpy(tensor) -> np.ndarray:
     numpy array for the host encoder."""
     if isinstance(tensor, np.ndarray):
         return tensor
+    if isinstance(tensor, NVCVImage):
+        return np.asarray(tensor.packed())
     mod = type(tensor).__module__
     if mod.startswith("torch"):
         return tensor.detach().cpu().numpy()
@@ -681,28 +746,29 @@ class PyNvDecoder:
         return enc_pkt, packet, pkt_out
 
     def DecodeSurfaceFromPacket(self, *args) -> Surface:
-        # NVCV-output overload (ref PyNvDecoder.cpp:822-923): a trailing
-        # bool requests a framework-tensor view. The reference builds a
-        # torch tensor via __cuda_array_interface__; here the planes ARE
-        # device arrays, so we return a list of torch tensors (zero-copy
-        # DLPack per plane) — SampleTypeConversionTest analog.
+        # NVCV-output overload (ref PyNvDecoder.cpp:822-923,
+        # `DecodeSurfaceFromPacket(enc_packet_data, packet, pkt_data,
+        # bool_nvcv_check)`): a trailing bool requests an NVCV image view.
+        # The reference builds nvcv.as_image via __cuda_array_interface__;
+        # here the planes ARE device arrays, so we return an NVCVImage
+        # DLPack wrapper — SampleTypeConversionTest.py runs unchanged.
         nvcv_check = None
         if args and isinstance(args[-1], bool):
             nvcv_check = args[-1]
             args = args[:-1]
+        if nvcv_check is False:
+            # reference contract: message + None (PyNvDecoder.cpp:828-831)
+            print("Please set value of bOutputNVCVImage to true")
+            return None
         enc_pkt, packet, pkt_out = self._from_packet(args)
         frame = self._decode(None, None, pkt_out, packet=packet,
                              enc_pkt_data=enc_pkt)
         if frame is None:
-            return Surface._empty(self._format)
+            surf = Surface._empty(self._format)
+            return NVCVImage(surf) if nvcv_check else surf
         surf = Surface(frame.to_surface(_device(self._gpu_id)))
         if nvcv_check:
-            import torch
-
-            return [
-                torch.from_dlpack(surf.PlanePtr(i))
-                for i in range(surf.NumPlanes())
-            ]
+            return NVCVImage(surf)
         return surf
 
     def DecodeFrameFromPacket(self, frame: np.ndarray, *args) -> bool:
@@ -1100,6 +1166,7 @@ __all__ = [
     "GetNvencParams",
     "HwResetException",
     "MuxingParams",
+    "NVCVImage",
     "NV_DEC_CAPS",
     "NV_ENC_CAPS",
     "PacketData",
