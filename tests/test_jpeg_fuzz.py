@@ -84,6 +84,36 @@ for n in (0, 1, 17, 300, valid.size):
         body = rng.integers(0, 256, n, np.uint8).astype(np.uint8)
         feed(np.concatenate([hdr, body, np.frombuffer(b"\xff\xd9", np.uint8)]))
 
+# 6) progressive (SOF2) stream: the same gauntlet over the multi-scan
+# path (scan-chain walker, DC/AC first+refine, EOB runs)
+try:
+    import io as _io
+    from PIL import Image
+except ImportError:
+    Image = None
+if Image is not None:
+    img = rng.integers(0, 256, (H, W, 3), np.uint8)
+    bio = _io.BytesIO()
+    Image.fromarray(img).save(bio, "JPEG", quality=80, progressive=True)
+    pvalid = np.frombuffer(bio.getvalue(), np.uint8)
+    feed(pvalid)  # must decode
+    assert ok > 0
+    for _ in range(200):
+        feed(pvalid[: int(rng.integers(0, pvalid.size))].copy())
+    for _ in range(1200):
+        m = pvalid.copy()
+        for _k in range(int(rng.integers(1, 5))):
+            m[int(rng.integers(0, m.size))] = int(rng.integers(0, 256))
+        feed(m)
+    psos = bytes(pvalid).find(b"\xff\xda")
+    phdr_end = psos + 2 + ((int(pvalid[psos + 2]) << 8) | int(pvalid[psos + 3]))
+    phdr = pvalid[:phdr_end]
+    for n in (0, 1, 17, 300):
+        for _ in range(60):
+            body = rng.integers(0, 256, n, np.uint8).astype(np.uint8)
+            feed(np.concatenate(
+                [phdr, body, np.frombuffer(b"\xff\xd9", np.uint8)]))
+
 print(f"fuzz done: {ok} decoded, {bad} rejected cleanly")
 """
 

@@ -101,6 +101,7 @@ class VpfJpegInfo(C.Structure):
         ("restart_interval", C.c_uint32),
         ("max_k", C.c_uint32),
         ("consumed", C.c_uint32),
+        ("progressive", C.c_uint32),
     ]
 
 

@@ -13,11 +13,14 @@ split where the hardware is:
   reassembly + CSC + resize) as batched MXU matmuls in ONE XLA program.
 
 :class:`MjpegReader` is the high-level tie: demux an MJPEG container,
-entropy-decode on host, hand coefficient batches to the device. Streams
-the device path cannot take (progressive, 12-bit, exotic sampling) raise
-:class:`JpegStreamError`; callers fall back to the libav software path
-(:class:`~videoprocessingframework_tpu.io.decoder.VideoReader` handles
-MJPEG like any other codec).
+entropy-decode on host, hand coefficient batches to the device. Both
+baseline (SOF0/1) and progressive (SOF2) streams decode through the
+split path — progressive scans accumulate into the same zigzag
+coefficient planes, so the device half is identical. Streams the device
+path cannot take (12-bit, hierarchical/arithmetic, exotic sampling)
+raise :class:`JpegStreamError`; callers fall back to the libav software
+path (:class:`~videoprocessingframework_tpu.io.decoder.VideoReader`
+handles MJPEG like any other codec).
 """
 
 from __future__ import annotations
@@ -43,8 +46,8 @@ __all__ = [
 
 
 class JpegStreamError(RuntimeError):
-    """Stream outside the device path's scope (progressive, 12-bit,
-    non-interleaved, sampling > 2). Fall back to VideoReader."""
+    """Stream outside the device path's scope (12-bit, hierarchical/
+    arithmetic, sampling > 2). Fall back to VideoReader."""
 
 
 _u8p = C.POINTER(C.c_uint8)
@@ -68,6 +71,7 @@ def _snapshot(info: "_lib.VpfJpegInfo"):
         bw=[int(info.bw[c]) for c in range(n)],
         qt=[tuple(info.qt[c][:64]) for c in range(n)],
         restart_interval=int(info.restart_interval),
+        progressive=bool(info.progressive),
     )
 
 

@@ -15,11 +15,12 @@
  * matrix, so de-zigzagging here would be wasted host work). Quant tables
  * are exported in the same zigzag order.
  *
- * Scope: sequential baseline DCT (SOF0/SOF1), 8-bit samples, interleaved
- * single-scan, sampling factors ≤ 2, restart markers supported.
- * Progressive / hierarchical / 12-bit / non-interleaved streams return
- * VPF_ERR with a typed message — callers fall back to the libav software
- * path (io/native/decoder.cpp).
+ * Scope: sequential baseline DCT (SOF0/SOF1) and progressive DCT (SOF2,
+ * all spectral-selection / successive-approximation scan shapes), 8-bit
+ * samples, sampling factors ≤ 2, restart markers supported. Hierarchical
+ * / arithmetic / 12-bit / subset-interleaved streams return VPF_ERR with
+ * a typed message — callers fall back to the libav software path
+ * (io/native/decoder.cpp).
  */
 #if defined(__SSE2__) || defined(_M_X64)
 #include <emmintrin.h>
@@ -108,10 +109,12 @@ struct EntropyData {
   std::vector<uint8_t> buf;
   std::vector<size_t> restarts; /* de-stuffed offset just past each RSTn */
   size_t end_src = 0;           /* source offset just past EOI (or n) */
+  uint8_t end_marker = 0;       /* marker that ended the scan (0 = none) */
 
   void destuff(const uint8_t* d, size_t n, size_t start) {
     buf.clear();
     restarts.clear();
+    end_marker = 0;
     buf.reserve(n - start + 16);
     size_t i = start;
     while (i < n) {
@@ -132,6 +135,7 @@ struct EntropyData {
         restarts.push_back(buf.size());
         i = j + 2;
       } else { /* real marker (EOI or next-frame SOI/...) ends the scan */
+        end_marker = m;
         end_src = (m == 0xD9) ? j + 2 : j;
         return;
       }
@@ -221,6 +225,7 @@ struct Parser {
   struct Comp {
     int id = 0, hs = 1, vs = 1, tq = 0, td = 0, ta = 0;
     int bw = 0, bh = 0;
+    int sw = 0, sh = 0; /* non-interleaved scan block grid (T.81 A.2.2) */
     int32_t dcpred = 0;
   } comp[4];
   int ncomp = 0, W = 0, H = 0, restart = 0, bits = 8;
@@ -228,6 +233,13 @@ struct Parser {
   size_t sos_data_off = 0; /* entropy-coded data start (0 = no SOS seen) */
   size_t end_off = 0;      /* offset just past EOI (parse only) */
   int max_k = 0;
+  /* current-scan state (progressive: one SOS per spectral band/approx
+   * pass, T.81 G.1) */
+  int scomp[4] = {};                /* comp[] indices in this scan */
+  int nscomp = 0;
+  int ss = 0, se = 63, ah = 0, al = 0;
+  uint32_t eobrun = 0;              /* G.1.2.2 end-of-band run */
+  int hmax = 1, vmax = 1;
 
   int parse_headers() {
     if (n < 4 || d[0] != 0xFF || d[1] != 0xD8)
@@ -254,49 +266,23 @@ struct Parser {
       size_t segn = len - 2;
       switch (m) {
         case 0xC4: { /* DHT */
-          size_t o = 0;
-          while (o + 17 <= segn) {
-            int tc = seg[o] >> 4, th = seg[o] & 15;
-            if (th > 3)
-              return vpf_set_error(VPF_ERR_PARSE, "jpeg: DHT id %d", th);
-            const uint8_t* bl = seg + o + 1;
-            int nv = 0;
-            for (int l = 0; l < 16; ++l) nv += bl[l];
-            if (nv > 256 || o + 17 + (size_t)nv > segn)
-              return vpf_set_error(VPF_ERR_PARSE, "jpeg: bad DHT");
-            (tc ? ac : dc)[th].build(bl, seg + o + 17, nv, tc != 0);
-            o += 17 + nv;
-          }
+          int rc = parse_dht(seg, segn);
+          if (rc != VPF_OK) return rc;
           break;
         }
-        case 0xDB: { /* DQT (zigzag order per T.81 B.2.4.1) */
-          size_t o = 0;
-          while (o < segn) {
-            int pq = seg[o] >> 4, tq = seg[o] & 15;
-            if (tq > 3)
-              return vpf_set_error(VPF_ERR_PARSE, "jpeg: DQT id %d", tq);
-            ++o;
-            if (o + (pq ? 128u : 64u) > segn)
-              return vpf_set_error(VPF_ERR_PARSE, "jpeg: truncated DQT");
-            for (int z = 0; z < 64; ++z) {
-              if (pq) {
-                qtab[tq][z] = (uint16_t)((seg[o] << 8) | seg[o + 1]);
-                o += 2;
-              } else {
-                qtab[tq][z] = seg[o++];
-              }
-            }
-            qtab_present[tq] = true;
-          }
+        case 0xDB: { /* DQT */
+          int rc = parse_dqt(seg, segn);
+          if (rc != VPF_OK) return rc;
           break;
         }
-        case 0xC2:
         case 0xC6:
         case 0xCA:
         case 0xCE:
+          return vpf_set_error(VPF_ERR, "jpeg: arithmetic/differential "
+                               "coding unsupported");
+        case 0xC2: /* SOF2: progressive DCT (multi-scan, T.81 G) */
           progressive = true;
-          return vpf_set_error(VPF_ERR, "jpeg: progressive stream "
-                               "(device path is baseline-only)");
+          [[fallthrough]];
         case 0xC0:
         case 0xC1: { /* SOF0/1: baseline sequential */
           if (segn < 6)
@@ -333,37 +319,8 @@ struct Parser {
           restart = (seg[0] << 8) | seg[1];
           break;
         case 0xDA: { /* SOS */
-          if (!W)
-            return vpf_set_error(VPF_ERR_PARSE, "jpeg: SOS before SOF");
-          if (segn < 1)
-            return vpf_set_error(VPF_ERR_PARSE, "jpeg: truncated SOS");
-          int ns = seg[0];
-          if (segn < 1 + 2 * (size_t)ns + 3)
-            return vpf_set_error(VPF_ERR_PARSE, "jpeg: truncated SOS");
-          if (ns != ncomp)
-            return vpf_set_error(
-                VPF_ERR, "jpeg: non-interleaved scan (%d of %d components)",
-                ns, ncomp);
-          for (int s = 0; s < ns; ++s) {
-            int cid = seg[1 + 2 * s];
-            bool found = false;
-            for (int c = 0; c < ncomp; ++c)
-              if (comp[c].id == cid) {
-                comp[c].td = seg[2 + 2 * s] >> 4;
-                comp[c].ta = seg[2 + 2 * s] & 15;
-                if (comp[c].td > 3 || comp[c].ta > 3)
-                  /* dc[4]/ac[4]: OOB index from the wire (found by the
-                   * fuzz gate: a flipped SOS selector byte segfaulted
-                   * decode_scan through a garbage HuffTable) */
-                  return vpf_set_error(VPF_ERR_PARSE,
-                                       "jpeg: SOS Huffman id %d/%d",
-                                       comp[c].td, comp[c].ta);
-                found = true;
-              }
-            if (!found)
-              return vpf_set_error(VPF_ERR_PARSE, "jpeg: SOS component %d",
-                                   cid);
-          }
+          int rc = parse_sos(seg, segn);
+          if (rc != VPF_OK) return rc;
           sos_data_off = i + 4 + segn;
           finish_geometry();
           return VPF_OK;
@@ -376,8 +333,106 @@ struct Parser {
     return vpf_set_error(VPF_ERR_PARSE, "jpeg: no SOS marker");
   }
 
+  int parse_dht(const uint8_t* seg, size_t segn) {
+    size_t o = 0;
+    while (o + 17 <= segn) {
+      int tc = seg[o] >> 4, th = seg[o] & 15;
+      if (th > 3)
+        return vpf_set_error(VPF_ERR_PARSE, "jpeg: DHT id %d", th);
+      const uint8_t* bl = seg + o + 1;
+      int nv = 0;
+      for (int l = 0; l < 16; ++l) nv += bl[l];
+      if (nv > 256 || o + 17 + (size_t)nv > segn)
+        return vpf_set_error(VPF_ERR_PARSE, "jpeg: bad DHT");
+      (tc ? ac : dc)[th].build(bl, seg + o + 17, nv, tc != 0);
+      o += 17 + nv;
+    }
+    return VPF_OK;
+  }
+
+  int parse_dqt(const uint8_t* seg, size_t segn) {
+    /* zigzag order per T.81 B.2.4.1 */
+    size_t o = 0;
+    while (o < segn) {
+      int pq = seg[o] >> 4, tq = seg[o] & 15;
+      if (tq > 3)
+        return vpf_set_error(VPF_ERR_PARSE, "jpeg: DQT id %d", tq);
+      ++o;
+      if (o + (pq ? 128u : 64u) > segn)
+        return vpf_set_error(VPF_ERR_PARSE, "jpeg: truncated DQT");
+      for (int z = 0; z < 64; ++z) {
+        if (pq) {
+          qtab[tq][z] = (uint16_t)((seg[o] << 8) | seg[o + 1]);
+          o += 2;
+        } else {
+          qtab[tq][z] = seg[o++];
+        }
+      }
+      qtab_present[tq] = true;
+    }
+    return VPF_OK;
+  }
+
+  /* Scan header (T.81 B.2.3): component selectors + table ids, and the
+   * progressive band parameters Ss/Se/Ah/Al. */
+  int parse_sos(const uint8_t* seg, size_t segn) {
+    if (!W)
+      return vpf_set_error(VPF_ERR_PARSE, "jpeg: SOS before SOF");
+    if (segn < 1)
+      return vpf_set_error(VPF_ERR_PARSE, "jpeg: truncated SOS");
+    int ns = seg[0];
+    if (ns < 1 || segn < 1 + 2 * (size_t)ns + 3)
+      return vpf_set_error(VPF_ERR_PARSE, "jpeg: truncated SOS");
+    if (!progressive && ns != ncomp)
+      return vpf_set_error(
+          VPF_ERR, "jpeg: non-interleaved scan (%d of %d components)",
+          ns, ncomp);
+    if (progressive && ns != ncomp && ns != 1)
+      return vpf_set_error(
+          VPF_ERR, "jpeg: subset-interleaved progressive scan (%d of %d "
+          "components)", ns, ncomp);
+    nscomp = ns;
+    for (int s = 0; s < ns; ++s) {
+      int cid = seg[1 + 2 * s];
+      bool found = false;
+      for (int c = 0; c < ncomp; ++c)
+        if (comp[c].id == cid) {
+          comp[c].td = seg[2 + 2 * s] >> 4;
+          comp[c].ta = seg[2 + 2 * s] & 15;
+          if (comp[c].td > 3 || comp[c].ta > 3)
+            /* dc[4]/ac[4]: OOB index from the wire (found by the
+             * fuzz gate: a flipped SOS selector byte segfaulted
+             * decode_scan through a garbage HuffTable) */
+            return vpf_set_error(VPF_ERR_PARSE,
+                                 "jpeg: SOS Huffman id %d/%d",
+                                 comp[c].td, comp[c].ta);
+          scomp[s] = c;
+          found = true;
+        }
+      if (!found)
+        return vpf_set_error(VPF_ERR_PARSE, "jpeg: SOS component %d",
+                             cid);
+    }
+    ss = seg[1 + 2 * ns];
+    se = seg[2 + 2 * ns];
+    ah = seg[3 + 2 * ns] >> 4;
+    al = seg[3 + 2 * ns] & 15;
+    if (progressive) {
+      if (ss > 63 || se > 63 || se < ss || (ss == 0 && se != 0) ||
+          ah > 13 || al > 13 || (ah != 0 && ah != al + 1))
+        return vpf_set_error(VPF_ERR_PARSE,
+                             "jpeg: bad progressive scan band %d-%d "
+                             "Ah=%d Al=%d", ss, se, ah, al);
+      if (ss > 0 && ns != 1) /* T.81 G.1: AC scans are non-interleaved */
+        return vpf_set_error(VPF_ERR_PARSE,
+                             "jpeg: interleaved progressive AC scan");
+    }
+    return VPF_OK;
+  }
+
   void finish_geometry() {
-    int hmax = 1, vmax = 1;
+    hmax = 1;
+    vmax = 1;
     for (int c = 0; c < ncomp; ++c) {
       hmax = comp[c].hs > hmax ? comp[c].hs : hmax;
       vmax = comp[c].vs > vmax ? comp[c].vs : vmax;
@@ -387,6 +442,11 @@ struct Parser {
     for (int c = 0; c < ncomp; ++c) {
       comp[c].bw = mcux * comp[c].hs;
       comp[c].bh = mcuy * comp[c].vs;
+      /* non-interleaved grid: ceil(ceil(dim*sampling/max)/8) */
+      int cw = (W * comp[c].hs + hmax - 1) / hmax;
+      int ch = (H * comp[c].vs + vmax - 1) / vmax;
+      comp[c].sw = (cw + 7) / 8;
+      comp[c].sh = (ch + 7) / 8;
     }
   }
   int mcux = 0, mcuy = 0;
@@ -501,6 +561,337 @@ struct Parser {
     end_off = ed.end_src; /* just past EOI (recorded by the destuffer) */
     return VPF_OK;
   }
+
+  /* ---- progressive (SOF2) scan decoding, T.81 Annex G ----
+   *
+   * Progressive streams split the coefficients across many scans
+   * (spectral bands × successive-approximation passes); after all scans
+   * the output is the same zigzag int16 coefficient planes as baseline,
+   * so the device half (dequant+IDCT matmuls) is unchanged. */
+
+  static inline int get_bit(BitReader& br) {
+    if (br.nbits < 1) br.refill();
+    int v = (int)br.peek(1);
+    br.skip(1);
+    return v;
+  }
+
+  static inline uint32_t receive_raw(BitReader& br, int nb) { /* nb ≥ 1 */
+    if (br.nbits < nb) br.refill();
+    uint32_t v = br.peek(nb);
+    br.skip(nb);
+    return v;
+  }
+
+  /* One DC difference (Huffman symbol + EXTENDed magnitude), shared by
+   * DC-first scans; same combined-LUT fast path as the baseline loop. */
+  int decode_dc_diff(BitReader& br, const HuffTable& dt, int32_t* diff) {
+    if (br.nbits < 32) br.refill();
+    int32_t e = dt.flut[br.peek(HuffTable::LUT_BITS)];
+    if (e < 0) {
+      br.skip((e >> 20) & 63);
+      *diff = (int16_t)(e & 0xFFFF);
+      return VPF_OK;
+    }
+    int s;
+    if (e) {
+      br.skip((e >> 20) & 63);
+      s = e & 0xFF;
+    } else {
+      s = decode_huff_slow(br, dt);
+    }
+    if (s < 0 || s > 15)
+      return vpf_set_error(VPF_ERR_PARSE, "jpeg: bad DC code");
+    *diff = br.receive_extend(s);
+    return VPF_OK;
+  }
+
+  /* One AC Huffman symbol. Fast path: *has_val=true and *val holds the
+   * EXTENDed coefficient (0 ⇒ EOB/ZRL class, run in *run). Slow path:
+   * *has_val=false, caller receive_extends *size bits itself. */
+  int decode_ac(BitReader& br, const HuffTable& at, int* run, int* size,
+                int32_t* val, bool* has_val) {
+    if (br.nbits < 32) br.refill();
+    int32_t e = at.flut[br.peek(HuffTable::LUT_BITS)];
+    if (e < 0) {
+      br.skip((e >> 20) & 63);
+      *run = (e >> 16) & 15;
+      *val = (int16_t)(e & 0xFFFF);
+      *size = 0;
+      *has_val = true;
+      return VPF_OK;
+    }
+    int rs;
+    if (e) {
+      br.skip((e >> 20) & 63);
+      rs = e & 0xFF;
+    } else {
+      rs = decode_huff_slow(br, at);
+      if (rs < 0)
+        return vpf_set_error(VPF_ERR_PARSE, "jpeg: bad AC code");
+    }
+    *run = rs >> 4;
+    *size = rs & 15;
+    *val = 0;
+    *has_val = false;
+    return VPF_OK;
+  }
+
+  int prog_dc_first(BitReader& br, Comp& cc, int16_t* blk) {
+    int32_t diff;
+    int rc = decode_dc_diff(br, dc[cc.td], &diff);
+    if (rc != VPF_OK) return rc;
+    cc.dcpred += diff;
+    blk[0] = (int16_t)(cc.dcpred * (1 << al)); /* value << Al, G.1.2.1 */
+    return VPF_OK;
+  }
+
+  int prog_dc_refine(BitReader& br, int16_t* blk) {
+    if (get_bit(br)) blk[0] = (int16_t)(blk[0] | (1 << al));
+    return VPF_OK;
+  }
+
+  int prog_ac_first(BitReader& br, const HuffTable& at, int16_t* blk) {
+    if (eobrun > 0) { /* inside an end-of-band run: block has no data */
+      --eobrun;
+      return VPF_OK;
+    }
+    int k = ss;
+    while (k <= se) {
+      int run, size;
+      int32_t val;
+      bool has_val;
+      int rc = decode_ac(br, at, &run, &size, &val, &has_val);
+      if (rc != VPF_OK) return rc;
+      if ((has_val && val == 0) || (!has_val && size == 0)) {
+        if (run == 15) { /* ZRL */
+          k += 16;
+          continue;
+        }
+        /* EOBn: this block ends now; run-1 more blocks are empty */
+        eobrun = (1u << run) - 1;
+        if (run) eobrun += receive_raw(br, run);
+        break;
+      }
+      k += run;
+      if (k > se)
+        return vpf_set_error(VPF_ERR_PARSE, "jpeg: AC index overflow");
+      int32_t v = has_val ? val : br.receive_extend(size);
+      blk[k] = (int16_t)(v * (1 << al));
+      if (k > max_k) max_k = k;
+      ++k;
+    }
+    return VPF_OK;
+  }
+
+  int prog_ac_refine(BitReader& br, const HuffTable& at, int16_t* blk) {
+    const int32_t p1 = 1 << al, m1 = -(1 << al);
+    int k = ss;
+    if (eobrun == 0) {
+      for (; k <= se; ++k) {
+        int run, size;
+        int32_t val;
+        bool has_val;
+        int rc = decode_ac(br, at, &run, &size, &val, &has_val);
+        if (rc != VPF_OK) return rc;
+        int32_t newval = 0;
+        if (has_val ? (val != 0) : (size != 0)) {
+          /* correction scans may only introduce ±1·2^Al (G.1.2.3) */
+          if (has_val ? (val != 1 && val != -1) : (size != 1))
+            return vpf_set_error(VPF_ERR_PARSE,
+                                 "jpeg: bad AC refine magnitude");
+          int32_t sgn = has_val ? val : br.receive_extend(1);
+          newval = sgn > 0 ? p1 : m1;
+        } else if (run != 15) { /* EOBn (run == 15 ⇒ ZRL, newval 0) */
+          eobrun = 1u << run;
+          if (run) eobrun += receive_raw(br, run);
+          break; /* remaining coefficients handled in the EOB pass */
+        }
+        /* advance over `run` zero-history coefficients, emitting a
+         * correction bit for every nonzero one passed */
+        while (k <= se) {
+          int16_t* coef = blk + k;
+          if (*coef != 0) {
+            if (get_bit(br) && (*coef & p1) == 0)
+              *coef = (int16_t)(*coef + (*coef >= 0 ? p1 : m1));
+          } else {
+            if (run == 0) break;
+            --run;
+          }
+          ++k;
+        }
+        if (newval != 0) {
+          if (k > se)
+            return vpf_set_error(VPF_ERR_PARSE,
+                                 "jpeg: AC refine index overflow");
+          blk[k] = (int16_t)newval;
+          if (k > max_k) max_k = k;
+        }
+      }
+    }
+    if (eobrun > 0) { /* EOB run covers this block: corrections only */
+      for (; k <= se; ++k) {
+        int16_t* coef = blk + k;
+        if (*coef != 0 && get_bit(br) && (*coef & p1) == 0)
+          *coef = (int16_t)(*coef + (*coef >= 0 ? p1 : m1));
+      }
+      --eobrun;
+    }
+    return VPF_OK;
+  }
+
+  int decode_scan_progressive(const EntropyData& ed, int16_t* const* out) {
+    const bool dc_scan = (ss == 0);
+    for (int s = 0; s < nscomp; ++s) {
+      Comp& cc = comp[scomp[s]];
+      if (dc_scan && ah == 0) {
+        if (!dc[cc.td].present)
+          return vpf_set_error(VPF_ERR_PARSE, "jpeg: missing Huffman table");
+        cc.dcpred = 0;
+      }
+      if (!dc_scan && !ac[cc.ta].present)
+        return vpf_set_error(VPF_ERR_PARSE, "jpeg: missing Huffman table");
+    }
+    eobrun = 0;
+    BitReader br(ed);
+    int rc;
+    if (nscomp > 1) { /* interleaved DC scan over the frame MCU grid */
+      int mcu_count = 0;
+      for (int my = 0; my < mcuy; ++my) {
+        for (int mx = 0; mx < mcux; ++mx) {
+          if (restart && mcu_count && mcu_count % restart == 0) {
+            if (!br.align_restart())
+              return vpf_set_error(VPF_ERR_PARSE,
+                                   "jpeg: missing restart marker");
+            for (int s = 0; s < nscomp; ++s) comp[scomp[s]].dcpred = 0;
+          }
+          for (int s = 0; s < nscomp; ++s) {
+            Comp& cc = comp[scomp[s]];
+            for (int by = 0; by < cc.vs; ++by)
+              for (int bx = 0; bx < cc.hs; ++bx) {
+                int bidx = (my * cc.vs + by) * cc.bw + (mx * cc.hs + bx);
+                int16_t* blk = out[scomp[s]] + (size_t)bidx * 64;
+                rc = ah == 0 ? prog_dc_first(br, cc, blk)
+                             : prog_dc_refine(br, blk);
+                if (rc != VPF_OK) return rc;
+              }
+          }
+          ++mcu_count;
+        }
+      }
+    } else { /* non-interleaved: the component's own block grid */
+      const int ci = scomp[0];
+      Comp& cc = comp[ci];
+      const HuffTable& at = ac[cc.ta];
+      int blk_count = 0;
+      for (int by = 0; by < cc.sh; ++by) {
+        for (int bx = 0; bx < cc.sw; ++bx) {
+          if (restart && blk_count && blk_count % restart == 0) {
+            if (!br.align_restart())
+              return vpf_set_error(VPF_ERR_PARSE,
+                                   "jpeg: missing restart marker");
+            cc.dcpred = 0;
+            eobrun = 0;
+          }
+          int16_t* blk = out[ci] + ((size_t)by * cc.bw + bx) * 64;
+          if (dc_scan)
+            rc = ah == 0 ? prog_dc_first(br, cc, blk)
+                         : prog_dc_refine(br, blk);
+          else
+            rc = ah == 0 ? prog_ac_first(br, at, blk)
+                         : prog_ac_refine(br, at, blk);
+          if (rc != VPF_OK) return rc;
+          ++blk_count;
+        }
+      }
+    }
+    return VPF_OK;
+  }
+
+  /* DHT/DQT/DRI may be redefined between scans; SOS starts the next
+   * scan; EOI ends the frame. */
+  int decode_progressive(int16_t* const* out) {
+    for (int c = 0; c < ncomp; ++c) {
+      comp[c].dcpred = 0;
+      memset(out[c], 0,
+             (size_t)comp[c].bw * comp[c].bh * 64 * sizeof(int16_t));
+    }
+    size_t pos = sos_data_off;
+    /* 4 comps × (1 DC + 63 AC bands) × 14 approximation passes is the
+     * theoretical scan ceiling; anything past it is a stuck stream */
+    for (int scan_no = 0; scan_no < 4 * 64 * 14; ++scan_no) {
+      EntropyData ed;
+      ed.destuff(d, n, pos);
+      int rc = decode_scan_progressive(ed, out);
+      if (rc != VPF_OK) return rc;
+      if (ed.end_marker == 0xD9 || ed.end_marker == 0) {
+        end_off = ed.end_src ? ed.end_src : n;
+        return VPF_OK;
+      }
+      size_t i = ed.end_src; /* points at the 0xFF of the ending marker */
+      bool next_scan = false;
+      while (i + 2 <= n && !next_scan) {
+        if (d[i] != 0xFF) {
+          ++i;
+          continue;
+        }
+        uint8_t m = d[i + 1];
+        if (m == 0xFF) {
+          ++i;
+          continue;
+        }
+        if (m == 0xD9) {
+          end_off = i + 2;
+          return VPF_OK;
+        }
+        if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) {
+          i += 2;
+          continue;
+        }
+        if (i + 4 > n)
+          return vpf_set_error(VPF_ERR_PARSE, "jpeg: truncated tail");
+        size_t len = ((size_t)d[i + 2] << 8) | d[i + 3];
+        if (len < 2 || i + 2 + len > n)
+          return vpf_set_error(VPF_ERR_PARSE,
+                               "jpeg: truncated segment 0x%02x", m);
+        const uint8_t* seg = d + i + 4;
+        size_t segn = len - 2;
+        switch (m) {
+          case 0xC4:
+            rc = parse_dht(seg, segn);
+            if (rc != VPF_OK) return rc;
+            break;
+          case 0xDB:
+            rc = parse_dqt(seg, segn);
+            if (rc != VPF_OK) return rc;
+            break;
+          case 0xDD:
+            if (segn < 2)
+              return vpf_set_error(VPF_ERR_PARSE, "jpeg: truncated DRI");
+            restart = (seg[0] << 8) | seg[1];
+            break;
+          case 0xDA:
+            rc = parse_sos(seg, segn);
+            if (rc != VPF_OK) return rc;
+            pos = i + 4 + segn;
+            next_scan = true;
+            break;
+          case 0xC0:
+          case 0xC1:
+          case 0xC2:
+            return vpf_set_error(VPF_ERR_PARSE,
+                                 "jpeg: multiple frames in image");
+          default:
+            break; /* APPn/COM/DNL: skip */
+        }
+        i += 2 + len;
+      }
+      if (!next_scan)
+        return vpf_set_error(VPF_ERR_PARSE,
+                             "jpeg: stream ends mid-frame (no EOI)");
+    }
+    return vpf_set_error(VPF_ERR_PARSE, "jpeg: too many scans");
+  }
 };
 
 }  // namespace
@@ -519,6 +910,7 @@ typedef struct VpfJpegInfo {
   uint32_t restart_interval;
   uint32_t max_k; /* parse only: max nonzero zigzag index in the frame */
   uint32_t consumed; /* parse only: bytes consumed incl. EOI */
+  uint32_t progressive; /* 1 = SOF2 multi-scan stream */
 } VpfJpegInfo;
 
 static void fill_info(const Parser& ps, VpfJpegInfo* out) {
@@ -534,6 +926,7 @@ static void fill_info(const Parser& ps, VpfJpegInfo* out) {
     memcpy(out->qt[c], ps.qtab[ps.comp[c].tq], sizeof(out->qt[c]));
   }
   out->restart_interval = ps.restart;
+  out->progressive = ps.progressive ? 1 : 0;
 }
 
 /* Parse headers only (through SOS): geometry + quant tables. Quant tables
@@ -1002,7 +1395,8 @@ VPF_API int vpf_jpeg_parse(const uint8_t* data, size_t size,
           "holds %u) — re-probe and reallocate",
           c, need, comp_caps[c]);
   }
-  rc = ps.decode_scan(comp_out);
+  rc = ps.progressive ? ps.decode_progressive(comp_out)
+                      : ps.decode_scan(comp_out);
   if (rc != VPF_OK) return rc;
   fill_info(ps, out);
   out->max_k = ps.max_k;
