@@ -38,6 +38,9 @@ if __name__ == "__main__":
                     "+ optimizer state every --save-every steps; a rerun "
                     "with the same DIR resumes exactly")
     ap.add_argument("--save-every", type=int, default=2)
+    ap.add_argument("--augment", action="store_true",
+                    help="device-fused crop/flip/jitter augmentation "
+                         "(ops/augment.py; deterministic + resume-exact)")
     args = ap.parse_args()
     sources = args.inputs or [default_input()]
 
@@ -61,6 +64,16 @@ if __name__ == "__main__":
     mesh = make_mesh(n_dev, ("data", "model"), shape=(n_dev, 1))
     log.info("mesh: %d device(s) on 'data'", n_dev)
 
+    aug_spec = None
+    if args.augment:
+        from videoprocessingframework_tpu.data import AugmentSpec
+
+        aug_spec = AugmentSpec(
+            crop=True, crop_scale=(0.5, 1.0), hflip=0.5,
+            brightness=0.3, contrast=0.3, saturation=0.3,
+        )
+        log.info("augment: %s", aug_spec)
+
     loader = VideoClipLoader(
         sources,
         clip_len=args.clip_len,
@@ -71,6 +84,7 @@ if __name__ == "__main__":
         sharding=batch_sharding(mesh),
         labels=list(range(len(sources))),  # clip label = source file
         seed=0,
+        augment=aug_spec,
     )
     nclass = max(2, len(loader.corpus))
     log.info("corpus: %d file(s), %d clips/epoch", len(loader.corpus),

@@ -382,3 +382,90 @@ def test_keyframe_aligned_sampling(tmp_path):
     got = np.concatenate([np.asarray(b) for b in ld.epoch(0)], axis=0)
     for clip, (fi, st) in zip(got, samples):
         assert np.array_equal(clip, all_f[st: st + 4])
+
+
+# -- device-fused augmentation (ops/augment.py via augment=) ----------------
+
+
+def _aug_spec():
+    from videoprocessingframework_tpu.data import AugmentSpec
+
+    return AugmentSpec(
+        crop=True, crop_scale=(0.5, 1.0), hflip=0.5,
+        brightness=0.2, saturation=0.2,
+    )
+
+
+def test_augmented_loader_shapes_and_determinism(corpus):
+    kw = dict(clip_len=2, batch_size=2, out_size=(32, 32),
+              output="rgb_u8", seed=3, workers=1, augment=_aug_spec())
+    a = [np.asarray(b) for b in VideoClipLoader(corpus, **kw).epoch(0)]
+    b = [np.asarray(b) for b in VideoClipLoader(corpus, **kw).epoch(0)]
+    assert a[0].shape == (2, 2, 32, 32, 3)
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
+    # different epoch -> different augmentations of the same clips exist
+    ld = VideoClipLoader(corpus, clip_len=2, batch_size=2,
+                         out_size=(32, 32), output="rgb_u8", seed=3,
+                         shuffle=False, workers=1, augment=_aug_spec())
+    e0 = [np.asarray(x) for x in ld.epoch(0)]
+    e1 = [np.asarray(x) for x in ld.epoch(1)]
+    assert any((x != y).any() for x, y in zip(e0, e1))
+
+
+def test_augmented_loader_differs_from_plain(corpus):
+    kw = dict(clip_len=2, batch_size=2, out_size=(32, 32),
+              output="rgb_u8", seed=3, workers=1)
+    plain = next(iter(VideoClipLoader(corpus, **kw).epoch(0)))
+    aug = next(iter(
+        VideoClipLoader(corpus, augment=_aug_spec(), **kw).epoch(0)
+    ))
+    assert (np.asarray(plain) != np.asarray(aug)).any()
+
+
+def test_augmented_resume_exact(corpus):
+    """Augmentation keys derive from (seed, epoch, batch index), so a
+    mid-epoch resume reproduces the exact augmented byte stream."""
+    kw = dict(clip_len=4, batch_size=2, out_size=(24, 24),
+              output="rgb_u8", seed=13, workers=1, augment=_aug_spec())
+    full = [np.asarray(b) for b in VideoClipLoader(corpus, **kw).epoch(1)]
+
+    ld = VideoClipLoader(corpus, **kw)
+    it = ld.epoch(1)
+    got = [np.asarray(next(it)), np.asarray(next(it))]
+    state = ld.state_dict()
+    del it
+    ld2 = VideoClipLoader(corpus, **kw)
+    ld2.load_state_dict(state)
+    rest = [np.asarray(b) for b in ld2.epoch()]
+    assert len(got) + len(rest) == len(full)
+    for x, y in zip(got + rest, full):
+        assert np.array_equal(x, y)
+
+
+def test_augmented_sharded(corpus):
+    """Augmented postproc under NamedSharding: batched per-clip matrices
+    shard along the data axis like the plain pipeline."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from videoprocessingframework_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the multi-device CPU mesh")
+    mesh = make_mesh(4, ("data",))
+    kw = dict(clip_len=2, batch_size=2, out_size=(32, 32),
+              output="rgb_u8", drop_last=True, workers=1,
+              augment=_aug_spec())
+    ld = VideoClipLoader(
+        corpus, sharding=NamedSharding(mesh, P("data")), **kw
+    )
+    batch = next(iter(ld.epoch(0)))
+    assert batch.shape == (2, 2, 32, 32, 3)
+    ref = next(iter(VideoClipLoader(corpus, **kw).epoch(0)))
+    assert np.array_equal(np.asarray(batch), np.asarray(ref))
+
+
+def test_augment_rejects_packed(corpus):
+    with pytest.raises(ValueError, match="packed"):
+        VideoClipLoader(corpus, output="packed", augment=_aug_spec())

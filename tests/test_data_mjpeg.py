@@ -206,3 +206,47 @@ def test_bucketed_mjpeg(tmp_path):
         seen.update(labels.tolist())
     assert total == ld.clips_per_epoch
     assert seen == {3, 5}
+
+
+def test_augmented_mjpeg_loader(clip_avi):
+    """Device-fused augmentation through the split-JPEG path: IDCT +
+    crop/flip/jitter + CSC as ONE program; deterministic and
+    resume-exact like the pixel loader's."""
+    from videoprocessingframework_tpu.data import AugmentSpec
+
+    spec = AugmentSpec(crop=True, crop_scale=(0.5, 1.0), hflip=0.5,
+                       brightness=0.2)
+    kw = dict(clip_len=2, batch_size=2, out_size=(32, 32),
+              output="rgb_u8", seed=7, workers=1, augment=spec)
+    a = [np.asarray(b) for b in MjpegClipLoader(clip_avi, **kw).epoch(0)]
+    b = [np.asarray(b) for b in MjpegClipLoader(clip_avi, **kw).epoch(0)]
+    assert a[0].shape == (2, 2, 32, 32, 3)
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
+    # differs from the unaugmented stream
+    plain = next(iter(MjpegClipLoader(
+        clip_avi, clip_len=2, batch_size=2, out_size=(32, 32),
+        output="rgb_u8", seed=7, workers=1,
+    ).epoch(0)))
+    assert (np.asarray(plain) != a[0]).any()
+
+    # mid-epoch resume reproduces the exact augmented stream
+    full = [np.asarray(x) for x in MjpegClipLoader(clip_avi, **kw).epoch(1)]
+    ld = MjpegClipLoader(clip_avi, **kw)
+    it = ld.epoch(1)
+    got = [np.asarray(next(it))]
+    state = ld.state_dict()
+    del it
+    ld2 = MjpegClipLoader(clip_avi, **kw)
+    ld2.load_state_dict(state)
+    rest = [np.asarray(x) for x in ld2.epoch()]
+    for x, y in zip(got + rest, full):
+        assert np.array_equal(x, y)
+
+
+def test_augmented_mjpeg_rejects_planes(clip_avi):
+    from videoprocessingframework_tpu.data import AugmentSpec
+
+    with pytest.raises(ValueError, match="planes"):
+        MjpegClipLoader(clip_avi, output="planes",
+                        augment=AugmentSpec())

@@ -10,6 +10,7 @@ This subpackage is that layer, built TPU-first on the framework's own
 demux/seek/decode stack and the fused postproc kernel.
 """
 
+from ..ops.augment import AugmentSpec  # noqa: F401  (loader augment= spec)
 from .bucketed import BucketedClipLoader  # noqa: F401
 from .loader import (  # noqa: F401
     ClipSampler,
@@ -24,4 +25,5 @@ __all__ = [
     "VideoClipLoader",
     "BucketedClipLoader",
     "MjpegClipLoader",
+    "AugmentSpec",
 ]

@@ -367,6 +367,11 @@ class _ClipLoaderBase:
         skip = min(self._resume_clips, len(samples))
         self._resume_clips = 0
         self._pos = [e, skip]
+        # deterministic per-dispatch counter (augmentation keys): every
+        # mid-epoch resume point sits after whole batches, so the batch
+        # index resumes exactly and augmented streams are resume-exact
+        self._dispatch_epoch = e
+        self._dispatch_index = skip // self.batch_size
         samples = samples[skip:]
 
         def finish(disp):
@@ -456,6 +461,14 @@ class VideoClipLoader(_ClipLoaderBase):
     is deterministic). The reference has no checkpointing at all
     (SURVEY.md §5 — seek is its closest analog); preemption-safe
     training needs it.
+
+    ``augment``: an :class:`~videoprocessingframework_tpu.ops.augment.
+    AugmentSpec` — random resized crop / h-flip / color jitter fused
+    INTO the postproc program (per-clip interpolation matrices as
+    batched MXU matmuls; jitter folded after the CSC). Params are
+    per-clip (temporally consistent across the T frames), derived from
+    (seed, epoch, batch index) — deterministic and resume-exact like
+    everything else here. Requires a postproc ``output`` mode.
     """
 
     def __init__(
@@ -485,6 +498,7 @@ class VideoClipLoader(_ClipLoaderBase):
         lengths: Optional[Sequence[int]] = None,
         labels: Optional[Sequence] = None,
         align_keyframes: bool = False,
+        augment=None,
     ):
         if isinstance(sources, VideoCorpus):
             self.corpus = sources
@@ -527,8 +541,36 @@ class VideoClipLoader(_ClipLoaderBase):
         sp, rg = self.corpus.majority_colorimetry()
         self.color_space = color_space if color_space is not None else sp
         self.color_range = color_range if color_range is not None else rg
+        self._augmented = augment is not None
         if output == "packed":
+            if self._augmented:
+                raise ValueError(
+                    "augment= needs a postproc output mode (rgb_u8/"
+                    "rgb_f32/normalized/normalized_nchw), not 'packed'"
+                )
             self.pipeline = None
+        elif self._augmented:
+            # device-fused augmentation: crop/flip/jitter inside the ONE
+            # postproc program, keyed by (seed, epoch, batch index) so
+            # the augmented stream is deterministic and resume-exact
+            from ..ops.augment import AugmentPipeline, AugmentSpec
+
+            if not isinstance(augment, AugmentSpec):
+                raise TypeError(
+                    f"augment must be an AugmentSpec, got {type(augment)!r}"
+                )
+            oh, ow = out_size or (h, w)
+            self.pipeline = AugmentPipeline(
+                PixelFormat.YUV420,
+                self.color_space,
+                self.color_range,
+                out_size=(ow, oh),
+                spec=augment,
+                clip_len=clip_len,
+                method=method,
+                output=output,
+                seed=seed,
+            )
         else:
             from ..ops.fused import FusedPipeline
 
@@ -655,8 +697,18 @@ class VideoClipLoader(_ClipLoaderBase):
                 staged = jax.device_put(flat, self.device)
             else:
                 staged = flat  # jit stages the transfer with the call
-            out = self.pipeline(staged) if self.pipeline is not None else (
-                staged if self.sharding is not None or self.device is not None
-                else jax.device_put(flat)
-            )
+            if self.pipeline is None:
+                out = (
+                    staged
+                    if self.sharding is not None or self.device is not None
+                    else jax.device_put(flat)
+                )
+            elif self._augmented:
+                idx = self._dispatch_index
+                self._dispatch_index += 1
+                out = self.pipeline(
+                    staged, epoch=self._dispatch_epoch, batch_index=idx
+                )
+            else:
+                out = self.pipeline(staged)
         return out, labels, count, bi

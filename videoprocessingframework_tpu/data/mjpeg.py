@@ -126,6 +126,7 @@ class MjpegClipLoader(_ClipLoaderBase):
         shard_count: int = 1,
         labels: Optional[Sequence] = None,
         lengths: Optional[Sequence[int]] = None,
+        augment=None,
     ):
         from ..io.demuxer import FFmpegDemuxer
         from ..io.jpeg import JpegCoefDecoder, JpegStreamError, _snapshot
@@ -168,12 +169,16 @@ class MjpegClipLoader(_ClipLoaderBase):
                 )
         self.corpus = VideoCorpus(sources, lengths=lengths)
         self._info = snap0
+        self._augmented = augment is not None
         self.pipeline = JpegDevicePipeline(
             snap0,
             out_size=out_size,
             output=output,
             method=method,
             compute=compute,
+            augment=augment,
+            clip_len=clip_len,
+            seed=seed,
         )
         self.ncomp = self.pipeline.ncomp
         # per-component block counts from the probe grid
@@ -320,5 +325,12 @@ class MjpegClipLoader(_ClipLoaderBase):
                 coeffs = tuple(
                     jax.device_put(c, self.device) for c in coeffs
                 )
-            out = self.pipeline(*coeffs)
+            if self._augmented:
+                idx = self._dispatch_index
+                self._dispatch_index += 1
+                out = self.pipeline(
+                    *coeffs, epoch=self._dispatch_epoch, batch_index=idx
+                )
+            else:
+                out = self.pipeline(*coeffs)
         return out, labels, count, bi

@@ -159,6 +159,71 @@ def _chroma_collapse(mat: jnp.ndarray) -> jnp.ndarray:
     return mat.reshape(o, n // 2, 2).sum(-1)
 
 
+def unpack_yuv_planes(fmt: PixelFormat, planes):
+    """Normalize any decode_postproc input layout to (y, u, v) planes
+    plus chroma-subsampling flags. Shared by the fused pipeline and the
+    augmentation pipeline so packed-layout conventions can never
+    diverge between the two.
+
+    Returns ``(y, u, v, subsampled, sub_h)``; ``u``/``v`` are None for
+    grayscale sources (neutral chroma is synthesized at output
+    resolution after the luma resize). ``subsampled`` = 2x2 chroma
+    (4:2:0 family), ``sub_h`` = horizontal-only (4:2:2).
+    """
+    fmt = PixelFormat(fmt)
+    if fmt in (F.NV12, F.NV12_PLANAR) and len(planes) == 1:
+        # packed layout: one (N, H·3/2, W) buffer (y rows then uv rows) —
+        # the batched pipeline uploads each batch as ONE contiguous array
+        packed = planes[0]
+        h = packed.shape[-2] * 2 // 3
+        planes = (packed[..., :h, :], packed[..., h:, :])
+    elif fmt == F.YUV420 and len(planes) == 1:
+        # packed planar layout: y (H rows), then u then v, each H/2×W/2
+        # stored as H/4 rows of width W. Preferred hot path: the host pack
+        # is pure row memcpys (no chroma interleave loop — measured ~8%
+        # of the 1-core 1080p decode budget) and the slicing/reshapes here
+        # are free on contiguous data.
+        packed = planes[0]
+        h = packed.shape[-2] * 2 // 3
+        w = packed.shape[-1]
+        if h % 4:
+            # each chroma plane occupies H/4 packed rows — H=270-style
+            # even heights can't use this layout (the reshape below
+            # would fail opaquely inside the jitted program)
+            raise ValueError(
+                f"packed planar YUV420 requires height % 4 == 0, got "
+                f"{h}; pass separate (y, u, v) planes instead"
+            )
+        lead = packed.shape[:-2]
+        chroma = packed[..., h:, :]
+        planes = (
+            packed[..., :h, :],
+            chroma[..., : h // 4, :].reshape(*lead, h // 2, w // 2),
+            chroma[..., h // 4:, :].reshape(*lead, h // 2, w // 2),
+        )
+    subsampled = fmt in (F.NV12, F.NV12_PLANAR, F.YUV420, F.YCBCR, F.P10, F.P12)
+    sub_h = fmt == F.YUV422  # 4:2:2: horizontal-only chroma subsampling
+    if fmt in (F.NV12, F.NV12_PLANAR):
+        y, uv = planes
+        u, v = _deinterleave_uv(uv)
+    elif fmt in (F.YUV420, F.YCBCR, F.YUV422, F.YUV444):
+        y, u, v = planes
+    elif fmt == F.Y:
+        # grayscale: neutral (constant-128) chroma makes the CSC collapse
+        # to the luma scale+offset; chroma is synthesized at OUTPUT
+        # resolution after the luma resize — exact, because every resize
+        # row sums to 1 (resize of a constant is that constant).
+        (y,) = planes
+        u = v = None
+    elif fmt in (F.P10, F.P12):
+        y, uv = planes
+        y = y.astype(jnp.float32) * (1.0 / 256.0)
+        u, v = _deinterleave_uv(uv.astype(jnp.float32) * (1.0 / 256.0))
+    else:
+        raise ValueError(f"decode_postproc: unsupported source {fmt}")
+    return y, u, v, subsampled, sub_h
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -206,58 +271,7 @@ def decode_postproc(
         raise ValueError(f"unknown compute mode {compute!r}")
     mode = "split_bf16" if compute == "auto" else compute
     fmt = PixelFormat(src_format)
-    if fmt in (F.NV12, F.NV12_PLANAR) and len(planes) == 1:
-        # packed layout: one (N, H·3/2, W) buffer (y rows then uv rows) —
-        # the batched pipeline uploads each batch as ONE contiguous array
-        packed = planes[0]
-        h = packed.shape[-2] * 2 // 3
-        planes = (packed[..., :h, :], packed[..., h:, :])
-    elif fmt == F.YUV420 and len(planes) == 1:
-        # packed planar layout: y (H rows), then u then v, each H/2×W/2
-        # stored as H/4 rows of width W. Preferred hot path: the host pack
-        # is pure row memcpys (no chroma interleave loop — measured ~8%
-        # of the 1-core 1080p decode budget) and the slicing/reshapes here
-        # are free on contiguous data.
-        packed = planes[0]
-        h = packed.shape[-2] * 2 // 3
-        w = packed.shape[-1]
-        if h % 4:
-            # each chroma plane occupies H/4 packed rows — H=270-style
-            # even heights can't use this layout (the reshape below
-            # would fail opaquely inside the jitted program)
-            raise ValueError(
-                f"packed planar YUV420 requires height % 4 == 0, got "
-                f"{h}; pass separate (y, u, v) planes instead"
-            )
-        lead = packed.shape[:-2]
-        chroma = packed[..., h:, :]
-        planes = (
-            packed[..., :h, :],
-            chroma[..., : h // 4, :].reshape(*lead, h // 2, w // 2),
-            chroma[..., h // 4:, :].reshape(*lead, h // 2, w // 2),
-        )
-    subsampled = fmt in (F.NV12, F.NV12_PLANAR, F.YUV420, F.YCBCR, F.P10, F.P12)
-    sub_h = fmt == F.YUV422  # 4:2:2: horizontal-only chroma subsampling
-    if fmt in (F.NV12, F.NV12_PLANAR):
-        y, uv = planes
-        u, v = _deinterleave_uv(uv)
-    elif fmt in (F.YUV420, F.YCBCR, F.YUV422):
-        y, u, v = planes
-    elif fmt == F.YUV444:
-        y, u, v = planes
-    elif fmt == F.Y:
-        # grayscale: neutral (constant-128) chroma makes the CSC collapse
-        # to the luma scale+offset. Chroma is synthesized at OUTPUT
-        # resolution after the luma resize — exact, because every resize
-        # row sums to 1 (resize of a constant is that constant).
-        (y,) = planes
-        u = v = None
-    elif fmt in (F.P10, F.P12):
-        y, uv = planes
-        y = y.astype(jnp.float32) * (1.0 / 256.0)
-        u, v = _deinterleave_uv(uv.astype(jnp.float32) * (1.0 / 256.0))
-    else:
-        raise ValueError(f"decode_postproc: unsupported source {fmt}")
+    y, u, v, subsampled, sub_h = unpack_yuv_planes(fmt, planes)
 
     gray = u is None
     h_in, w_in = y.shape[-2], y.shape[-1]

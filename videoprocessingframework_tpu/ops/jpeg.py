@@ -216,6 +216,62 @@ def jpeg_decode_fused(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "geometry", "out_h", "out_w", "method", "output", "spec",
+        "clip_len",
+    ),
+)
+def jpeg_decode_augment(
+    cy, cu, cv, by, bu, bv, ctr, *,
+    geometry, out_h, out_w, method, output, spec, clip_len,
+):
+    """Coefficients → AUGMENTED model-ready output in ONE program:
+    dequant+IDCT matmuls feeding the device-fused crop/flip/jitter
+    postproc (ops/augment.py) — the split-MJPEG training path with
+    augmentation never leaves the program."""
+    from .augment import augment_postproc
+
+    (bhy, bwy), (bhc, bwc), (h, w), sampling = geometry
+    ch, cw = _chroma_dims(h, w, sampling)
+    y = _plane_from_coeffs(cy, by, bhy, bwy, h, w)
+    u = _plane_from_coeffs(cu, bu, bhc, bwc, ch, cw)
+    v = _plane_from_coeffs(cv, bv, bhc, bwc, ch, cw)
+    return augment_postproc(
+        y, u, v, ctr,
+        src_format=_src_format(sampling),
+        space=ColorSpace.BT_601,
+        rng=ColorRange.JPEG,
+        out_h=out_h, out_w=out_w, method=method, output=output,
+        spec=spec, clip_len=clip_len,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "geometry", "out_h", "out_w", "method", "output", "spec",
+        "clip_len",
+    ),
+)
+def _jpeg_decode_augment_gray(
+    cy, by, ctr, *, geometry, out_h, out_w, method, output, spec, clip_len,
+):
+    from .augment import augment_postproc
+
+    (bhy, bwy), _, (h, w), _ = geometry
+    y = _plane_from_coeffs(cy, by, bhy, bwy, h, w)
+    return augment_postproc(
+        y, ctr,
+        src_format=PixelFormat.Y,
+        space=ColorSpace.BT_601,
+        rng=ColorRange.JPEG,
+        out_h=out_h, out_w=out_w, method=method, output=output,
+        spec=spec, clip_len=clip_len,
+    )
+
+
 class JpegDevicePipeline:
     """Configured coefficients→RGB pipeline for one stream geometry.
 
@@ -226,6 +282,11 @@ class JpegDevicePipeline:
     output='planes' returns the decoded u8 (y, u, v) planes — the exact
     analog of the libav decoder's YUV420 output — while the rgb_*/
     normalized modes run the fused resize+CSC in the same program.
+
+    ``augment``: an :class:`~videoprocessingframework_tpu.ops.augment.
+    AugmentSpec` fuses crop/flip/jitter into the same program (fused
+    output modes only); pass ``clip_len``/``seed`` and call with
+    ``epoch=``/``batch_index=`` for deterministic per-clip params.
     """
 
     def __init__(
@@ -235,7 +296,17 @@ class JpegDevicePipeline:
         method: str = "lanczos",
         output: str = "rgb_u8",
         compute: str = "auto",
+        augment=None,
+        clip_len: int = 1,
+        seed: int = 0,
     ):
+        if augment is not None and output == "planes":
+            raise ValueError(
+                "augment= needs a fused output mode, not 'planes'"
+            )
+        self.augment = augment
+        self.clip_len = int(clip_len)
+        self.seed = int(seed) & 0xFFFFFFFF
         if info.ncomp not in (1, 3):
             raise ValueError(
                 f"device JPEG path needs 1 or 3 components, got {info.ncomp}"
@@ -306,12 +377,27 @@ class JpegDevicePipeline:
             for c in range(self.ncomp)
         )
 
-    def __call__(self, *coeffs):
+    def __call__(self, *coeffs, epoch: int = 0, batch_index: int = 0):
         if len(coeffs) != self.ncomp:
             raise ValueError(
                 f"expected {self.ncomp} coefficient batches, "
                 f"got {len(coeffs)}"
             )
+        if self.augment is not None:
+            ctr = np.asarray(
+                [self.seed, epoch & 0xFFFFFFFF, batch_index & 0xFFFFFFFF],
+                np.uint32,
+            )
+            kw = dict(
+                geometry=self.geometry, out_h=self.out_h,
+                out_w=self.out_w, method=self.method, output=self.output,
+                spec=self.augment, clip_len=self.clip_len,
+            )
+            if self.sampling == "gray":
+                return _jpeg_decode_augment_gray(
+                    coeffs[0], self._bases[0], ctr, **kw
+                )
+            return jpeg_decode_augment(*coeffs, *self._bases, ctr, **kw)
         if self.sampling == "gray":
             if self.output == "planes":
                 return _jpeg_planes_gray(
