@@ -23,6 +23,25 @@ import pytest  # noqa: E402
 
 ASSETS = pathlib.Path(__file__).parent / "assets"
 
+# Handshake with tools/capture_when_clear.py: a pytest run on the
+# 1-core bench host flattens any concurrent TPU bench capture, so mark
+# the host busy for the session (the watcher waits while this exists;
+# it also ignores the file once stale, so a crashed run can't wedge it).
+_BUSY = pathlib.Path("/tmp/host_busy")
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _mark_host_busy():
+    try:
+        _BUSY.touch()
+    except OSError:
+        pass
+    yield
+    try:
+        _BUSY.unlink()
+    except OSError:
+        pass
+
 # Ground truth for tests/assets/test.mp4 (848x464, 96 frames, H.264,
 # BT.709/MPEG, 30 fps) — same anchor constants the reference pins in
 # tests/test_PyNvDecoder.py:51-63.

@@ -107,11 +107,18 @@ def main() -> int:
     validated = False
 
     busy = pathlib.Path("/tmp/host_busy")
+
+    def host_busy() -> bool:
+        # tests/conftest.py touches this for the pytest session:
+        # captures on this 1-core host are worthless under contention.
+        # A file older than 30 min is stale (crashed run) — ignore it.
+        try:
+            return time.time() - busy.stat().st_mtime < 1800.0
+        except OSError:
+            return False
+
     while True:
-        # a sibling process signals CPU-heavy work (test suites) by
-        # touching /tmp/host_busy: captures on this 1-core host are
-        # worthless under contention, so wait it out
-        while busy.exists():
+        while host_busy():
             time.sleep(30.0)
         stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
         mbps = probe_mbps()

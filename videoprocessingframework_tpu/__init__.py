@@ -78,6 +78,7 @@ _LAZY = {
     "VideoClipLoader": "data",
     "BucketedClipLoader": "data",
     "MjpegClipLoader": "data",
+    "AugmentSpec": "data",
     # serving
     "InferenceServer": "serving",
     "ServingQueueFull": "serving",

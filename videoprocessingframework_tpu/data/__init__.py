@@ -10,7 +10,6 @@ This subpackage is that layer, built TPU-first on the framework's own
 demux/seek/decode stack and the fused postproc kernel.
 """
 
-from ..ops.augment import AugmentSpec  # noqa: F401  (loader augment= spec)
 from .bucketed import BucketedClipLoader  # noqa: F401
 from .loader import (  # noqa: F401
     ClipSampler,
@@ -27,3 +26,14 @@ __all__ = [
     "MjpegClipLoader",
     "AugmentSpec",
 ]
+
+
+def __getattr__(name):
+    # AugmentSpec lives in ops/ (which imports jax); load it lazily so
+    # `import videoprocessingframework_tpu.data` stays jax-free like
+    # the rest of the data package (loaders import jax inside methods)
+    if name == "AugmentSpec":
+        from ..ops.augment import AugmentSpec
+
+        return AugmentSpec
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

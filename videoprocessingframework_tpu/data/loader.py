@@ -559,6 +559,16 @@ class VideoClipLoader(_ClipLoaderBase):
                 raise TypeError(
                     f"augment must be an AugmentSpec, got {type(augment)!r}"
                 )
+            if kernel == "pallas" or compute == "split_bf16":
+                # the augmenting program builds per-clip matrices
+                # in-graph: the Pallas kernels (trace-time matrices) and
+                # the split-bf16 constant-matrix decomposition don't
+                # apply — fail loudly instead of ignoring the request
+                raise ValueError(
+                    "augment= runs the batched-matrix XLA path at "
+                    "precision-highest; kernel='pallas' / "
+                    "compute='split_bf16' are not available with it"
+                )
             oh, ow = out_size or (h, w)
             self.pipeline = AugmentPipeline(
                 PixelFormat.YUV420,
@@ -706,8 +716,14 @@ class VideoClipLoader(_ClipLoaderBase):
             elif self._augmented:
                 idx = self._dispatch_index
                 self._dispatch_index += 1
+                # globally-unique counter across multi-host shards:
+                # shards share the seed (disjointness needs an identical
+                # epoch permutation), so a bare batch index would give
+                # every shard the SAME per-clip augmentations
                 out = self.pipeline(
-                    staged, epoch=self._dispatch_epoch, batch_index=idx
+                    staged,
+                    epoch=self._dispatch_epoch,
+                    batch_index=idx * self.shard_count + self.shard_index,
                 )
             else:
                 out = self.pipeline(staged)

@@ -328,8 +328,12 @@ class MjpegClipLoader(_ClipLoaderBase):
             if self._augmented:
                 idx = self._dispatch_index
                 self._dispatch_index += 1
+                # shard-unique counter (see loader.py: shards share the
+                # seed, so a bare index would replicate augmentations)
                 out = self.pipeline(
-                    *coeffs, epoch=self._dispatch_epoch, batch_index=idx
+                    *coeffs,
+                    epoch=self._dispatch_epoch,
+                    batch_index=idx * self.shard_count + self.shard_index,
                 )
             else:
                 out = self.pipeline(*coeffs)

@@ -304,6 +304,13 @@ class JpegDevicePipeline:
             raise ValueError(
                 "augment= needs a fused output mode, not 'planes'"
             )
+        if augment is not None and compute == "split_bf16":
+            # the augmented path's per-clip matrices run at
+            # precision-highest; don't silently ignore an explicit
+            # split-bf16 request
+            raise ValueError(
+                "compute='split_bf16' is not available with augment="
+            )
         self.augment = augment
         self.clip_len = int(clip_len)
         self.seed = int(seed) & 0xFFFFFFFF
