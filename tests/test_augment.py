@@ -351,3 +351,200 @@ class TestDeterminismAndClips:
         # gray in, gray out: channels equal
         np.testing.assert_array_equal(out[..., 0], out[..., 1])
         np.testing.assert_array_equal(out[..., 0], out[..., 2])
+
+
+class TestTimeReverse:
+    def test_reverse_only_flips_time(self):
+        y, u, v = _yuv420(6, 32, 32, seed=9)
+        kw = dict(
+            src_format=F.YUV420, space=ColorSpace.BT_709,
+            rng=ColorRange.MPEG, out_h=16, out_w=16, output="rgb_u8",
+        )
+        base = np.asarray(
+            augment_postproc(
+                y, u, v, np.uint32([0, 0, 0]), spec=NOOP, clip_len=3, **kw
+            )
+        ).reshape(2, 3, 16, 16, 3)
+        rev = np.asarray(
+            augment_postproc(
+                y, u, v, np.uint32([0, 0, 0]),
+                spec=AugmentSpec(crop=False, hflip=0.0, time_reverse=1.0),
+                clip_len=3, **kw,
+            )
+        ).reshape(2, 3, 16, 16, 3)
+        np.testing.assert_array_equal(rev, base[:, ::-1])
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="time_reverse"):
+            AugmentSpec(time_reverse=1.5)
+
+
+class TestMixupCutmix:
+    def _batch(self, B=6, video=False):
+        import jax
+
+        r = np.random.default_rng(3)
+        shape = (B, 2, 16, 16, 3) if video else (B, 16, 16, 3)
+        x = r.random(shape).astype(np.float32)
+        labels = np.arange(B, dtype=np.int32) % 4
+        key = jax.random.PRNGKey(7)
+        return x, labels, key
+
+    def test_mixup_pixels_match_labels(self):
+        from videoprocessingframework_tpu.ops.augment import mixup_cutmix
+
+        x, labels, key = self._batch()
+        mixed, soft = map(np.asarray, mixup_cutmix(
+            x, labels, key, num_classes=4,
+            mixup_alpha=0.4, cutmix_alpha=0.0,
+        ))
+        np.testing.assert_allclose(soft.sum(1), 1.0, atol=1e-6)
+        B = x.shape[0]
+        for i in range(B):
+            j = B - 1 - i
+            if labels[i] == labels[j]:
+                continue
+            lam = soft[i, labels[i]]
+            want = lam * x[i] + (1 - lam) * x[j]
+            np.testing.assert_allclose(mixed[i], want, atol=1e-5)
+
+    def test_cutmix_box_matches_labels(self):
+        from videoprocessingframework_tpu.ops.augment import mixup_cutmix
+
+        x, labels, key = self._batch()
+        mixed, soft = map(np.asarray, mixup_cutmix(
+            x, labels, key, num_classes=4,
+            mixup_alpha=0.0, cutmix_alpha=1.0,
+        ))
+        B, H, W = x.shape[0], x.shape[1], x.shape[2]
+        for i in range(B):
+            j = B - 1 - i
+            if labels[i] == labels[j]:
+                continue
+            # every pixel is either own or partner (no blending)
+            own = np.isclose(mixed[i], x[i], atol=1e-6).all(-1)
+            other = np.isclose(mixed[i], x[j], atol=1e-6).all(-1)
+            assert (own | other).all()
+            # pasted fraction equals the soft-label split exactly
+            frac = other.mean() if (labels[i] != labels[j]) else 0.0
+            np.testing.assert_allclose(
+                soft[i, labels[j]], frac, atol=1e-5
+            )
+
+    def test_video_batch_temporally_consistent(self):
+        from videoprocessingframework_tpu.ops.augment import mixup_cutmix
+
+        x, labels, key = self._batch(video=True)
+        mixed, soft = map(np.asarray, mixup_cutmix(
+            x, labels, key, num_classes=4,
+            mixup_alpha=0.0, cutmix_alpha=1.0,
+        ))
+        assert mixed.shape == x.shape
+        # the pasted box is identical in every frame of a clip
+        for i in range(x.shape[0]):
+            m0 = np.isclose(mixed[i, 0], x[i, 0], atol=1e-6).all(-1)
+            m1 = np.isclose(mixed[i, 1], x[i, 1], atol=1e-6).all(-1)
+            np.testing.assert_array_equal(m0, m1)
+
+    def test_prob_zero_is_identity(self):
+        from videoprocessingframework_tpu.ops.augment import mixup_cutmix
+
+        x, labels, key = self._batch()
+        mixed, soft = map(np.asarray, mixup_cutmix(
+            x, labels, key, num_classes=4, prob=0.0,
+        ))
+        np.testing.assert_allclose(mixed, x, atol=1e-6)
+        want = np.eye(4, dtype=np.float32)[labels]
+        np.testing.assert_array_equal(soft, want)
+
+    def test_rejects_bad_shapes_and_alphas(self):
+        import jax
+
+        from videoprocessingframework_tpu.ops.augment import mixup_cutmix
+
+        key = jax.random.PRNGKey(0)
+        with pytest.raises(ValueError, match="expects"):
+            mixup_cutmix(
+                jnp.zeros((4, 16, 16)), jnp.zeros(4, jnp.int32), key,
+                num_classes=4,
+            )
+        with pytest.raises(ValueError, match="alpha"):
+            mixup_cutmix(
+                jnp.zeros((4, 8, 8, 3)), jnp.zeros(4, jnp.int32), key,
+                num_classes=4, mixup_alpha=0.0, cutmix_alpha=0.0,
+            )
+
+
+class TestSrcWindow:
+    def test_windowed_matrix_matches_batched_construction(self):
+        """resize_matrix(window=) (host f64) and window_matrices (in-
+        graph f32) are the same construction — cross-check them."""
+        got = resize_matrix(96, 32, "lanczos", window=(16.0, 48.0))
+        ref = np.asarray(
+            window_matrices(
+                jnp.full((1,), 16.0), jnp.full((1,), 48.0), 96, 32,
+                "lanczos",
+            )
+        )[0]
+        assert np.abs(got - ref).max() < 2e-4
+
+    def test_full_window_identical_to_none(self):
+        a = resize_matrix(64, 24, "lanczos")
+        b = resize_matrix(64, 24, "lanczos", window=(0.0, 64.0))
+        np.testing.assert_array_equal(a, b)
+
+    def test_decode_postproc_src_window(self):
+        """Fused ROI (NPP oSrcROI analog): output equals the golden
+        built from the same windowed matrices in float64."""
+        y, u, v = _yuv420(2, 64, 96, seed=11)
+        win = (8.0, 12.0, 40.0, 64.0)  # (y0, x0, h, w)
+        out = np.asarray(
+            decode_postproc(
+                y, u, v,
+                src_format=F.YUV420, space=ColorSpace.BT_601,
+                rng=ColorRange.JPEG, out_h=20, out_w=32,
+                output="rgb_u8", compute="highest", src_window=win,
+            )
+        )
+        rm = resize_matrix(64, 20, "lanczos", window=(8.0, 40.0)
+                           ).astype(np.float64)
+        cm = resize_matrix(96, 32, "lanczos", window=(12.0, 64.0)
+                           ).astype(np.float64)
+        m, off = cs.rgb_from_ycbcr_matrix(ColorSpace.BT_601,
+                                          ColorRange.JPEG)
+        rmc = rm.reshape(20, 32, 2).sum(-1)
+        cmc = cm.reshape(32, 48, 2).sum(-1)
+        for i in range(2):
+            yr = rm @ y[i].astype(np.float64) @ cm.T
+            ur = rmc @ u[i].astype(np.float64) @ cmc.T
+            vr = rmc @ v[i].astype(np.float64) @ cmc.T
+            ycc = np.stack([yr, ur, vr], -1) - np.asarray(off)
+            rgb = np.clip(ycc @ np.asarray(m).T, 0, 255)
+            assert np.abs(out[i].astype(np.float64) - np.round(rgb)
+                          ).max() <= 1.0
+
+    def test_fused_pipeline_src_window_and_pallas_reject(self):
+        from videoprocessingframework_tpu.ops.fused import FusedPipeline
+
+        with pytest.raises(ValueError, match="src_window"):
+            FusedPipeline(
+                F.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
+                out_size=(16, 16), kernel="pallas",
+                src_window=(0, 0, 32, 32),
+            )
+        y, u, v = _yuv420(2, 32, 32, seed=4)
+        pipe = FusedPipeline(
+            F.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
+            out_size=(16, 16), src_window=(8, 8, 16, 16),
+        )
+        out = np.asarray(pipe(y, u, v))
+        assert out.shape == (2, 16, 16, 3)
+        full = FusedPipeline(
+            F.YUV420, ColorSpace.BT_709, ColorRange.MPEG,
+            out_size=(16, 16),
+        )
+        assert (np.asarray(full(y, u, v)) != out).any()
+
+    def test_window_bounds_validated(self):
+        with pytest.raises(ValueError, match="window"):
+            resize_matrix(64, 24, "lanczos", window=(60.0, 10.0))

@@ -82,6 +82,9 @@ class AugmentSpec:
     saturation  — factor ~ U(max(0, 1-s), 1+s) blended against gray.
     hue         — rotation ~ U(-h, h) in turns of the YIQ chroma plane
                   (h ≤ 0.5, torchvision's range convention). 0 disables.
+    time_reverse — probability of playing the clip backwards (frame
+                  order reversed along T; a video-specific augmentation
+                  with no image analog). 0 disables.
 
     Jitter applies in the fixed order brightness → contrast →
     saturation → hue (torchvision randomizes the order per sample; a
@@ -96,6 +99,7 @@ class AugmentSpec:
     contrast: float = 0.0
     saturation: float = 0.0
     hue: float = 0.0
+    time_reverse: float = 0.0
 
     def __post_init__(self):
         lo, hi = self.crop_scale
@@ -111,6 +115,10 @@ class AugmentSpec:
                 raise ValueError(f"{name} must be >= 0")
         if not (0.0 <= self.hue <= 0.5):
             raise ValueError(f"hue must be in [0, 0.5] turns: {self.hue}")
+        if not (0.0 <= self.time_reverse <= 1.0):
+            raise ValueError(
+                f"time_reverse must be a probability: {self.time_reverse}"
+            )
 
     @property
     def any_jitter(self) -> bool:
@@ -120,7 +128,7 @@ class AugmentSpec:
 def sample_augment_params(key, batch: int, in_h: int, in_w: int, spec: AugmentSpec):
     """Per-clip params: crop boxes [B] (y0, x0, ch, cw in luma pixels,
     f32), flip mask [B], jitter factors [B]. Pure function of the key."""
-    kc, ka, kx, ky, kf, kb, kn, ks, kh = jax.random.split(key, 9)
+    kc, ka, kx, ky, kf, kb, kn, ks, kh, kt = jax.random.split(key, 10)
     B = batch
     if spec.crop:
         area = jax.random.uniform(
@@ -161,6 +169,11 @@ def sample_augment_params(key, batch: int, in_h: int, in_w: int, spec: AugmentSp
         if spec.hue
         else jnp.zeros((B,), jnp.float32)
     )
+    trev = (
+        jax.random.uniform(kt, (B,)) < spec.time_reverse
+        if spec.time_reverse > 0.0
+        else jnp.zeros((B,), bool)
+    )
     return {
         "y0": y0,
         "x0": x0,
@@ -171,6 +184,7 @@ def sample_augment_params(key, batch: int, in_h: int, in_w: int, spec: AugmentSp
         "contrast": factor(kn, spec.contrast),
         "saturation": factor(ks, spec.saturation),
         "hue": theta,
+        "time_reverse": trev,
     }
 
 
@@ -354,6 +368,11 @@ def augment_postproc(
     rgb = jnp.clip(rgb, 0.0, 255.0)
     if spec.any_jitter:
         rgb = _color_jitter(rgb, p, spec)
+    if spec.time_reverse and T > 1:
+        rgb = jnp.where(
+            p["time_reverse"][:, None, None, None, None],
+            rgb[:, ::-1], rgb,
+        )
     rgb = rgb.reshape(n, out_h, out_w, 3)
 
     if output == "rgb_u8":
@@ -373,6 +392,106 @@ def _chroma_collapse_b(mat):
     """Batched ``fused._chroma_collapse``: [B, o, n] → [B, o, n/2]."""
     b, o, n = mat.shape
     return mat.reshape(b, o, n // 2, 2).sum(-1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_classes", "mixup_alpha", "cutmix_alpha", "switch_prob",
+        "prob",
+    ),
+)
+def mixup_cutmix(
+    x,
+    labels,
+    key,
+    *,
+    num_classes: int,
+    mixup_alpha: float = 0.2,
+    cutmix_alpha: float = 1.0,
+    switch_prob: float = 0.5,
+    prob: float = 1.0,
+):
+    """Batch-level MixUp/CutMix on device: one fused program.
+
+    x: float batch, channels-last — [B, H, W, C] images or
+    [B, T, H, W, C] clips (a clip mixes with the same partner/λ/box in
+    every frame: temporal consistency).
+    labels: int [B] — returned as soft targets [B, num_classes].
+    key: a jax PRNG key; pairing is with the reversed batch (the
+    standard cheap permutation), λ ~ Beta(α, α) per sample, and each
+    sample independently runs CutMix (with probability ``switch_prob``)
+    or MixUp. ``prob`` gates the whole op per sample. For CutMix the
+    pasted box has exact area 1−λ (λ re-derived from the integer box so
+    the soft label matches the pixels).
+
+    Train-time only; returns (mixed_x, soft_labels). The reference has
+    no training-side anything — this extends the beyond-parity training
+    path (use after the loader's augmented postproc, e.g. on
+    ``output='normalized'`` batches).
+    """
+    if x.ndim not in (4, 5):
+        raise ValueError(
+            f"mixup_cutmix expects [B,H,W,C] or [B,T,H,W,C], got {x.shape}"
+        )
+    if mixup_alpha <= 0 and cutmix_alpha <= 0:
+        raise ValueError("need mixup_alpha > 0 or cutmix_alpha > 0")
+    B = x.shape[0]
+    H, W = x.shape[-3], x.shape[-2]
+    kl, kc, kg, kx, ky = jax.random.split(key, 5)
+    xf = x.astype(jnp.float32)
+    x2 = xf[::-1]
+    y1 = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    y2 = y1[::-1]
+
+    use_cut = (
+        jax.random.uniform(kc, (B,)) < switch_prob
+        if cutmix_alpha > 0 and mixup_alpha > 0
+        else jnp.full((B,), cutmix_alpha > 0)
+    )
+    gate = jax.random.uniform(kg, (B,)) < prob
+
+    def beta(k, a):
+        if a <= 0:
+            return jnp.ones((B,), jnp.float32)
+        return jax.random.beta(k, a, a, (B,)).astype(jnp.float32)
+
+    lam = jnp.where(
+        use_cut, beta(kl, cutmix_alpha), beta(kl, mixup_alpha)
+    )
+
+    # -- CutMix: per-sample box of area (1-λ), clamped inside the frame;
+    # λ re-derived from the INTEGER box so labels match pixels exactly
+    cut = jnp.sqrt(jnp.maximum(1.0 - lam, 0.0))
+    bh = jnp.round(cut * H)
+    bw = jnp.round(cut * W)
+    cy = jnp.round(jax.random.uniform(ky, (B,)) * H)
+    cx = jnp.round(jax.random.uniform(kx, (B,)) * W)
+    t0 = jnp.clip(cy - bh / 2, 0, H)
+    t1 = jnp.clip(cy + bh / 2, 0, H)
+    l0 = jnp.clip(cx - bw / 2, 0, W)
+    l1 = jnp.clip(cx + bw / 2, 0, W)
+    rows = jnp.arange(H, dtype=jnp.float32)
+    cols = jnp.arange(W, dtype=jnp.float32)
+    in_rows = (rows[None, :] >= t0[:, None]) & (rows[None, :] < t1[:, None])
+    in_cols = (cols[None, :] >= l0[:, None]) & (cols[None, :] < l1[:, None])
+    box = in_rows[:, :, None] & in_cols[:, None, :]  # [B, H, W]
+    box_frac = box.mean(axis=(1, 2))  # exact pasted-area fraction
+    lam_cut = 1.0 - box_frac
+
+    shape = (B,) + (1,) * (x.ndim - 1)
+    lam_mix = lam.reshape(shape)
+    boxb = box[:, None, :, :, None] if x.ndim == 5 else box[:, :, :, None]
+    mixed_mix = lam_mix * xf + (1.0 - lam_mix) * x2
+    mixed_cut = jnp.where(boxb, x2, xf)
+    use_cutb = use_cut.reshape(shape)
+    mixed = jnp.where(use_cutb, mixed_cut, mixed_mix)
+    lam_eff = jnp.where(use_cut, lam_cut, lam)
+    gateb = gate.reshape(shape)
+    mixed = jnp.where(gateb, mixed, xf)
+    lam_eff = jnp.where(gate, lam_eff, 1.0)
+    soft = lam_eff[:, None] * y1 + (1.0 - lam_eff)[:, None] * y2
+    return mixed.astype(x.dtype), soft
 
 
 class AugmentPipeline:

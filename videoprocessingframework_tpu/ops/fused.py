@@ -239,6 +239,7 @@ def unpack_yuv_planes(fmt: PixelFormat, planes):
         "swap",
         "compute_dtype",
         "compute",
+        "src_window",
     ),
 )
 def decode_postproc(
@@ -255,6 +256,7 @@ def decode_postproc(
     swap: bool = False,
     compute_dtype=jnp.float32,
     compute: str = "auto",
+    src_window=None,
 ):
     """Fused (N-batched) decode post-processing.
 
@@ -266,6 +268,10 @@ def decode_postproc(
             'normalized' (NHWC f32) | 'normalized_nchw' (NCHW f32).
     compute: 'auto' (split-bf16 resize for u8 sources at f32 compute —
             ≤1 u8 ULP, ~1.5x faster) | 'split_bf16' | 'highest'.
+    src_window: optional static (y0, x0, h, w) source ROI in luma
+            pixels — the NPP ROI-resize analog: only that window maps
+            to the output (crop+resize as the same two matmuls; taps
+            just outside the window use the real neighboring pixels).
     """
     if compute not in ("auto", "split_bf16", "highest"):
         raise ValueError(f"unknown compute mode {compute!r}")
@@ -275,7 +281,12 @@ def decode_postproc(
 
     gray = u is None
     h_in, w_in = y.shape[-2], y.shape[-1]
-    if (h_in, w_in) != (out_h, out_w):
+    if src_window is not None:
+        wy0, wx0, wh, ww = (float(t) for t in src_window)
+        rwin, cwin = (wy0, wh), (wx0, ww)
+    else:
+        rwin = cwin = None
+    if (h_in, w_in) != (out_h, out_w) or src_window is not None:
         # Resize-before-CSC: the color matrix is affine and every resize
         # row sums to 1, so resizing Y/Cb/Cr planes first is mathematically
         # identical to CSC-then-resize — but never materializes the
@@ -283,8 +294,8 @@ def decode_postproc(
         # The 2x chroma replicate-upsample folds exactly into the chroma
         # resize matrix (see _chroma_collapse), so subsampled chroma is
         # resized straight from its native half resolution.
-        rmat = jnp.asarray(resize_matrix(h_in, out_h, method))
-        cmat = jnp.asarray(resize_matrix(w_in, out_w, method))
+        rmat = jnp.asarray(resize_matrix(h_in, out_h, method, window=rwin))
+        cmat = jnp.asarray(resize_matrix(w_in, out_w, method, window=cwin))
         y = _resize_plane2d(y, rmat, cmat, compute_dtype, mode)
         if gray:
             pass  # neutral chroma synthesized below at output size
@@ -367,6 +378,7 @@ class FusedPipeline:
         device=None,
         kernel: str = "auto",
         compute: str = "auto",
+        src_window=None,
     ):
         self.src_format = PixelFormat(src_format)
         self.space = ColorSpace(color_space)
@@ -379,6 +391,12 @@ class FusedPipeline:
         self.device = device
         if kernel not in ("auto", "xla", "pallas"):
             raise ValueError(f"kernel must be auto|xla|pallas, got {kernel!r}")
+        # static source ROI (y0, x0, h, w): crop+resize in the same two
+        # matmuls (NPP ROI-resize analog). XLA path only — the Pallas
+        # kernels bind full-axis band windows.
+        self.src_window = tuple(src_window) if src_window else None
+        if self.src_window is not None and kernel == "pallas":
+            raise ValueError("src_window is not available with kernel='pallas'")
         self.kernel = kernel
         self.compute = compute
         self._picked = {}  # input-shape key -> "xla" | "pallas"
@@ -393,6 +411,8 @@ class FusedPipeline:
         this input doesn't qualify."""
         if self.method not in ("lanczos", "bilinear"):
             return None
+        if self.src_window is not None:
+            return None  # ROI matrices are XLA-path only
         if any(getattr(p, "ndim", 0) != 3 for p in planes):
             return None  # the kernels take batched (N, H, W) planes
         if any(p.dtype != jnp.uint8 for p in planes):
@@ -473,6 +493,7 @@ class FusedPipeline:
             mean=self.mean,
             std=self.std,
             compute=self.compute,
+            src_window=self.src_window,
         )
 
     def _pick(self, planes, pallas_in):

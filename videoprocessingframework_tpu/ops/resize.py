@@ -43,13 +43,31 @@ def _lanczos(x: np.ndarray, a: int = 3) -> np.ndarray:
 
 
 @lru_cache(maxsize=256)
-def resize_matrix(n_in: int, n_out: int, method: str = "lanczos") -> np.ndarray:
-    """(n_out, n_in) float32 interpolation matrix, rows sum to 1."""
+def resize_matrix(
+    n_in: int, n_out: int, method: str = "lanczos", window=None
+) -> np.ndarray:
+    """(n_out, n_in) float32 interpolation matrix, rows sum to 1.
+
+    ``window=(start, length)`` resamples only that source span (the NPP
+    ROI-resize analog, `nppiResize* oSrcROI`): output pixel centers map
+    into [start, start+length) instead of the full axis. Taps falling
+    just outside the window use the REAL neighboring pixels (no
+    replicated crop seam); taps beyond the frame clamp to the edge as
+    usual. ``window=None`` is the full axis.
+    """
     if method not in _SUPPORTED:
         raise ValueError(f"unknown resize method {method!r}")
-    scale = n_in / n_out
+    if window is None:
+        start, length = 0.0, float(n_in)
+    else:
+        start, length = float(window[0]), float(window[1])
+        if not (length > 0 and 0.0 <= start and start + length <= n_in):
+            raise ValueError(
+                f"window {window} outside source axis of {n_in}"
+            )
+    scale = length / n_out
     dst = np.arange(n_out, dtype=np.float64)
-    src = (dst + 0.5) * scale - 0.5
+    src = start + (dst + 0.5) * scale - 0.5
     m = np.zeros((n_out, n_in), dtype=np.float64)
     if method == "nearest":
         idx = np.clip(np.floor(src + 0.5).astype(np.int64), 0, n_in - 1)
