@@ -201,3 +201,54 @@ def test_video_classifier_from_clip_loader(test_mp4):
         variables, batch
     )
     assert out.shape == (2, 3)
+
+
+def test_video_vit_forward_and_grafting():
+    """Factorized space-time VideoViT: forward shape, image-ViT param
+    grafting into the spatial half, and a train step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from videoprocessingframework_tpu.models import (
+        video_vit_tiny, vit_tiny,
+    )
+    from videoprocessingframework_tpu.models.vit import init_params
+
+    m = video_vit_tiny(num_classes=5)
+    x = np.random.default_rng(0).random((2, 3, 32, 32, 3)).astype(np.float32)
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros_like(x), train=False)
+    out = m.apply(variables, x, train=False)
+    assert out.shape == (2, 5)
+    assert out.dtype == jnp.float32
+
+    # the spatial half's tree matches the image ViT minus its classifier
+    img = vit_tiny(num_classes=9)
+    iv = init_params(img, (1, 32, 32, 3))
+    spatial = variables["params"]["spatial"]
+    img_p = {k: v for k, v in iv["params"].items() if k != "classifier"}
+    assert set(spatial.keys()) == set(img_p.keys())
+    import flax
+
+    grafted = flax.core.unfreeze(variables)
+    grafted["params"]["spatial"] = img_p
+    out2 = m.apply(grafted, x, train=False)
+    assert out2.shape == (2, 5) and np.isfinite(np.asarray(out2)).all()
+
+    # one SGD step decreases loss on a tiny overfit batch
+    labels = jnp.asarray([1, 3])
+    opt = optax.sgd(0.1)
+    state = opt.init(variables["params"])
+
+    def loss_fn(p):
+        logits = m.apply({"params": p}, x, train=True)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels
+        ).mean()
+
+    l0, g = jax.value_and_grad(loss_fn)(variables["params"])
+    up, state = opt.update(g, state)
+    p1 = optax.apply_updates(variables["params"], up)
+    l1 = loss_fn(p1)
+    assert float(l1) < float(l0)

@@ -5,5 +5,12 @@ from .video import (  # noqa: F401
     video_resnet18_like,
     video_resnet50,
 )
-from .vit import ViT, vit_small, vit_tiny  # noqa: F401
+from .vit import (  # noqa: F401
+    ViT,
+    VideoViT,
+    video_vit_small,
+    video_vit_tiny,
+    vit_small,
+    vit_tiny,
+)
 from .weights import load_torch_resnet50  # noqa: F401

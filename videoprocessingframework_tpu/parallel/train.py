@@ -86,21 +86,29 @@ def make_train_step(
     rep = NamedSharding(mesh, P())
 
     def loss_fn(params, batch_stats, images, labels):
-        logits, new_state = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            images,
-            train=True,
-            mutable=["batch_stats"],
-        )
+        # stat-less models (ViT/VideoViT — no batch norm) apply without
+        # a mutable collection; the branch is on pytree STRUCTURE, so
+        # it resolves at trace time and stays one compiled program
+        if batch_stats is None:
+            logits = model.apply({"params": params}, images, train=True)
+            new_stats = None
+        else:
+            logits, new_state = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            new_stats = new_state["batch_stats"]
         loss = optax.softmax_cross_entropy_with_integer_labels(
             logits, labels
         ).mean()
         acc = (logits.argmax(-1) == labels).mean()
-        return loss, (new_state["batch_stats"], acc)
+        return loss, (new_stats, acc)
 
     def step(variables, opt_state, batch):
         params = variables["params"]
-        batch_stats = variables["batch_stats"]
+        batch_stats = variables.get("batch_stats")
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (new_stats, acc)), grads = grad_fn(
             params, batch_stats, batch["image"], batch["label"]
@@ -108,11 +116,10 @@ def make_train_step(
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics = {"loss": loss, "accuracy": acc}
-        return (
-            {"params": params, "batch_stats": new_stats},
-            opt_state,
-            metrics,
-        )
+        out_vars = {"params": params}
+        if new_stats is not None:
+            out_vars["batch_stats"] = new_stats
+        return out_vars, opt_state, metrics
 
     # shard the batch over data; let XLA propagate the parameter shardings
     return jax.jit(
