@@ -41,6 +41,12 @@ if __name__ == "__main__":
     ap.add_argument("--augment", action="store_true",
                     help="device-fused crop/flip/jitter augmentation "
                          "(ops/augment.py; deterministic + resume-exact)")
+    ap.add_argument("--model", choices=("resnet", "vit"), default="resnet",
+                    help="video model family: per-frame ResNet + temporal "
+                         "head, or the factorized space-time VideoViT")
+    ap.add_argument("--mixup", action="store_true",
+                    help="batch-level MixUp/CutMix on device (soft "
+                         "targets; ops.augment.mixup_cutmix)")
     args = ap.parse_args()
     sources = args.inputs or [default_input()]
 
@@ -90,13 +96,28 @@ if __name__ == "__main__":
     log.info("corpus: %d file(s), %d clips/epoch", len(loader.corpus),
              loader.clips_per_epoch)
 
-    from videoprocessingframework_tpu.models import video_resnet18_like
+    if args.model == "vit":
+        import jax.numpy as jnp
 
-    model = video_resnet18_like(num_classes=nclass)
-    variables = shard_variables(
-        mesh,
-        init_params(model, (1, args.clip_len, args.size, args.size, 3)),
-    )
+        from videoprocessingframework_tpu.models import video_vit_tiny
+
+        model = video_vit_tiny(num_classes=nclass)
+        variables = shard_variables(
+            mesh,
+            model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, args.clip_len, args.size, args.size, 3)),
+                train=False,
+            ),
+        )
+    else:
+        from videoprocessingframework_tpu.models import video_resnet18_like
+
+        model = video_resnet18_like(num_classes=nclass)
+        variables = shard_variables(
+            mesh,
+            init_params(model, (1, args.clip_len, args.size, args.size, 3)),
+        )
     opt = optax.sgd(0.01, momentum=0.9)
     opt_state = opt.init(variables["params"])
     step = make_train_step(model, mesh, opt)
@@ -142,9 +163,19 @@ if __name__ == "__main__":
     metrics = {"loss": np.nan, "accuracy": np.nan}  # if already complete
     while done < args.steps:
         for batch, labels in loader.epoch():
+            labels = labels.astype(np.int32) % nclass
+            if args.mixup:
+                from videoprocessingframework_tpu.ops.augment import (
+                    mixup_cutmix,
+                )
+
+                batch, labels = mixup_cutmix(
+                    batch, labels, jax.random.PRNGKey(done),
+                    num_classes=nclass,
+                )
             variables, opt_state, metrics = step(
                 variables, opt_state,
-                {"image": batch, "label": labels.astype(np.int32) % nclass},
+                {"image": batch, "label": labels},
             )
             done += 1
             if ckdir is not None and done % args.save_every == 0:

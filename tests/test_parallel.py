@@ -245,3 +245,43 @@ def test_encode_feed_sharded_matches_single_device():
     assert len(sharded[0].sharding.device_set) == n_dev
     for s, g in zip(sharded, single):
         np.testing.assert_array_equal(np.asarray(s), g)
+
+
+def test_train_step_soft_labels_and_statless_model():
+    """make_train_step generalizations: soft [B, C] targets (MixUp/
+    CutMix output) and stat-less models (VideoViT — no batch_stats)."""
+    import jax
+
+    from videoprocessingframework_tpu.models import video_vit_tiny
+    from videoprocessingframework_tpu.ops.augment import mixup_cutmix
+
+    mesh = make_mesh(4, ("data", "model"), shape=(2, 2))
+    model = video_vit_tiny(num_classes=4)
+    variables = shard_variables(
+        mesh,
+        model.init(jax.random.PRNGKey(0),
+                   np.zeros((1, 2, 32, 32, 3), np.float32), train=False),
+    )
+    assert "batch_stats" not in variables
+    # adam at a small lr: 3 SGD steps on a fresh transformer can
+    # overshoot (observed), which isn't what this test is about
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(variables["params"])
+    step = make_train_step(model, mesh, opt)
+
+    rng = np.random.default_rng(0)
+    x = rng.random((4, 2, 32, 32, 3)).astype(np.float32)
+    labels = np.arange(4, dtype=np.int32)
+    mixed, soft = mixup_cutmix(
+        x, labels, jax.random.PRNGKey(1), num_classes=4
+    )
+    batch = shard_batch(
+        {"image": np.asarray(mixed), "label": np.asarray(soft)}, mesh
+    )
+    losses = []
+    for _ in range(15):  # fresh transformers bump before converging
+        variables, opt_state, metrics = step(variables, opt_state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert "batch_stats" not in variables

@@ -9,8 +9,9 @@ bundled here to run the moment a chip is reachable:
 
 Covers: VideoClipLoader (fused batches + resume on device),
 MjpegClipLoader (split-codec path on the chip), keyframe-aligned
-sampling, the serving layer over a jitted model, and a fidelity spot
-check vs the float64 golden. Everything is also covered by the CPU
+sampling, the device-fused augmentation path (round-4), the serving
+layer over a jitted model, and a fidelity spot check vs the float64
+golden. Everything is also covered by the CPU
 suite + dryrun; this certifies the same code against real Mosaic/XLA
 TPU codegen. Exits non-zero on any failure; prints one OK line per
 stage.
@@ -105,6 +106,24 @@ def main() -> int:
     assert ulp <= 1, f"mjpeg loader ULP {ulp}"
     print(f"OK mjpeg loader: on-chip ULP vs float64 golden = {ulp}",
           flush=True)
+
+    # 2b) device-fused augmentation (round-4 addition): augmented
+    # loader batch on the chip, deterministic across two constructions
+    from videoprocessingframework_tpu.data import AugmentSpec
+
+    akw = dict(
+        clip_len=2, batch_size=2, out_size=(64, 64), output="rgb_u8",
+        seed=3, workers=1,
+        augment=AugmentSpec(
+            crop=True, hflip=0.5, brightness=0.3, contrast=0.3,
+            saturation=0.3, hue=0.1, time_reverse=0.5,
+        ),
+    )
+    a1 = np.asarray(next(iter(VideoClipLoader([str(asset)], **akw).epoch(0))))
+    a2 = np.asarray(next(iter(VideoClipLoader([str(asset)], **akw).epoch(0))))
+    assert np.array_equal(a1, a2), "augment nondeterministic on chip"
+    assert a1.shape == (2, 2, 64, 64, 3)
+    print("OK augment: on-chip deterministic, batch", a1.shape, flush=True)
 
     # 3) serving over a jitted composition
     import jax.numpy as jnp

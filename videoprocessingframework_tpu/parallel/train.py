@@ -100,10 +100,16 @@ def make_train_step(
                 mutable=["batch_stats"],
             )
             new_stats = new_state["batch_stats"]
-        loss = optax.softmax_cross_entropy_with_integer_labels(
-            logits, labels
-        ).mean()
-        acc = (logits.argmax(-1) == labels).mean()
+        if labels.ndim == 2:
+            # soft targets (MixUp/CutMix output) — rank is static, so
+            # this is still one compiled program per label kind
+            loss = optax.softmax_cross_entropy(logits, labels).mean()
+            acc = (logits.argmax(-1) == labels.argmax(-1)).mean()
+        else:
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels
+            ).mean()
+            acc = (logits.argmax(-1) == labels).mean()
         return loss, (new_stats, acc)
 
     def step(variables, opt_state, batch):
