@@ -12,9 +12,12 @@ Usage:  python tools/capture_when_clear.py [--interval-s 900]
                                            [--threshold-mbps 150]
                                            [--once]
 
-Each probe runs in a `timeout`-bounded subprocess (a blocking jax call
-can wedge un-SIGTERM-ably under dead weather — CLAUDE.md), as does each
-bench attempt (bench.py self-supervises, but belt and braces).
+Each probe runs in a `timeout -k`-bounded subprocess: a blocking jax
+call can wedge un-SIGTERM-ably under dead weather (CLAUDE.md — only
+SIGKILL works), so plain SIGTERM timeouts would leave the watcher
+waiting forever on the wedged child. Same for each bench attempt
+(bench.py self-supervises with killpg, but belt and braces) and the
+validation drive (which has no supervisor of its own).
 """
 
 import argparse
@@ -44,7 +47,8 @@ print(f"PROBE_MBPS {best:.1f}")
 def probe_mbps(timeout_s: float = 150.0) -> float:
     try:
         r = subprocess.run(
-            ["timeout", str(int(timeout_s)), sys.executable, "-c", PROBE],
+            ["timeout", "-k", "10", str(int(timeout_s)),
+             sys.executable, "-c", PROBE],
             capture_output=True, text=True, cwd=REPO,
         )
     except Exception:
@@ -69,7 +73,8 @@ def run_capture(outdir: pathlib.Path, stamp: str) -> dict | None:
     try:
         with log.open("w") as fh:
             subprocess.run(
-                ["timeout", "720", sys.executable, str(REPO / "bench.py")],
+                ["timeout", "-k", "10", "720",
+                 sys.executable, str(REPO / "bench.py")],
                 stdout=fh, stderr=subprocess.STDOUT, cwd=REPO,
             )
     finally:
@@ -138,7 +143,7 @@ def main() -> int:
                     vlog = outdir / f"validation_{stamp}.log"
                     with vlog.open("w") as fh:
                         subprocess.run(
-                            ["timeout", "580", sys.executable,
+                            ["timeout", "-k", "10", "580", sys.executable,
                              str(REPO / "tools" / "tpu_validation.py")],
                             stdout=fh, stderr=subprocess.STDOUT, cwd=REPO)
                     validated = "ALL OK" in vlog.read_text()
