@@ -97,27 +97,17 @@ if __name__ == "__main__":
              loader.clips_per_epoch)
 
     if args.model == "vit":
-        import jax.numpy as jnp
-
         from videoprocessingframework_tpu.models import video_vit_tiny
 
         model = video_vit_tiny(num_classes=nclass)
-        variables = shard_variables(
-            mesh,
-            model.init(
-                jax.random.PRNGKey(0),
-                jnp.zeros((1, args.clip_len, args.size, args.size, 3)),
-                train=False,
-            ),
-        )
     else:
         from videoprocessingframework_tpu.models import video_resnet18_like
 
         model = video_resnet18_like(num_classes=nclass)
-        variables = shard_variables(
-            mesh,
-            init_params(model, (1, args.clip_len, args.size, args.size, 3)),
-        )
+    variables = shard_variables(
+        mesh,
+        init_params(model, (1, args.clip_len, args.size, args.size, 3)),
+    )
     opt = optax.sgd(0.01, momentum=0.9)
     opt_state = opt.init(variables["params"])
     step = make_train_step(model, mesh, opt)

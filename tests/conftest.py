@@ -33,12 +33,14 @@ _CAPTURE_LOCK = pathlib.Path("/tmp/capture_in_flight")
 
 def _capture_in_flight() -> bool:
     """A fresh watcher lock means a bench capture is mid-flight on this
-    1-core host; older than 15 min is stale (bench self-bounds at 720 s,
-    so a live capture always refreshes well inside that window)."""
+    1-core host. The watcher (tools/capture_when_clear.py _run_locked)
+    touches the lock every 10 s for as long as its child lives, so the
+    staleness bound here is independent of any bench deadline; 120 s of
+    silence means the watcher died (SIGKILL) without cleanup."""
     try:
         import time
 
-        return time.time() - _CAPTURE_LOCK.stat().st_mtime < 900.0
+        return time.time() - _CAPTURE_LOCK.stat().st_mtime < 120.0
     except OSError:
         return False
 
@@ -51,8 +53,10 @@ def _mark_host_busy():
     if not os.environ.get("VPF_NO_CAPTURE_WAIT"):
         import time
 
+        # cap covers a worst-case bench (720 s) + validation (580 s)
+        # back to back, with slack
         waited = 0.0
-        while _capture_in_flight() and waited < 900.0:
+        while _capture_in_flight() and waited < 1500.0:
             if waited == 0.0:
                 print("\n[conftest] bench capture in flight "
                       "(/tmp/capture_in_flight) — waiting for it to "

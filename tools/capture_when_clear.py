@@ -62,23 +62,32 @@ def probe_mbps(timeout_s: float = 150.0) -> float:
 LOCK = pathlib.Path("/tmp/capture_in_flight")
 
 
-def run_capture(outdir: pathlib.Path, stamp: str) -> dict | None:
-    """One full bench capture; returns the parsed JSON line (or None).
-
-    Writes /tmp/capture_in_flight for the capture's duration so other
-    work on this (1-core) host can yield the CPU — a concurrent pytest
-    run flattens both the decode ceiling and the E2E number."""
-    log = outdir / f"bench_{stamp}.log"
+def _run_locked(cmd: list, log: pathlib.Path, stamp: str) -> None:
+    """Run cmd with /tmp/capture_in_flight held, refreshing its mtime
+    every poll so tests/conftest.py's staleness bound (15 min) never
+    depends on this file's timeout values — the lock is live for
+    exactly as long as the child is."""
     LOCK.write_text(stamp)
     try:
         with log.open("w") as fh:
-            subprocess.run(
-                ["timeout", "-k", "10", "720",
-                 sys.executable, str(REPO / "bench.py")],
-                stdout=fh, stderr=subprocess.STDOUT, cwd=REPO,
-            )
+            proc = subprocess.Popen(
+                cmd, stdout=fh, stderr=subprocess.STDOUT, cwd=REPO)
+            while proc.poll() is None:
+                LOCK.touch()
+                time.sleep(10.0)
     finally:
         LOCK.unlink(missing_ok=True)
+
+
+def run_capture(outdir: pathlib.Path, stamp: str) -> dict | None:
+    """One full bench capture; returns the parsed JSON line (or None).
+
+    Holds /tmp/capture_in_flight for the capture's duration so other
+    work on this (1-core) host can yield the CPU — a concurrent pytest
+    run flattens both the decode ceiling and the E2E number."""
+    log = outdir / f"bench_{stamp}.log"
+    _run_locked(["timeout", "-k", "10", "720",
+                 sys.executable, str(REPO / "bench.py")], log, stamp)
     for ln in reversed(log.read_text().splitlines()):
         if ln.startswith("{") and '"metric"' in ln:
             try:
@@ -129,6 +138,11 @@ def main() -> int:
         mbps = probe_mbps()
         print(f"[{stamp}] probe {mbps:.1f} MB/s", flush=True)
         if mbps >= args.threshold_mbps:
+            # the probe itself takes up to 160 s and holds no lock, so a
+            # pytest session may have started meanwhile — re-check right
+            # before committing the 1-core host to a 720 s capture
+            if host_busy():
+                continue
             rec = run_capture(outdir, stamp)
             if rec:
                 extra = rec.get("extra", {})
@@ -139,13 +153,16 @@ def main() -> int:
                     best_ratio = ratio
                     (outdir / "best.json").write_text(
                         json.dumps(rec, indent=1) + "\n")
-                if args.validate and not validated and ratio >= 0.5:
+                if (args.validate and not validated and ratio >= 0.5
+                        and not host_busy()):
+                    # validation needs the core too: hold the lock for
+                    # its duration and skip if pytest grabbed the host
+                    # the moment the capture's lock dropped
                     vlog = outdir / f"validation_{stamp}.log"
-                    with vlog.open("w") as fh:
-                        subprocess.run(
-                            ["timeout", "-k", "10", "580", sys.executable,
-                             str(REPO / "tools" / "tpu_validation.py")],
-                            stdout=fh, stderr=subprocess.STDOUT, cwd=REPO)
+                    _run_locked(
+                        ["timeout", "-k", "10", "580", sys.executable,
+                         str(REPO / "tools" / "tpu_validation.py")],
+                        vlog, stamp)
                     validated = "ALL OK" in vlog.read_text()
                     print(f"[{stamp}] validation: "
                           f"{'OK' if validated else 'FAILED'}", flush=True)

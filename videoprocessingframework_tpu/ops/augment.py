@@ -434,6 +434,13 @@ def mixup_cutmix(
         raise ValueError(
             f"mixup_cutmix expects [B,H,W,C] or [B,T,H,W,C], got {x.shape}"
         )
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        # blending u8 then casting back would floor-truncate every pixel
+        # (systematic dark bias) and break the exact-area label contract
+        raise ValueError(
+            f"mixup_cutmix needs a float batch (e.g. the loader's "
+            f"'normalized'/'rgb_f32' outputs), got dtype {x.dtype}"
+        )
     if mixup_alpha <= 0 and cutmix_alpha <= 0:
         raise ValueError("need mixup_alpha > 0 or cutmix_alpha > 0")
     B = x.shape[0]
