@@ -53,10 +53,10 @@ def _mark_host_busy():
     if not os.environ.get("VPF_NO_CAPTURE_WAIT"):
         import time
 
-        # cap covers a worst-case bench (720 s) + validation (580 s)
-        # back to back, with slack
+        # cap covers a worst-case long first capture (1500 s) +
+        # validation (580 s) back to back, with slack
         waited = 0.0
-        while _capture_in_flight() and waited < 1500.0:
+        while _capture_in_flight() and waited < 2400.0:
             if waited == 0.0:
                 print("\n[conftest] bench capture in flight "
                       "(/tmp/capture_in_flight) — waiting for it to "

@@ -79,14 +79,24 @@ def _run_locked(cmd: list, log: pathlib.Path, stamp: str) -> None:
         LOCK.unlink(missing_ok=True)
 
 
-def run_capture(outdir: pathlib.Path, stamp: str) -> dict | None:
+def run_capture(outdir: pathlib.Path, stamp: str,
+                long: bool = False) -> dict | None:
     """One full bench capture; returns the parsed JSON line (or None).
 
     Holds /tmp/capture_in_flight for the capture's duration so other
     work on this (1-core) host can yield the CPU — a concurrent pytest
-    run flattens both the decode ceiling and the E2E number."""
+    run flattens both the decode ceiling and the E2E number.
+
+    ``long=True`` relaxes the bench's internal deadline (500 s → 1300 s)
+    so EVERY stage — the ResNet slope compiles included — completes at
+    least once and lands in the persistent XLA compilation cache
+    (.bench/jaxcache). Used for the first capture of a watcher run;
+    subsequent short captures then hit the cache and the resnet metric
+    fits the normal deadline."""
     log = outdir / f"bench_{stamp}.log"
-    _run_locked(["timeout", "-k", "10", "720",
+    budget, kill = ("1300", "1500") if long else ("500", "720")
+    _run_locked(["env", f"VPF_BENCH_DEADLINE={budget}",
+                 "timeout", "-k", "10", kill,
                  sys.executable, str(REPO / "bench.py")], log, stamp)
     for ln in reversed(log.read_text().splitlines()):
         if ln.startswith("{") and '"metric"' in ln:
@@ -119,6 +129,7 @@ def main() -> int:
     except Exception:
         pass
     validated = False
+    first_capture = True
 
     busy = pathlib.Path("/tmp/host_busy")
 
@@ -143,7 +154,11 @@ def main() -> int:
             # before committing the 1-core host to a 720 s capture
             if host_busy():
                 continue
-            rec = run_capture(outdir, stamp)
+            # first capture of the run is long: it funds the one-time
+            # XLA compiles (resnet slope chains) into the persistent
+            # cache so every later short capture completes all metrics
+            rec = run_capture(outdir, stamp, long=first_capture)
+            first_capture = False
             if rec:
                 extra = rec.get("extra", {})
                 ratio = float(extra.get("sustained_ratio", 0.0))
