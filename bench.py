@@ -460,9 +460,13 @@ def _fidelity_child(npz_path: str) -> int:
 
     # BASELINE.md "E2E ResNet fps": fused preprocess + ResNet-50 forward,
     # data resident (the SampleTorchResnet device-side analog)
-    from videoprocessingframework_tpu.models import resnet50
+    from videoprocessingframework_tpu.models import resnet18_like, resnet50
 
-    model = resnet50()
+    # smoke hook: resnet50 × batch 32 × 30 scan iterations is minutes-
+    # class on a 1-core CPU host, so the ONLY way to test this child
+    # end-to-end off-TPU is a small stand-in (tests/test_bench_smoke.py)
+    smoke = bool(os.environ.get("VPF_FIDELITY_SMOKE"))
+    model = resnet18_like() if smoke else resnet50()
     # throughput only — weight VALUES are irrelevant, so skip the real
     # (device-side, tunnel-bound) init: eval_shape traces on host, and
     # zero bf16 params halve the ~100 MB f32 weight upload
@@ -488,7 +492,7 @@ def _fidelity_child(npz_path: str) -> int:
     # batch 32: conv utilization keeps improving past the decode batch
     # (measured +25% over batch 8, v5e); planar plane views as the pool
     # feeds them
-    rb = 32
+    rb = batch if smoke else 32
     resnet_planes = (
         np.zeros((rb, height, width), np.uint8),
         np.zeros((rb, height // 2, width // 2), np.uint8),

@@ -34,6 +34,41 @@ def test_bench_quick_json_contract():
     assert extra["transcode_psnr_db"] > 40
 
 
+@pytest.mark.slow
+def test_fidelity_child_end_to_end(tmp_path):
+    """The killable device-metrics child (--_fidelity) emits one JSON
+    line per metric as each completes. resnet50 × batch 32 is minutes-
+    class on CPU, so VPF_FIDELITY_SMOKE swaps in a small stand-in —
+    this is the only off-TPU coverage of the child's full path."""
+    import numpy as np
+
+    h, w, b = 96, 128, 2
+    npz = tmp_path / "planes.npz"
+    rng = np.random.default_rng(0)
+    np.savez(
+        npz,
+        y=rng.integers(0, 255, (b, h, w), endpoint=True).astype(np.uint8),
+        u=rng.integers(0, 255, (b, h // 2, w // 2)).astype(np.uint8),
+        v=rng.integers(0, 255, (b, h // 2, w // 2)).astype(np.uint8),
+        h=h, w=w, batch=b,
+    )
+    env = dict(os.environ, VPF_TPU_FORCE_CPU="1", VPF_FIDELITY_SMOKE="1")
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py"), "--quick",
+         "--_fidelity", str(npz)],
+        capture_output=True, text=True, timeout=420, env=env,
+        cwd=str(REPO),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    emits = {}
+    for ln in out.stdout.strip().splitlines():
+        if ln.startswith("{"):
+            emits.update(json.loads(ln))
+    assert emits["ok"] is True and emits["ulp"] <= 1
+    assert emits["kernel_only_fps"] > 0
+    assert emits["resnet_device_fps"] > 0
+
+
 def _load_bench():
     """Import bench.py as a module without running it."""
     import importlib.util

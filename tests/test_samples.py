@@ -162,6 +162,14 @@ def test_sample_dataloader(test_mp4):
 
 
 @pytest.mark.slow
+def test_sample_flow_interp(test_mp4):
+    out = _run("sample_flow_interp.py", test_mp4, "--triplets", "1", "--mv")
+    assert "midpoint PSNR" in out
+    assert "codec MVs:" in out
+    assert "mean gain over frame-repeat" in out
+
+
+@pytest.mark.slow
 def test_sample_train_video(test_mp4):
     out = _run("sample_train_video.py", test_mp4, "--clip-len", "2",
                "--batch", "2", "--size", "32", "--steps", "2")

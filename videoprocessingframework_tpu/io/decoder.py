@@ -263,6 +263,7 @@ class VideoReader:
         format: PixelFormat = PixelFormat.NV12,
         threads: int = 0,
         device=None,
+        export_mvs: bool = False,
     ):
         self.device = device
         self.format = format
@@ -277,14 +278,22 @@ class VideoReader:
             self.decoder = VideoDecoder(
                 self.demuxer.codec, threads=threads, output_format=None,
                 extradata=self.demuxer.annexb_extradata,
+                export_mvs=export_mvs,
             )
             self.format = self.demuxer.format
         else:
             if codec is None:
                 raise ValueError("standalone decoder needs codec=")
             self.demuxer = None
-            self.decoder = VideoDecoder(codec, threads=threads)
+            self.decoder = VideoDecoder(
+                codec, threads=threads, export_mvs=export_mvs
+            )
             self._standalone_wh = (width, height)
+
+    def motion_vectors(self) -> np.ndarray:
+        """Side-data motion vectors of the last decoded frame (needs
+        ``export_mvs=True``; PyFfmpegDecoder.GetMotionVectors analog)."""
+        return self.decoder.motion_vectors()
 
     # -- properties (reference error contract when no demuxer) -------------
 

@@ -9,3 +9,9 @@ from .fused import (  # noqa: F401
     encode_feed,
     planes_to_host_packed,
 )
+from .flow import (  # noqa: F401
+    interpolate_midpoint,
+    lucas_kanade_flow,
+    mv_to_dense_flow,
+    warp_image,
+)
