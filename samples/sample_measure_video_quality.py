@@ -15,7 +15,7 @@ import sys
 import numpy as np
 
 import PyNvCodec as nvc
-from videoprocessingframework_tpu.ops.metrics import psnr, ssim
+from videoprocessingframework_tpu.ops.metrics import ms_ssim, psnr, ssim
 
 from utils import default_input, get_logger  # noqa: E402
 
@@ -57,7 +57,10 @@ def measure(src: str, bitrate: str = "2M", max_frames: int = 48):
     b = np.stack(recon[:k]).reshape(k, h * 3 // 2, w)
     p = np.asarray(psnr(a, b))
     s = np.asarray(ssim(a, b))
-    return p, s, k
+    # MS-SSIM on the luma plane only (the packed YUV420 layout stacks
+    # chroma rows below luma; multi-scale pooling must not mix them)
+    ms = np.asarray(ms_ssim(a[:, :h, :], b[:, :h, :]))
+    return p, s, ms, k
 
 
 if __name__ == "__main__":
@@ -66,6 +69,7 @@ if __name__ == "__main__":
     ap.add_argument("--bitrate", default="2M")
     ap.add_argument("--frames", type=int, default=48)
     args = ap.parse_args()
-    p, s, k = measure(args.input, args.bitrate, args.frames)
-    log.info("%d frames @ %s: PSNR avg %.2f dB (min %.2f), SSIM avg %.4f",
-             k, args.bitrate, p.mean(), p.min(), s.mean())
+    p, s, ms, k = measure(args.input, args.bitrate, args.frames)
+    log.info("%d frames @ %s: PSNR avg %.2f dB (min %.2f), SSIM avg "
+             "%.4f, MS-SSIM (luma) avg %.4f",
+             k, args.bitrate, p.mean(), p.min(), s.mean(), ms.mean())

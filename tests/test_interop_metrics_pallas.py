@@ -65,6 +65,28 @@ def test_ssim_basics():
     assert np.asarray(ssim(a, inverted)).mean() < 0.2
 
 
+def test_ms_ssim_basics():
+    from videoprocessingframework_tpu.ops.metrics import ms_ssim
+
+    a = RNG.integers(0, 256, (2, 256, 256), np.uint8)
+    # identity → 1; inversion → near 0
+    np.testing.assert_allclose(np.asarray(ms_ssim(a, a)), 1.0, atol=1e-4)
+    assert np.asarray(ms_ssim(a, (255 - a).astype(np.uint8))).mean() < 0.2
+    # mild noise must score higher than a strong blur-like degradation
+    noisy = np.clip(a.astype(int) + RNG.integers(-3, 4, a.shape), 0, 255)
+    coarse = (a // 64 * 64).astype(np.uint8)
+    m_noisy = np.asarray(ms_ssim(a, noisy.astype(np.uint8)))
+    m_coarse = np.asarray(ms_ssim(a, coarse))
+    assert (m_noisy > m_coarse).all()
+    # small frames drop scales instead of failing (weights renormalize)
+    s = RNG.integers(0, 256, (1, 24, 24), np.uint8)
+    v = np.asarray(ms_ssim(s, s))
+    np.testing.assert_allclose(v, 1.0, atol=1e-4)
+    # channels-last input
+    rgb = RNG.integers(0, 256, (1, 128, 128, 3), np.uint8)
+    np.testing.assert_allclose(np.asarray(ms_ssim(rgb, rgb)), 1.0, atol=1e-4)
+
+
 def test_pallas_nv12_rgb_interpret_matches_golden():
     from videoprocessingframework_tpu.ops.pallas_kernels import (
         nv12_to_rgb_planar_pallas,

@@ -86,6 +86,7 @@ def test_sample_transcode(test_mp4, tmp_path):
 def test_sample_measure_video_quality(test_mp4):
     out = _run("sample_measure_video_quality.py", test_mp4, "--frames", "16")
     assert "PSNR avg" in out and "SSIM avg" in out
+    assert "MS-SSIM (luma) avg" in out
 
 
 def test_sample_remap(test_mp4):
