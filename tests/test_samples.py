@@ -162,6 +162,20 @@ def test_sample_dataloader(test_mp4):
     assert "epoch 0:" in out
 
 
+def test_sample_scenecut(test_mp4):
+    out = _run("sample_scenecut.py", test_mp4, "--frames", "32",
+               "--batch", "16")
+    assert "1 shot(s)" in out
+    assert "frames [0, 32)" in out
+
+
+@pytest.mark.slow
+def test_sample_stabilize(test_mp4):
+    out = _run("sample_stabilize.py", test_mp4, "--frames", "8",
+               "--jitter", "2")
+    assert "after stabilization" in out
+
+
 @pytest.mark.slow
 def test_sample_flow_interp(test_mp4):
     out = _run("sample_flow_interp.py", test_mp4, "--triplets", "1", "--mv")

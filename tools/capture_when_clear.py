@@ -115,6 +115,9 @@ def main() -> int:
                     help="single probe+capture attempt, then exit")
     ap.add_argument("--validate", action="store_true",
                     help="also run tools/tpu_validation.py on first clear")
+    ap.add_argument("--target-ratio", type=float, default=0.8,
+                    help="exit once a capture reaches this "
+                         "sustained_ratio (and validation, if asked)")
     args = ap.parse_args()
 
     outdir = REPO / "docs" / "bench_captures"
@@ -181,7 +184,8 @@ def main() -> int:
                     validated = "ALL OK" in vlog.read_text()
                     print(f"[{stamp}] validation: "
                           f"{'OK' if validated else 'FAILED'}", flush=True)
-                if ratio >= 0.8 and (validated or not args.validate):
+                if (ratio >= args.target_ratio
+                        and (validated or not args.validate)):
                     print("target capture achieved; exiting", flush=True)
                     return 0
         if args.once:

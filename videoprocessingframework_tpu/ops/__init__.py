@@ -15,3 +15,9 @@ from .flow import (  # noqa: F401
     mv_to_dense_flow,
     warp_image,
 )
+from .scenecut import detect_cuts, scene_cut_scores, segment_shots  # noqa: F401
+from .stabilize import (  # noqa: F401
+    global_translations,
+    smooth_path,
+    stabilize_clip,
+)
