@@ -150,14 +150,21 @@ def _supervise() -> int:
 
 
 def keep_sampling(i: int, elapsed: float, budget_s: float, best_fps: float,
-                  salvage_fps: float, time_left: float) -> bool:
+                  salvage_fps: float, time_left: float,
+                  clear_fps: float = float("inf")) -> bool:
     """Run-loop continuation: at least 3 runs inside the budget; past the
     budget keep sampling ONLY while the capture is link-collapsed (best
     run below the salvage share of the decode ceiling) and the host-only
     tail stages' ~120 s reserve remains. A single good window rescues a
-    dead-weather round's record (VERDICT r3 weak #1)."""
+    dead-weather round's record (VERDICT r3 weak #1). Conversely, once a
+    run reaches ``clear_fps`` (a watcher-grade share of the decode
+    ceiling) STOP EARLY: further samples can only tie the max, and every
+    saved second funds the fetch-dependent device metrics' deadline
+    (VERDICT r4 weak #1/#3)."""
     if i == 0:
         return True
+    if i >= 3 and best_fps >= clear_fps:
+        return False
     salvage = best_fps < salvage_fps
     if i >= 14 and not salvage:  # historical cap for healthy captures
         return False
@@ -865,6 +872,73 @@ def main() -> int:
     fidelity_pool.release()
     fidelity_pool.close()
 
+    # The fetch-dependent device metrics (fidelity ULP, kernel slope,
+    # resnet slope) run in a killable CHILD process (see _fidelity_child)
+    # whose long pole is the one-time reverse-channel init — measured
+    # 112-374 s under bad weather. r4 lost all three metrics because the
+    # child was spawned AFTER the E2E sampling and ran out of deadline.
+    # Spawn policy (VERDICT r4 #3): probe the link first; under bad
+    # weather spawn the child IMMEDIATELY (the E2E runs are weather-bound
+    # garbage anyway, and the salvage loop's sleeps hand it the link);
+    # under good weather spawn it after the timed runs so its uploads
+    # never contend with the headline measurement.
+    fid_child = None
+
+    def spawn_fidelity_child():
+        nonlocal fid_child
+        if fid_child is not None or args.quick:
+            return
+        import atexit
+        import subprocess
+
+        _progress("fidelity child spawned...")
+        npz = BENCH_DIR / "fidelity_planes.npz"
+        np.savez(npz, y=fid_planes[0], u=fid_planes[1], v=fid_planes[2],
+                 h=height, w=width, batch=args.batch)
+        # nice 19 (self-set in the child): its host work (jit compile)
+        # must not contend with the parent's measurements on small
+        # hosts — its long pole is waiting on the tunnel, which idle
+        # priority doesn't slow. stderr goes to a FILE, not a PIPE:
+        # nothing drains the pipes during the overlap window, and
+        # verbose jax/XLA warnings past the ~64 KB pipe capacity would
+        # block the child exactly when it should be paying its
+        # reverse-channel init. stdout (3 short JSON lines) stays a
+        # pipe. close_fds=False with no preexec_fn lets subprocess use
+        # posix_spawn instead of fork(): fork in this JAX-threaded
+        # parent is a documented deadlock risk.
+        fid_err = open(BENCH_DIR / "fidelity_err.log", "w")
+        fid_child = subprocess.Popen(
+            [sys.executable, __file__, "--_fidelity", str(npz)],
+            stdout=subprocess.PIPE, stderr=fid_err, text=True,
+            close_fds=False,
+        )
+        fid_err.close()  # the child holds its own fd now
+        atexit.register(
+            lambda: fid_child.poll() is None and fid_child.kill()
+        )
+
+    def probe_link_mbps():
+        """Best-of-3 timed uploads of a ~16 MB buffer. Small enough to
+        return within ~10 s even at 2 MB/s dead weather, large enough
+        that block_until_ready reflects the transfer, not the enqueue
+        (single SMALL device_puts return in under one link RTT —
+        measured; the watcher's 32 MB probe gates captures reliably)."""
+        buf = np.zeros((4, 1024, 1024), np.float32)  # 16 MB
+        dev = jax.devices()[0]
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.device_put(buf, dev).block_until_ready()
+            best = max(best, 16.0 / (time.perf_counter() - t0))
+        return best
+
+    if not args.quick:
+        probe = probe_link_mbps()
+        result["extra"]["link_probe_mbps"] = round(probe, 1)
+        _progress(f"link probe: {probe:.0f} MB/s")
+        if probe < 120.0:
+            spawn_fidelity_child()
+
     # Link weather varies over MINUTES; each run samples one window of it,
     # so back-to-back runs mostly resample the same window. Take at least
     # 3 runs and keep sampling (up to 14 / 330 s), pausing ~20 s after any
@@ -880,13 +954,23 @@ def main() -> int:
     # CPU backend (--quick) E2E is legitimately kernel-bound below the
     # decode ceiling — not weather (salvage there would run all 40 runs)
     salvage_fps = 0.0 if args.quick else 0.25 * max(decode_only_fps, 1.0)
+    # early-stop bar: a run at ≥82% of the ceiling is already a
+    # watcher-grade sustained_ratio — bank it and fund the device metrics
+    clear_fps = (
+        float("inf") if args.quick else 0.82 * max(decode_only_fps, 1.0)
+    )
     t_start = time.perf_counter()
     for i in range(40):
         best_so_far = max((r[0].fps for r in runs), default=0.0)
         if not keep_sampling(i, time.perf_counter() - t_start, budget_s,
-                             best_so_far, salvage_fps, _time_left()):
+                             best_so_far, salvage_fps, _time_left(),
+                             clear_fps):
             break
         in_salvage = runs and best_so_far < salvage_fps
+        if in_salvage and i >= 3:
+            # weather collapsed mid-capture: hand the child its maximal
+            # runway NOW (no-op if the probe already spawned it)
+            spawn_fidelity_child()
         _progress(f"run {i}{' (salvage)' if in_salvage else ''}...")
         runs.append(one_run())
         best = max(r[0].fps for r in runs)
@@ -907,9 +991,14 @@ def main() -> int:
 
     # re-measure the decode ceiling AFTER the E2E samples (same capture):
     # decode is CPU-bound and weather-free, so max(before, after) is the
-    # honest same-capture ceiling for the sustained ratio.
+    # honest same-capture ceiling for the sustained ratio. The ceiling
+    # also includes the best E2E run itself: E2E can only run AT the
+    # decode rate, so a run beating the measured ceiling proves the
+    # ceiling was sampled in a worse host window (contention/cold pages)
+    # — without this, r4 recorded an impossible sustained_ratio of 1.293.
     decode_only_fps = max(decode_only_fps, run_decode_only())
     result["extra"]["decode_only_fps"] = round(decode_only_fps, 1)
+    ceiling_fps = max(decode_only_fps, stats.fps)
 
     # surface the weather diagnosis so a collapsed capture is never
     # mistaken for a pipeline regression (headline contract unchanged).
@@ -967,10 +1056,11 @@ def main() -> int:
         wall_s=round(stats.wall_s, 3),
         all_runs_fps=[round(s.fps, 1) for s in runs],
         # SUSTAINED headline: value is a full-run fps; this is its share
-        # of the same-capture host decode ceiling (the r2 VERDICT metric)
+        # of the same-capture host decode ceiling (the r2 VERDICT
+        # metric), ≤ 1 by construction (see ceiling_fps above)
         sustained_ratio=round(
-            stats.fps / decode_only_fps, 3
-        ) if decode_only_fps else 0.0,
+            stats.fps / ceiling_fps, 3
+        ) if ceiling_fps else 0.0,
         # diagnostic only — best contiguous window can exceed the ceiling
         # reading through tunnel weather; never the headline
         best_window_fps=round(best_window_fps(runs), 1),
@@ -984,45 +1074,12 @@ def main() -> int:
 
     # BASELINE.md transcode+quality config: overlapped decode→encode
     # pipeline + PSNR; stream-per-thread aggregate when cores allow
-    # (host-CPU work — cheap and weather-free, so not deadline-gated)
-    # Spawn the device-metrics child NOW (before the host-only stages):
-    # its one-time reverse-channel init (112-374 s under bad weather)
-    # then overlaps the transcode stage instead of competing with the
-    # deadline tail — the r03 capture lost the gate to exactly that
-    # (child timed out at 116 s while the parent idled in host work).
-    # The headline timed runs are already done, so the child's small
-    # uploads contend with nothing that is being measured.
-    fid_child = None
-    if not args.quick:
-        import atexit
-        import subprocess
-
-        _progress("fidelity child spawned (overlaps host stages)...")
-        npz = BENCH_DIR / "fidelity_planes.npz"
-        np.savez(npz, y=fid_planes[0], u=fid_planes[1], v=fid_planes[2],
-                 h=height, w=width, batch=args.batch)
-        # nice 19: the child's host work (jit compile) must not contend
-        # with the transcode measurement on small hosts — its long pole
-        # is waiting on the tunnel, which idle-priority doesn't slow.
-        # stderr goes to a FILE, not a PIPE: nothing drains the pipes
-        # during the overlap window, and verbose jax/XLA warnings past
-        # the ~64 KB pipe capacity would block the child exactly when it
-        # should be paying its reverse-channel init. stdout (3 short
-        # JSON lines) stays a pipe. close_fds=False (with no preexec_fn
-        # — the child renices itself) lets subprocess use posix_spawn
-        # instead of fork(): fork in this JAX-threaded parent is a
-        # documented deadlock risk (the r03 capture warned on exactly
-        # this line).
-        fid_err = open(BENCH_DIR / "fidelity_err.log", "w")
-        fid_child = subprocess.Popen(
-            [sys.executable, __file__, "--_fidelity", str(npz)],
-            stdout=subprocess.PIPE, stderr=fid_err, text=True,
-            close_fds=False,
-        )
-        fid_err.close()  # the child holds its own fd now
-        atexit.register(
-            lambda: fid_child.poll() is None and fid_child.kill()
-        )
+    # (host-CPU work — cheap and weather-free, so not deadline-gated).
+    # In good weather the device-metrics child spawns here (first time):
+    # its one-time reverse-channel init then overlaps the host-only
+    # stages instead of competing with the deadline tail; under bad
+    # weather it has been running since the probe / salvage onset.
+    spawn_fidelity_child()
 
     try:
         _progress("transcode...")

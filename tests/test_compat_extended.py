@@ -279,3 +279,89 @@ def test_caps_enums_full_reference_vocabulary(test_mp4):
     assert dcaps[nvc.NV_DEC_CAPS.OUTPUT_FORMAT_MASK] & 1   # NV12 always
     assert dcaps[nvc.NV_DEC_CAPS.MAX_MB_COUNT] == (8192 // 16) * (4320 // 16)
     assert dcaps[nvc.NV_DEC_CAPS.IS_HIST_SUPPORTED] == 0
+
+
+def test_cuda_handles_warn_once(caplog):
+    """VERDICT r4 #9: the pycuda (context, stream) ctor flavor is
+    accepted and ignored — with exactly ONE logging.warning per process,
+    not silently."""
+    import logging as _logging
+
+    from videoprocessingframework_tpu import compat
+
+    old = compat._handles_warned
+    compat._handles_warned = False
+    try:
+        with caplog.at_level(_logging.WARNING):
+            up = nvc.PyFrameUploader(
+                64, 48, nvc.PixelFormat.YUV420, 0x7F0012345678, 0x7F00AABBCC
+            )
+            # second handle-flavored ctor: no second warning
+            nvc.PySurfaceDownloader(
+                64, 48, nvc.PixelFormat.YUV420, 0x7F0012345678, 0x7F00AABBCC
+            )
+        warns = [r for r in caplog.records
+                 if "ignored on TPU" in r.getMessage()]
+        assert len(warns) == 1
+        assert "PyFrameUploader" in warns[0].getMessage()
+        # the context handle never lands in the device index
+        assert up._gpu_id == 0
+    finally:
+        compat._handles_warned = old
+
+
+def test_cuda_handles_no_warning_for_plain_gpu_id(caplog):
+    import logging as _logging
+
+    from videoprocessingframework_tpu import compat
+
+    old = compat._handles_warned
+    compat._handles_warned = False
+    try:
+        with caplog.at_level(_logging.WARNING):
+            up = nvc.PyFrameUploader(64, 48, nvc.PixelFormat.YUV420, 0)
+        assert not [r for r in caplog.records
+                    if "ignored on TPU" in r.getMessage()]
+        assert up._gpu_id == 0
+    finally:
+        compat._handles_warned = old
+
+
+def test_cuda_array_interface_typed_error():
+    """VERDICT r4 #8: cupy/numba-style CAI consumption fails with a
+    typed, documented error pointing at DLPack — not AttributeError."""
+    from videoprocessingframework_tpu import CudaArrayInterfaceUnsupported
+
+    surf = nvc.Surface.Make(nvc.PixelFormat.NV12, 64, 48, 0)
+    plane = surf.PlanePtr(0)
+    with pytest.raises(CudaArrayInterfaceUnsupported, match="DLPack"):
+        plane.__cuda_array_interface__
+    img = nvc.NVCVImage(surf)
+    with pytest.raises(CudaArrayInterfaceUnsupported, match="DLPack"):
+        img.__cuda_array_interface__
+    # the error is a TypeError subclass, so duck-typed `hasattr` probes
+    # (cupy's asarray protocol scan) see "no such attribute" semantics
+    # only via the raise — never a bare AttributeError
+    assert issubclass(CudaArrayInterfaceUnsupported, TypeError)
+
+
+def test_array_interface_on_host_backed_plane():
+    """__array_interface__ gives zero-copy np.asarray() on host-backed
+    planes; device-backed planes raise the typed error."""
+    from videoprocessingframework_tpu import CudaArrayInterfaceUnsupported
+    from videoprocessingframework_tpu.core.surface import (
+        Surface as CoreSurface,
+    )
+
+    host = CoreSurface.make(nvc.PixelFormat.Y, 32, 8)  # host-backed (no dev)
+    plane = nvc.SurfacePlane(host.plane(0))
+    arr = plane._p.array
+    if isinstance(arr, np.ndarray):
+        view = np.asarray(plane)
+        assert view.shape == arr.shape
+        assert view.__array_interface__["data"][0] == (
+            arr.__array_interface__["data"][0]
+        )
+    else:  # environment put it on device: the typed error path
+        with pytest.raises(CudaArrayInterfaceUnsupported):
+            plane.__array_interface__

@@ -173,10 +173,13 @@ class TestMvDensify:
         )
         flow = mv_to_dense_flow(mvs, 32, 16)
         assert flow.shape == (16, 32, 2)
-        # block 1: 16x16 at (0..16, 0..16), subpel 8/4=2.0, -4/4=-1.0
-        assert flow[8, 8, 0] == 2.0 and flow[8, 8, 1] == -1.0
-        # block 2 from a FUTURE reference (source>0): negated
-        assert flow[4, 27, 0] == -3.0 and flow[4, 27, 1] == -1.0
+        # block 1 from a PAST reference (source<0): FFmpeg motion points
+        # toward the reference (src = dst + motion/scale), so prev→next
+        # is the NEGATED subpel motion: -(8/4)=-2.0, -(-4/4)=1.0
+        assert flow[8, 8, 0] == -2.0 and flow[8, 8, 1] == 1.0
+        # block 2 from a FUTURE reference (source>0): motion already
+        # points along prev→next — kept: 6/2=3.0, 2/2=1.0
+        assert flow[4, 27, 0] == 3.0 and flow[4, 27, 1] == 1.0
         # outside both blocks (block 1 spans x 0..16, block 2 x 24..32
         # y 0..8): zero
         assert flow[15, 20, 0] == 0.0
@@ -197,4 +200,4 @@ class TestMvDensify:
             dtype=MotionVector,
         )
         flow = mv_to_dense_flow(mvs, 8, 8)
-        assert flow[4, 4, 0] == 3.0
+        assert flow[4, 4, 0] == -3.0

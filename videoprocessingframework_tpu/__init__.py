@@ -38,6 +38,7 @@ from .core.packet import (  # noqa: F401
 )
 from .core.surface import Surface, SurfacePlane, HostBuffer  # noqa: F401
 from .core.exceptions import (  # noqa: F401
+    CudaArrayInterfaceUnsupported,
     HwResetException,
     CuvidParserException,
     UnsupportedConversion,

@@ -7,6 +7,7 @@ from .packet import (  # noqa: F401
 )
 from .surface import Surface, SurfacePlane, HostBuffer  # noqa: F401
 from .exceptions import (  # noqa: F401
+    CudaArrayInterfaceUnsupported,
     HwResetException,
     CuvidParserException,
     UnsupportedConversion,

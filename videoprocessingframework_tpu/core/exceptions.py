@@ -33,3 +33,16 @@ class UnsupportedConversion(ValueError):
 
 class EncoderException(RuntimeError):
     """Encoder session failure (bad options, codec error, flush error)."""
+
+
+class CudaArrayInterfaceUnsupported(TypeError):
+    """``__cuda_array_interface__`` was consumed on a TPU-backed object.
+
+    The CAI protocol describes raw CUDA device pointers
+    (reference PyNvDecoder.cpp:822-923 exports it for nvcv/cupy/numba);
+    TPU HBM has no user-visible pointer, so the honest equivalent is
+    DLPack: ``torch.from_dlpack(obj)`` / ``jax.dlpack`` both work
+    zero-copy on every Surface plane, NVCVImage, and CudaBuffer here.
+    This typed error (instead of a bare AttributeError) tells cupy-style
+    consumers exactly that.
+    """

@@ -266,11 +266,17 @@ def mv_to_dense_flow(mvs: np.ndarray, width: int, height: int) -> np.ndarray:
     ``PyFfmpegDecoder.GetMotionVectors()`` (fields ``source, w, h,
     src_x, src_y, dst_x, dst_y, motion_x, motion_y, motion_scale`` —
     the reference's ``MotionVector`` struct, PyNvCodec.hpp:48-55).
-    Each block around (dst_x, dst_y) is filled with its subpel motion
-    (motion_x/scale, motion_y/scale), sign-normalized to the
-    prev→next convention of :func:`lucas_kanade_flow`; blocks from
-    future references (source > 0) are negated. Host-side numpy (runs
-    once per frame on block-level data — no device round trip).
+    Each block around (dst_x, dst_y) is filled with its subpel motion,
+    sign-normalized to the prev→next convention of
+    :func:`lucas_kanade_flow`: FFmpeg defines ``src = dst +
+    motion/motion_scale`` (motion points TOWARD the reference frame),
+    so for past references (``source < 0``) the prev→next displacement
+    is ``-(motion/scale)`` (negated here), while future references
+    (``source > 0``) already point along prev→next and keep their sign.
+    The field is anchored at the block's *dst* (current/next-frame)
+    coordinates, which approximates the prev-anchored LK field.
+    Host-side numpy (runs once per frame on block-level data — no
+    device round trip).
     """
     flow = np.zeros((height, width, 2), np.float32)
     if mvs is None or len(mvs) == 0:
@@ -279,7 +285,7 @@ def mv_to_dense_flow(mvs: np.ndarray, width: int, height: int) -> np.ndarray:
         scale = float(mv["motion_scale"]) or 1.0
         dx = float(mv["motion_x"]) / scale
         dy = float(mv["motion_y"]) / scale
-        if int(mv["source"]) > 0:
+        if int(mv["source"]) < 0:
             dx, dy = -dx, -dy
         bw, bh = int(mv["w"]), int(mv["h"])
         x0 = int(mv["dst_x"]) - bw // 2

@@ -300,6 +300,16 @@ class JpegDevicePipeline:
         clip_len: int = 1,
         seed: int = 0,
     ):
+        if augment is not None:
+            # same clear TypeError as VideoClipLoader (loader.py): a
+            # wrong type (e.g. a dict) would otherwise fail opaquely as
+            # an unhashable jit-static argument inside jpeg_decode_augment
+            from .augment import AugmentSpec
+
+            if not isinstance(augment, AugmentSpec):
+                raise TypeError(
+                    f"augment must be an AugmentSpec, got {type(augment)!r}"
+                )
         if augment is not None and output == "planes":
             raise ValueError(
                 "augment= needs a fused output mode, not 'planes'"

@@ -51,6 +51,13 @@ def global_translations(
     the interior (border ``margin`` excluded — the warp pads it with
     clamped samples) is the robust global estimate.
     """
+    h, w = frames.shape[-2], frames.shape[-1]
+    if h <= 2 * margin or w <= 2 * margin:
+        raise ValueError(
+            f"frames {h}x{w} leave no interior at margin={margin} "
+            f"(need H > {2 * margin} and W > {2 * margin}); pass a "
+            "smaller margin= for tiny frames"
+        )
     flow = lucas_kanade_flow(
         frames[:-1], frames[1:], levels=levels, iters=iters, window=window
     )
