@@ -138,3 +138,18 @@ def test_weather_diagnosis_fields():
     assert state == "ok" and note is None
     # no ceiling measured -> never claim collapse
     assert b.weather_diagnosis(1.0, 0.0)[0] == "ok"
+
+def test_early_stop_on_watcher_grade_run():
+    b = _load_bench()
+    # clear bar reached, ramp over (last run off the peak), >=5 runs: stop
+    assert not b.keep_sampling(5, 100.0, 220.0, 350.0, 100.0, 400.0,
+                               clear_fps=340.0, last_fps=300.0)
+    # bar reached but the latest run IS the peak (still ramping): continue
+    assert b.keep_sampling(5, 100.0, 220.0, 350.0, 100.0, 400.0,
+                           clear_fps=340.0, last_fps=350.0)
+    # bar reached before 5 runs: continue (ramp may still be climbing)
+    assert b.keep_sampling(3, 100.0, 220.0, 350.0, 100.0, 400.0,
+                           clear_fps=340.0, last_fps=300.0)
+    # bar not reached: the early stop never fires
+    assert b.keep_sampling(6, 100.0, 220.0, 300.0, 100.0, 400.0,
+                           clear_fps=340.0, last_fps=200.0)
