@@ -46,6 +46,15 @@ def test_serving_matches_direct_and_batches():
     # batching actually happened (23 requests in far fewer batches)
     assert snap["batches"] < 23
     assert "latency_ms_p50" in snap
+    # split stats: queue wait + dispatch decompose the E2E latency
+    # (queue wait is where max_wait_ms batching delay shows up; dispatch
+    # is staging+upload+compute+materialize). Each part is bounded by
+    # the end-to-end number it decomposes.
+    assert "queue_wait_ms_p50" in snap and "dispatch_ms_p50" in snap
+    assert snap["queue_wait_ms_p50"] <= snap["latency_ms_p99"] + 1e-6
+    assert snap["dispatch_ms_p50"] <= snap["latency_ms_p99"] + 1e-6
+    assert snap["queue_wait_ms_p99"] >= 0.0
+    assert snap["dispatch_ms_p99"] > 0.0  # compute is never free
 
 
 def test_serving_concurrent_submitters():

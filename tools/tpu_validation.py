@@ -162,8 +162,14 @@ def main() -> int:
         outs = [int(f.result(timeout=120)) for f in futs]
         want = [int(y[i].astype(np.int64).sum()) for i in range(8)]
         assert outs == want, "serving mismatch"
-        print(f"OK serving: 8 requests, stats {srv.snapshot()}",
-              flush=True)
+        snap = srv.snapshot()
+        # split stats (VERDICT r4 #7): queue wait (batching delay) vs
+        # dispatch (upload+compute+materialize) — p99 dispatch alone
+        # should be ≈ tunnel RTT + compute, not the merged number
+        for k in ("queue_wait_ms_p50", "queue_wait_ms_p99",
+                  "dispatch_ms_p50", "dispatch_ms_p99"):
+            assert k in snap, f"serving snapshot missing {k}"
+        print(f"OK serving: 8 requests, stats {snap}", flush=True)
 
     print("TPU validation: ALL OK", flush=True)
     return 0

@@ -44,25 +44,47 @@ class ServingQueueFull(RuntimeError):
 
 
 class _Stats:
+    """End-to-end latency is recorded SPLIT (VERDICT r4 #7): queue wait
+    (t_submit → t_batch_dispatch: batching delay + head-of-line blocking
+    behind the in-flight batch) vs dispatch (t_batch_dispatch → results
+    ready: staging copy + upload + compute + materialization). A real
+    deployment tunes ``max_wait_ms``/buckets on the first number and the
+    model/link on the second; one merged number can't tell them apart."""
+
     def __init__(self):
         self.lock = threading.Lock()
         self.requests = 0
         self.batches = 0
         self.padded_items = 0
         self.latencies_ms: list[float] = []
+        self.queue_ms: list[float] = []
+        self.dispatch_ms: list[float] = []
 
-    def record(self, n: int, pad: int, lat_ms: Sequence[float]) -> None:
+    def record(self, n: int, pad: int, lat_ms: Sequence[float],
+               queue_ms: Sequence[float] = (),
+               dispatch_ms: Sequence[float] = ()) -> None:
         with self.lock:
             self.requests += n
             self.batches += 1
             self.padded_items += pad
-            self.latencies_ms.extend(lat_ms)
-            if len(self.latencies_ms) > 10000:
-                self.latencies_ms = self.latencies_ms[-5000:]
+            for buf, new in (
+                (self.latencies_ms, lat_ms),
+                (self.queue_ms, queue_ms),
+                (self.dispatch_ms, dispatch_ms),
+            ):
+                buf.extend(new)
+                if len(buf) > 10000:
+                    del buf[:-5000]
+
+    @staticmethod
+    def _pcts(out: dict, key: str, vals: list) -> None:
+        arr = np.asarray(vals[-5000:], np.float64)
+        if arr.size:
+            out[f"{key}_p50"] = float(np.percentile(arr, 50))
+            out[f"{key}_p99"] = float(np.percentile(arr, 99))
 
     def snapshot(self) -> dict:
         with self.lock:
-            lats = np.asarray(self.latencies_ms[-5000:], np.float64)
             out = {
                 "requests": self.requests,
                 "batches": self.batches,
@@ -71,9 +93,9 @@ class _Stats:
                     self.requests / self.batches if self.batches else 0.0
                 ),
             }
-            if lats.size:
-                out["latency_ms_p50"] = float(np.percentile(lats, 50))
-                out["latency_ms_p99"] = float(np.percentile(lats, 99))
+            self._pcts(out, "latency_ms", self.latencies_ms)
+            self._pcts(out, "queue_wait_ms", self.queue_ms)
+            self._pcts(out, "dispatch_ms", self.dispatch_ms)
             return out
 
 
@@ -252,10 +274,10 @@ class InferenceServer:
     def _run(self):
         import jax
 
-        inflight = None  # (outputs, requests, padded_count)
+        inflight = None  # (outputs, requests, padded_count, t_dispatch)
 
         def land(disp):
-            out, reqs, pad = disp
+            out, reqs, pad, t_disp = disp
             try:
                 # async runtime errors (device OOM, kernel faults,
                 # transfer failures) surface HERE, not at dispatch —
@@ -270,7 +292,7 @@ class InferenceServer:
                         pass
                 return
             t_done = time.perf_counter()
-            lats = []
+            lats, qlats = [], []
             for i, (_a, fut, t_sub) in enumerate(reqs):
                 try:
                     if isinstance(out, (tuple, list)):
@@ -280,7 +302,11 @@ class InferenceServer:
                 except Exception:  # future already cancelled
                     pass
                 lats.append((t_done - t_sub) * 1e3)
-            self.stats.record(len(reqs), pad, lats)
+                qlats.append((t_disp - t_sub) * 1e3)
+            # dispatch latency is per-batch (shared by its requests)
+            self.stats.record(
+                len(reqs), pad, lats, qlats, [(t_done - t_disp) * 1e3]
+            )
 
         while True:
             reqs = self._collect()
@@ -292,6 +318,7 @@ class InferenceServer:
             b = self._bucket_for(n)
             buf = self._staging[b][self._flip[b]]
             self._flip[b] ^= 1
+            t_disp = time.perf_counter()  # queue wait ends here
             for i, (a, _f, _t) in enumerate(reqs):
                 buf[i] = a
             try:
@@ -310,7 +337,7 @@ class InferenceServer:
                 continue
             if inflight is not None:
                 land(inflight)
-            inflight = (out, reqs, b - n)
+            inflight = (out, reqs, b - n, t_disp)
             if self._q.empty():
                 # no pending traffic: land now rather than holding
                 # results hostage to the next arrival
