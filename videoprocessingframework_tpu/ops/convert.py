@@ -85,13 +85,68 @@ def _to_planar3(img: jnp.ndarray) -> jnp.ndarray:
 # -- core matrix applications (float32 on the VPU) --------------------------
 
 
-def _apply_to_rgb(y, cb, cr, space: ColorSpace, rng: ColorRange):
+def _apply_to_rgb(y, cb, cr, space: ColorSpace, rng: ColorRange,
+                  fixed=None):
+    if fixed is not None:
+        return _apply_to_rgb_fixed(y, cb, cr, space, rng, *fixed)
     m, off = cs.rgb_from_ycbcr_matrix(space, rng)
     m32 = jnp.asarray(m, jnp.float32)
     off32 = jnp.asarray(off, jnp.float32)
     ycc = jnp.stack([y, cb, cr], axis=-1).astype(jnp.float32) - off32
     rgb = jnp.einsum("...c,dc->...d", ycc, m32, precision="highest")
     return _round_u8(rgb)
+
+
+#: rounding modes for the NPP fixed-point emulation (half_up is the
+#: classic DSP `(acc + 2^(q-1)) >> q`; half_even adds the quotient's own
+#: LSB so exact ties round to even; truncate is a plain floor shift)
+FIXED_ROUNDINGS = ("half_up", "half_even", "truncate")
+
+
+def quantize_csc_matrix(space: ColorSpace, rng: ColorRange, q: int):
+    """Integer CSC coefficients for the fixed-point emulation: the exact
+    ITU matrix scaled by 2**q, rounded to nearest — the |ΔM| ≤ 2^-(q+1)
+    per-entry model docs/fidelity.md's analytic NPP bound is built on.
+    Returns (mq int32 [3,3], off int32 [3]); offsets are exact integers
+    (0/16 luma, 128 chroma) so quantization touches only the matrix."""
+    if not 1 <= q <= 20:
+        # |acc| ≤ 3·255·max|M|·2^q ≈ 1630·2^q must stay inside int32
+        raise ValueError(f"q={q} outside the int32-safe range [1, 20]")
+    m, off = cs.rgb_from_ycbcr_matrix(space, rng)
+    mq = np.rint(np.asarray(m, np.float64) * (1 << q)).astype(np.int32)
+    offi = np.rint(np.asarray(off, np.float64)).astype(np.int32)
+    return mq, offi
+
+
+def _apply_to_rgb_fixed(y, cb, cr, space: ColorSpace, rng: ColorRange,
+                        q: int = 10, rounding: str = "half_up"):
+    """NPP fixed-point emulation (VERDICT r4 #4): integer matrix ×
+    integer pixel with parameterized coefficient precision ``q``
+    (fractional bits) and ``rounding``, matching the documented
+    structure of NPP's fixed-function CSC kernels
+    (TasksColorCvt.cpp:142-169 dispatches to them). All arithmetic is
+    int32 on the VPU — no float anywhere, so the result is bit-exact
+    reproducible across backends and measurable against the float64
+    golden (docs/fidelity.md records the measured deviations)."""
+    if rounding not in FIXED_ROUNDINGS:
+        raise ValueError(
+            f"rounding={rounding!r} not in {FIXED_ROUNDINGS}"
+        )
+    mq, offi = quantize_csc_matrix(space, rng, q)
+    ycc = (
+        jnp.stack([y, cb, cr], axis=-1).astype(jnp.int32)
+        - jnp.asarray(offi)
+    )
+    acc = jnp.einsum(
+        "...c,dc->...d", ycc, jnp.asarray(mq), precision="highest"
+    )
+    if rounding == "half_up":
+        out = (acc + (1 << (q - 1))) >> q
+    elif rounding == "half_even":
+        out = (acc + (1 << (q - 1)) - 1 + ((acc >> q) & 1)) >> q
+    else:  # truncate
+        out = acc >> q
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
 def _apply_from_rgb(rgb_f32, space: ColorSpace, rng: ColorRange):
@@ -107,23 +162,27 @@ def _apply_from_rgb(rgb_f32, space: ColorSpace, rng: ColorRange):
 # -- batched conversions (jitted; space/rng static) --------------------------
 
 
-@partial(jax.jit, static_argnames=("space", "rng", "swap"))
-def nv12_to_rgb(y, uv, *, space: ColorSpace, rng: ColorRange, swap: bool = False):
-    """y (N,H,W), uv (N,H/2,W) → (N,H,W,3) RGB (or BGR when swap)."""
+@partial(jax.jit, static_argnames=("space", "rng", "swap", "fixed"))
+def nv12_to_rgb(y, uv, *, space: ColorSpace, rng: ColorRange,
+                swap: bool = False, fixed=None):
+    """y (N,H,W), uv (N,H/2,W) → (N,H,W,3) RGB (or BGR when swap).
+
+    ``fixed=(q, rounding)`` switches the CSC to the NPP fixed-point
+    emulation (integer math, see :func:`_apply_to_rgb_fixed`)."""
     u, v = _deinterleave_uv(uv)
-    rgb = _apply_to_rgb(y, _upsample2(u), _upsample2(v), space, rng)
+    rgb = _apply_to_rgb(y, _upsample2(u), _upsample2(v), space, rng, fixed)
     return rgb[..., ::-1] if swap else rgb
 
 
-@partial(jax.jit, static_argnames=("space", "rng", "swap"))
-def yuv420_to_rgb(y, u, v, *, space, rng, swap: bool = False):
-    rgb = _apply_to_rgb(y, _upsample2(u), _upsample2(v), space, rng)
+@partial(jax.jit, static_argnames=("space", "rng", "swap", "fixed"))
+def yuv420_to_rgb(y, u, v, *, space, rng, swap: bool = False, fixed=None):
+    rgb = _apply_to_rgb(y, _upsample2(u), _upsample2(v), space, rng, fixed)
     return rgb[..., ::-1] if swap else rgb
 
 
-@partial(jax.jit, static_argnames=("space", "rng", "swap"))
-def yuv444_to_rgb(y, u, v, *, space, rng, swap: bool = False):
-    rgb = _apply_to_rgb(y, u, v, space, rng)
+@partial(jax.jit, static_argnames=("space", "rng", "swap", "fixed"))
+def yuv444_to_rgb(y, u, v, *, space, rng, swap: bool = False, fixed=None):
+    rgb = _apply_to_rgb(y, u, v, space, rng, fixed)
     return rgb[..., ::-1] if swap else rgb
 
 
@@ -209,6 +268,9 @@ class SurfaceConverter:
         height: int,
         src_format: PixelFormat,
         dst_format: PixelFormat,
+        fidelity: str = "exact",
+        fixed_q: int = 10,
+        fixed_rounding: str = "half_up",
     ):
         self.width = width
         self.height = height
@@ -221,6 +283,31 @@ class SurfaceConverter:
                 f"to {self.dst_format}"
             )
         self._impl = self.PAIRS[key]
+        if fidelity not in ("exact", "npp-fixed"):
+            raise ValueError(
+                f"fidelity={fidelity!r}: expected 'exact' (float math, "
+                "round(exact) — the default) or 'npp-fixed' (integer "
+                "matrix × integer pixel emulation of NPP's fixed-point "
+                "CSC kernels; see docs/fidelity.md)"
+            )
+        self._fixed = None
+        if fidelity == "npp-fixed":
+            if not self._impl.get("fixed_ok"):
+                raise UnsupportedConversion(
+                    f"fidelity='npp-fixed' applies to the YCbCr→RGB "
+                    f"matrix conversions (the NPP fixed-function kernels "
+                    f"being emulated), not {self.src_format.name}→"
+                    f"{self.dst_format.name}"
+                )
+            if fixed_rounding not in FIXED_ROUNDINGS:
+                raise ValueError(
+                    f"fixed_rounding={fixed_rounding!r} not in "
+                    f"{FIXED_ROUNDINGS}"
+                )
+            quantize_csc_matrix(  # validates q's int32-safe range
+                ColorSpace.BT_709, ColorRange.MPEG, int(fixed_q)
+            )
+            self._fixed = (int(fixed_q), fixed_rounding)
 
     def run_planes(
         self, planes: tuple, cc: Optional[ColorspaceConversionContext] = None
@@ -235,6 +322,10 @@ class SurfaceConverter:
         )
         combo = cs.resolve_ctx(cc, default)
         _check_combo(impl["combos"], kind, combo)
+        if self._fixed is not None:
+            return impl["fn"](
+                *planes, space=combo[0], rng=combo[1], fixed=self._fixed
+            )
         return impl["fn"](*planes, space=combo[0], rng=combo[1])
 
     def run(
@@ -266,12 +357,15 @@ class SurfaceConverter:
     Execute = run
 
 
-def _register(src, dst, fn, ctx=None, combos=None, name=None):
+def _register(src, dst, fn, ctx=None, combos=None, name=None,
+              fixed_ok=False):
     SurfaceConverter.PAIRS[(src, dst)] = {
         "fn": fn,
         "ctx": ctx,
         "combos": combos,
         "name": name or f"{src.name}->{dst.name}",
+        # supports the fixed=(q, rounding) NPP-emulation kwarg
+        "fixed_ok": fixed_ok,
     }
 
 
@@ -285,36 +379,43 @@ def _w(fn):
     return fn
 
 
-def _nv12_rgb(y, uv, *, space, rng):
-    return (_pack3(nv12_to_rgb(y, uv, space=space, rng=rng)),)
+def _nv12_rgb(y, uv, *, space, rng, fixed=None):
+    return (_pack3(nv12_to_rgb(y, uv, space=space, rng=rng, fixed=fixed)),)
 
 
-def _nv12_bgr(y, uv, *, space, rng):
-    return (_pack3(nv12_to_rgb(y, uv, space=space, rng=rng, swap=True)),)
+def _nv12_bgr(y, uv, *, space, rng, fixed=None):
+    return (_pack3(nv12_to_rgb(y, uv, space=space, rng=rng, swap=True,
+                               fixed=fixed)),)
 
 
-def _yuv420_rgb(y, u, v, *, space, rng):
-    return (_pack3(yuv420_to_rgb(y, u, v, space=space, rng=rng)),)
+def _yuv420_rgb(y, u, v, *, space, rng, fixed=None):
+    return (_pack3(yuv420_to_rgb(y, u, v, space=space, rng=rng,
+                                 fixed=fixed)),)
 
 
-def _yuv420_bgr(y, u, v, *, space, rng):
-    return (_pack3(yuv420_to_rgb(y, u, v, space=space, rng=rng, swap=True)),)
+def _yuv420_bgr(y, u, v, *, space, rng, fixed=None):
+    return (_pack3(yuv420_to_rgb(y, u, v, space=space, rng=rng, swap=True,
+                                 fixed=fixed)),)
 
 
-def _ycbcr_bgr(y, u, v, *, space, rng):
-    return (_pack3(yuv420_to_rgb(y, u, v, space=space, rng=rng, swap=True)),)
+def _ycbcr_bgr(y, u, v, *, space, rng, fixed=None):
+    return (_pack3(yuv420_to_rgb(y, u, v, space=space, rng=rng, swap=True,
+                                 fixed=fixed)),)
 
 
-def _yuv444_bgr(y, u, v, *, space, rng):
-    return (_pack3(yuv444_to_rgb(y, u, v, space=space, rng=rng, swap=True)),)
+def _yuv444_bgr(y, u, v, *, space, rng, fixed=None):
+    return (_pack3(yuv444_to_rgb(y, u, v, space=space, rng=rng, swap=True,
+                                 fixed=fixed)),)
 
 
-def _yuv444_rgb(y, u, v, *, space, rng):
-    return (_pack3(yuv444_to_rgb(y, u, v, space=space, rng=rng)),)
+def _yuv444_rgb(y, u, v, *, space, rng, fixed=None):
+    return (_pack3(yuv444_to_rgb(y, u, v, space=space, rng=rng,
+                                 fixed=fixed)),)
 
 
-def _yuv444_rgb_planar(y, u, v, *, space, rng):
-    return (_to_planar3(yuv444_to_rgb(y, u, v, space=space, rng=rng)),)
+def _yuv444_rgb_planar(y, u, v, *, space, rng, fixed=None):
+    return (_to_planar3(yuv444_to_rgb(y, u, v, space=space, rng=rng,
+                                      fixed=fixed)),)
 
 
 def _rgb_yuv420(p, *, space, rng):
@@ -401,8 +502,10 @@ _register(F.NV12, F.YUV420, _nv12_yuv420)
 _register(F.YUV420, F.NV12, _yuv420_nv12)
 _register(F.P10, F.NV12, _p16_nv12)
 _register(F.P12, F.NV12, _p16_nv12)
-_register(F.NV12, F.RGB, _nv12_rgb, ctx=_NEEDS_CTX_TO_RGB, combos="nv12")
-_register(F.NV12, F.BGR, _nv12_bgr, ctx=_NEEDS_CTX_TO_RGB, combos="nv12")
+_register(F.NV12, F.RGB, _nv12_rgb, ctx=_NEEDS_CTX_TO_RGB, combos="nv12",
+           fixed_ok=True)
+_register(F.NV12, F.BGR, _nv12_bgr, ctx=_NEEDS_CTX_TO_RGB, combos="nv12",
+           fixed_ok=True)
 _register(F.RGB, F.RGB_PLANAR, _rgb_deinterleave)
 _register(F.RGB_PLANAR, F.RGB, _rgb_interleave)
 _register(
@@ -410,7 +513,8 @@ _register(
     ctx=_NEEDS_CTX_FROM_RGB, combos="rgb_yuv444",
 )
 _register(F.Y, F.YUV444, _y_yuv444)
-_register(F.YUV420, F.RGB, _yuv420_rgb, ctx=_NEEDS_CTX_TO_RGB, combos="yuv420")
+_register(F.YUV420, F.RGB, _yuv420_rgb, ctx=_NEEDS_CTX_TO_RGB,
+           combos="yuv420", fixed_ok=True)
 _register(
     F.RGB, F.YUV420, _rgb_yuv420, ctx=_NEEDS_CTX_FROM_RGB, combos="rgb_yuv420"
 )
@@ -425,17 +529,21 @@ _register(
 )
 _register(F.RGB, F.BGR, _swap3)
 _register(F.BGR, F.RGB, _swap3)
-_register(F.YUV420, F.BGR, _yuv420_bgr, ctx=_NEEDS_CTX_TO_RGB, combos="yuv420")
-_register(F.YCBCR, F.BGR, _ycbcr_bgr, ctx=_NEEDS_CTX_TO_RGB, combos="ycbcr")
+_register(F.YUV420, F.BGR, _yuv420_bgr, ctx=_NEEDS_CTX_TO_RGB,
+           combos="yuv420", fixed_ok=True)
+_register(F.YCBCR, F.BGR, _ycbcr_bgr, ctx=_NEEDS_CTX_TO_RGB,
+           combos="ycbcr", fixed_ok=True)
 _register(
-    F.YUV444, F.BGR, _yuv444_bgr, ctx=_NEEDS_CTX_TO_RGB, combos="yuv444_bgr"
+    F.YUV444, F.BGR, _yuv444_bgr, ctx=_NEEDS_CTX_TO_RGB,
+    combos="yuv444_bgr", fixed_ok=True,
 )
 _register(
-    F.YUV444, F.RGB, _yuv444_rgb, ctx=_NEEDS_CTX_TO_RGB, combos="yuv444_rgb"
+    F.YUV444, F.RGB, _yuv444_rgb, ctx=_NEEDS_CTX_TO_RGB,
+    combos="yuv444_rgb", fixed_ok=True,
 )
 _register(
     F.YUV444, F.RGB_PLANAR, _yuv444_rgb_planar,
-    ctx=_NEEDS_CTX_TO_RGB, combos="yuv444_rgb",
+    ctx=_NEEDS_CTX_TO_RGB, combos="yuv444_rgb", fixed_ok=True,
 )
 def _nv12_rgb_planar(y, uv, *, space, rng):
     """Extension pair (not in the reference's 23): NV12 → planar RGB, the
