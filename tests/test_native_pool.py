@@ -299,3 +299,48 @@ def test_pool_soak_loop_flat(test_mp4):
     assert n == 1000
     assert pool.frames_dropped == 0
     pool.close()
+
+
+def test_pool_transfer_priority_matches_overlap(test_mp4):
+    """The transfer-priority bracket (pause decode while a transfer is in
+    flight — the 1-core default after the r5 finding that a decoding
+    worker starves the transfer client 15-100x) must yield bit-identical
+    batches to the overlapped mode, and pausing must never deadlock the
+    acquire loop (workers resume before the next acquire)."""
+    def collect(tp):
+        pool = NativeDecodePool([test_mp4], batch_size=8)
+        outs = [
+            np.asarray(o).copy()
+            for o in pool.batches(depth=2, transfer_priority=tp)
+        ]
+        pool.close()
+        return outs
+
+    overlapped, prioritized = collect(False), collect(True)
+    assert len(overlapped) == len(prioritized) > 0
+    for a, b in zip(overlapped, prioritized):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_pool_pause_resume_direct(test_mp4):
+    """pause(True) stops slot production after in-flight frames;
+    pause(False) resumes it — and a paused pool still drains already-
+    ready batches."""
+    import time as _t
+
+    pool = NativeDecodePool(
+        [test_mp4], batch_size=4, loop=True, max_frames_per_stream=0
+    )
+    assert pool.acquire() is not None
+    pool.release()
+    pool.pause(True)
+    _t.sleep(0.3)  # let workers finish in-flight frames and park
+    before = pool.frames_decoded
+    _t.sleep(0.5)
+    assert pool.frames_decoded <= before + pool.batch_size  # parked
+    pool.pause(False)
+    deadline = _t.monotonic() + 10.0
+    while pool.frames_decoded <= before and _t.monotonic() < deadline:
+        _t.sleep(0.05)
+    assert pool.frames_decoded > before  # resumed
+    pool.close()

@@ -214,6 +214,12 @@ def load() -> C.CDLL:
         C.c_int,
         [C.c_void_p, C.c_int, _u8p, C.c_size_t],
     )
+    sig(
+        "vpf_read_frames_seq",
+        C.c_long,
+        [C.c_void_p, C.c_void_p, C.c_int, _u8p, C.c_size_t,
+         C.c_long, C.c_long, C.c_long],
+    )
     sig("vpf_codec_caps", C.c_int, [C.c_int, C.c_int, C.POINTER(VpfCodecCaps)])
     sig(
         "vpf_decoder_motion_vectors",
@@ -263,6 +269,7 @@ def load() -> C.CDLL:
         [C.c_void_p, C.POINTER(_u8p), C.POINTER(C.c_int)],
     )
     sig("vpf_pool_release_batch", None, [C.c_void_p])
+    sig("vpf_pool_pause", None, [C.c_void_p, C.c_int])
     sig("vpf_pool_frames_decoded", C.c_long, [C.c_void_p])
     sig("vpf_pool_frames_dropped", C.c_long, [C.c_void_p])
     sig("vpf_pool_drop_reason", C.c_char_p, [C.c_void_p])

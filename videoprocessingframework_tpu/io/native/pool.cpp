@@ -16,11 +16,17 @@
 #include <atomic>
 #include <condition_variable>
 #include <cstring>
+#include <cstdlib>
 #include <deque>
 #include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
+
+#ifdef __linux__
+#include <pthread.h>
+#include <sched.h>
+#endif
 
 /* C API from demuxer.cpp / decoder.cpp */
 extern "C" {
@@ -73,6 +79,11 @@ struct Pool {
   std::mutex mu;
   std::condition_variable cv;
   std::atomic<bool> stop{false};
+  // transfer-priority handshake: while paused, workers finish their
+  // current frame then sleep — host→device transfers on 1-core hosts
+  // are starved 15-100x by a concurrently-decoding worker (measured;
+  // see pool.py batches(transfer_priority=))
+  std::atomic<bool> paused{false};
   std::atomic<long> frames{0};
   std::atomic<long> dropped{0};  // zero-filled slots (copy_frame failures)
   std::vector<std::thread> workers;
@@ -96,6 +107,10 @@ struct Pool {
     std::unique_lock<std::mutex> lk(mu);
     for (;;) {
       if (stop.load()) return false;
+      if (paused.load()) {
+        cv.wait_for(lk, std::chrono::milliseconds(50));
+        continue;
+      }
       if (!fill_order.empty()) {
         b = fill_order.front();
         s = ring[b].issued++;
@@ -155,10 +170,30 @@ struct Pool {
    * pool serves any streams:cores ratio). Exactly one live_workers
    * decrement, on exit. */
   void worker_main(int wid) {
+    set_idle_priority();
     worker_body(wid);
     std::lock_guard<std::mutex> lk(mu);
     live_workers--;
     cv.notify_all();
+  }
+
+  /* Decode workers run at SCHED_IDLE: decode is pure THROUGHPUT work,
+   * while the host→device transfer client is LATENCY-sensitive — on a
+   * 1-core host a normal-priority decode thread starves it 50-100x
+   * (measured r5: uploads of the same buffer ran 1300-1500 MB/s with
+   * the worker idle and 9-38 MB/s with it decoding; most of what the
+   * bench history called "tunnel weather" was THIS). At SCHED_IDLE the
+   * transfer thread preempts instantly whenever it is runnable and the
+   * decoder soaks up every remaining cycle — decode throughput with an
+   * otherwise-idle host is unchanged (it still gets the whole core).
+   * Opt-out: VPF_POOL_NORMAL_PRIORITY=1 (multi-core hosts where decode
+   * deserves fair scheduling against unrelated tenants). */
+  static void set_idle_priority() {
+#ifdef __linux__
+    if (getenv("VPF_POOL_NORMAL_PRIORITY")) return;
+    struct sched_param sp = {};
+    pthread_setschedparam(pthread_self(), SCHED_IDLE, &sp);
+#endif
   }
 
   /* Produce ONE decoded frame from session `ss` into a claimed slot.
@@ -406,6 +441,17 @@ VPF_API const char* vpf_pool_drop_reason(void* h) {
   auto* p = static_cast<Pool*>(h);
   std::lock_guard<std::mutex> lk(p->mu);
   return p->drop_reason.c_str();
+}
+
+/* Transfer-priority handshake: paused != 0 puts every worker to sleep
+ * after its current frame; 0 wakes them. Used by pool.py batches() to
+ * keep decode off the core while a host→device transfer is in flight
+ * (1-core hosts: a decoding worker starves the transfer client 15-100x,
+ * measured r5). */
+VPF_API void vpf_pool_pause(void* h, int paused) {
+  auto* p = static_cast<Pool*>(h);
+  p->paused.store(paused != 0);
+  if (!paused) p->cv.notify_all();
 }
 
 VPF_API void vpf_pool_destroy(void* h) { delete static_cast<Pool*>(h); }

@@ -13,11 +13,15 @@ post-processing per frame, seek, metadata access).
 from __future__ import annotations
 
 import ctypes as C
+import os
 from typing import Callable, Iterator, Optional, Sequence
 
 import numpy as np
 
 import jax
+
+#: sentinel distinguishing "nothing drained" from a drained None
+_NOTHING = object()
 
 from ..core import geometry
 from ..core.enums import PixelFormat
@@ -78,6 +82,19 @@ class NativeDecodePool:
         if not self._h:
             raise RuntimeError(f"pool create failed: {_lib.last_error()}")
         self.timer = StageTimer()
+
+    def pause(self, paused: bool = True) -> None:
+        """Transfer-priority handshake: ``pause(True)`` puts the decode
+        workers to sleep after their in-flight frame; ``pause(False)``
+        wakes them. Decode is pure throughput work while the
+        host→device transfer client is latency-sensitive — on a 1-core
+        host a decoding worker starves it 15-100x (measured r5: the
+        same upload ran 1300-1500 MB/s against an idle pool and
+        9-38 MB/s against a decoding one; most of what earlier rounds
+        attributed to 'tunnel weather' was this). :meth:`batches`
+        brackets its dispatch+drain window with this automatically
+        (``transfer_priority``)."""
+        self._lib.vpf_pool_pause(self._h, 1 if paused else 0)
 
     def _acquire_raw(self):
         data = C.POINTER(C.c_uint8)()
@@ -216,6 +233,7 @@ class NativeDecodePool:
         depth: int = 2,
         planar_views: Optional[bool] = None,
         planar_flat: Optional[bool] = None,
+        transfer_priority: Optional[bool] = None,
     ) -> Iterator:
         """Yield post-processed device batches.
 
@@ -241,8 +259,20 @@ class NativeDecodePool:
         (decode-bound when large), ``dispatch`` = the async postproc call
         (host staging), ``drain`` = waiting on upload + fused kernel
         (transfer-bound when large).
+
+        ``transfer_priority`` (default: auto — on for 1-core hosts)
+        brackets each dispatch+drain window with :meth:`pause`: the
+        decode workers sleep while a transfer is in flight and decode
+        during the acquire wait and the consumer's own processing. On a
+        single core a decoding worker starves the latency-sensitive
+        transfer client 15-100x (measured), so serializing the two
+        phases (≈ 1/(decode+upload) per batch) beats the collapsed
+        overlap by an order of magnitude; multi-core hosts keep true
+        overlap (default off).
         """
         depth = max(1, min(depth, max(1, int(getattr(self, "_n_buffers", 4)) - 1)))
+        if transfer_priority is None:
+            transfer_priority = (os.cpu_count() or 1) == 1
         if planar_views is None:
             planar_views = self.plane_major or (
                 postproc is not None
@@ -312,33 +342,46 @@ class NativeDecodePool:
                     planes = self._planar_views(batch)
                 else:
                     planes = (batch,)
-                with self.timer.measure("dispatch"), trace_range(
-                    "FusedPostproc"
-                ):
-                    if flat is not None:
-                        out = flat_fn(flat)
-                    elif postproc is not None:
-                        out = postproc(*planes)
-                        if use_flat and flat_fn is None:
-                            # concrete call done (auto-tune picked):
-                            # switch to the single-transfer feed
-                            flat_fn = self.flat_postproc_fn(postproc)
-                    else:
-                        out = jax.tree_util.tree_map(jax.device_put, planes)
-                        first = jax.tree_util.tree_leaves(out)[0]
-                        if next(iter(first.devices())).platform == "cpu":
-                            # CPU-jax device_put may zero-copy-ALIAS the
-                            # ring slot's host memory; a device-side copy
-                            # breaks the alias before the slot is recycled
-                            # (jit postproc outputs are always fresh)
+                if transfer_priority:
+                    self.pause(True)  # decode off-core while uploading
+                try:
+                    with self.timer.measure("dispatch"), trace_range(
+                        "FusedPostproc"
+                    ):
+                        if flat is not None:
+                            out = flat_fn(flat)
+                        elif postproc is not None:
+                            out = postproc(*planes)
+                            if use_flat and flat_fn is None:
+                                # concrete call done (auto-tune picked):
+                                # switch to the single-transfer feed
+                                flat_fn = self.flat_postproc_fn(postproc)
+                        else:
                             out = jax.tree_util.tree_map(
-                                lambda a: a.copy(), out
+                                jax.device_put, planes
                             )
-                        if not self.plane_major and not planar_views:
-                            out = out[0]  # packed single-array contract
-                pending.append(out)
-                if len(pending) >= depth:
-                    yield drain_one()
+                            first = jax.tree_util.tree_leaves(out)[0]
+                            if next(iter(first.devices())).platform == "cpu":
+                                # CPU-jax device_put may zero-copy-ALIAS
+                                # the ring slot's host memory; a device-
+                                # side copy breaks the alias before the
+                                # slot is recycled (jit postproc outputs
+                                # are always fresh)
+                                out = jax.tree_util.tree_map(
+                                    lambda a: a.copy(), out
+                                )
+                            if not self.plane_major and not planar_views:
+                                out = out[0]  # packed single-array contract
+                    pending.append(out)
+                    if len(pending) >= depth:
+                        drained = drain_one()
+                    else:
+                        drained = _NOTHING
+                finally:
+                    if transfer_priority:
+                        self.pause(False)  # decode during consumer time
+                if drained is not _NOTHING:
+                    yield drained
             while pending:
                 yield drain_one()
         finally:
