@@ -235,36 +235,84 @@ class _ClipReader:
         self.next_idx = 0
 
     def read_clip(self, start: int, clip_len: int, stride: int,
-                  out: np.ndarray) -> None:
-        """Decode frames start, start+stride, … into ``out[t]`` slots."""
+                  out: np.ndarray) -> tuple:
+        """Decode frames start, start+stride, … into ``out[t]`` slots.
+
+        The sequential clip body runs as ONE native call
+        (``vpf_read_frames_seq``: demux→decode→pack in C) — the
+        per-frame ctypes path costs ~1.7 ms/frame of interpreter
+        overhead at 1080p (measured r5, 4.1 vs 2.4 ms/frame). The seek
+        (when needed) stays on the Python path for its PacketData/
+        target-pts logic, then hands the primed sessions to the native
+        body.
+
+        Returns ``(kept, skipped, seeks)`` for the loader's stage
+        accounting: ``skipped`` counts frames decoded-and-discarded
+        (stride gaps + the GOP replay a random seek pays — the dominant
+        cost the stage table exists to expose)."""
         from ..core.packet import SeekContext
 
         t = 0
+        seeks = 0
+        skipped = 0
         if start != self.next_idx:
             ctx = SeekContext(seek_frame=int(start))
+            seeks = 1
             f = self.reader.decode(seek_ctx=ctx, out=out[0])
             if f is None:
                 raise RuntimeError(
                     f"{self.path}: seek to frame {start} hit EOF"
                 )
+            # frames the PREV_KEY_FRAME seek decoded AND discarded to
+            # reach the target (the GOP replay cost)
+            skipped += max(0, int(ctx.num_frames_decoded) - 1)
             self.next_idx = start + 1
             t = 1
-        idx = self.next_idx
-        want = start + t * stride
-        while t < clip_len:
-            dst = out[t] if idx == want else None
-            f = self.reader.decode(out=dst)
-            if f is None:
+        n_want = clip_len - t
+        if n_want > 0:
+            skip_first = (stride - 1) if t else 0
+            kept = self._read_seq(out[t:], n_want, stride, skip_first)
+            if kept < n_want:
                 raise RuntimeError(
-                    f"{self.path}: EOF at frame {idx} inside clip "
+                    f"{self.path}: EOF inside clip "
                     f"[{start}, +{clip_len}x{stride}] — container frame "
                     f"count was optimistic; pass lengths= to VideoCorpus"
                 )
-            if idx == want:
-                t += 1
-                want = start + t * stride
-            idx += 1
-        self.next_idx = idx
+            consumed = skip_first + 1 + (kept - 1) * stride
+            self.next_idx += consumed
+            skipped += skip_first + (kept - 1) * (stride - 1)
+        return clip_len, skipped, seeks
+
+    def _read_seq(self, dst: np.ndarray, n_want: int, stride: int,
+                  skip_first: int) -> int:
+        """Native sequential read into ``dst`` ([n, rows, W] u8 view of
+        the ring slot); maps native error codes to the same typed
+        exceptions as the per-frame path."""
+        import ctypes as C
+
+        from ..core.exceptions import (
+            BitstreamParserException,
+            HwResetException,
+        )
+        from ..io import _lib as lib_mod
+
+        reader = self.reader
+        lib = lib_mod.load()
+        dec = reader.decoder
+        frame_bytes = int(dst[0].nbytes)
+        r = lib.vpf_read_frames_seq(
+            reader.demuxer._h, dec._h, int(dec.output_format),
+            dst.ctypes.data_as(C.POINTER(C.c_uint8)), frame_bytes,
+            int(n_want), int(stride), int(skip_first),
+        )
+        if r >= 0:
+            return int(r)
+        if r == lib_mod.ERR_PARSE:
+            raise BitstreamParserException(lib_mod.last_error())
+        if r == lib_mod.ERR_DECODE:
+            lib.vpf_decoder_recreate(dec._h)
+            raise HwResetException(lib_mod.last_error())
+        raise RuntimeError(lib_mod.last_error())
 
 
 class _ClipLoaderBase:
@@ -334,6 +382,35 @@ class _ClipLoaderBase:
         self.labels = np.asarray(labels) if labels is not None else None
         self._epoch = 0
         self._resume_clips = 0  # one-shot skip set by load_state_dict
+        # per-stage wall clock + frame accounting (VERDICT r4 #5): the
+        # loader-vs-decoder gap must be attributable — decode (incl. GOP
+        # replay, counted separately), dispatch (staging + program), and
+        # drain (the block_until_ready barrier before ring reuse)
+        from ..utils.tracing import StageTimer
+
+        self.timer = StageTimer()
+        self._lock = threading.Lock()
+        self.frame_stats = {"kept": 0, "replayed": 0, "seeks": 0}
+
+    def _note_clip(self, kept: int, skipped: int, seeks: int) -> None:
+        with self._lock:
+            st = self.frame_stats
+            st["kept"] += kept
+            st["replayed"] += skipped
+            st["seeks"] += seeks
+
+    def stage_summary(self) -> dict:
+        """Stage table: mean/total wall clock per pipeline stage plus the
+        decode-side frame accounting (kept vs replayed-and-discarded)."""
+        out = dict(self.timer.summary())
+        out["frames"] = dict(self.frame_stats)
+        kept = self.frame_stats["kept"]
+        total = kept + self.frame_stats["replayed"]
+        out["frames"]["replay_overhead"] = (
+            self.frame_stats["replayed"] / kept if kept else 0.0
+        )
+        out["frames"]["decoded_total"] = total
+        return out
 
     def __len__(self) -> int:
         """Batches per epoch for THIS shard."""
@@ -379,7 +456,8 @@ class _ClipLoaderBase:
             # the transfer out of the host buffer must complete before
             # its ring slot is reused (block_until_ready is the
             # correctness barrier for buffer recycling)
-            jax.block_until_ready(out)
+            with self.timer.measure("drain"):
+                jax.block_until_ready(out)
             self._free.append(bi)
             out = self._reshape_out(out, b)
             self._pos[1] += b
@@ -390,7 +468,8 @@ class _ClipLoaderBase:
             if count < self.batch_size and self.drop_last:
                 self._free.append(bi)
                 continue
-            inflight.append(self._dispatch(bi, count, files))
+            with self.timer.measure("dispatch"):
+                inflight.append(self._dispatch(bi, count, files))
             if len(inflight) >= self.prefetch:
                 yield finish(inflight.pop(0))
         while inflight:
@@ -643,11 +722,14 @@ class VideoClipLoader(_ClipLoaderBase):
                     raise RuntimeError("batch buffer ring exhausted")
                 bi = free.pop(0)
                 buf = bufs[bi]
-                with trace_range("ClipDecode"):
+                with trace_range("ClipDecode"), \
+                        self.timer.measure("decode"):
                     for s, (fi, start) in enumerate(grp):
-                        self._reader_for(cache, int(fi)).read_clip(
+                        self._note_clip(*self._reader_for(
+                            cache, int(fi)
+                        ).read_clip(
                             int(start), T, self.frame_stride, buf[s]
-                        )
+                        ))
                 yield bi, len(grp), [int(fi) for fi, _ in grp]
             return
 
@@ -664,9 +746,9 @@ class VideoClipLoader(_ClipLoaderBase):
             cache = getattr(local, "cache", None)
             if cache is None:
                 cache = local.cache = {}
-            self._reader_for(cache, int(fi)).read_clip(
+            self._note_clip(*self._reader_for(cache, int(fi)).read_clip(
                 int(start), T, self.frame_stride, buf_slot
-            )
+            ))
 
         with ThreadPoolExecutor(max_workers=self.workers) as ex:
             for grp in groups:
@@ -674,7 +756,8 @@ class VideoClipLoader(_ClipLoaderBase):
                     raise RuntimeError("batch buffer ring exhausted")
                 bi = free.pop(0)
                 buf = bufs[bi]
-                with trace_range("ClipDecode"):
+                with trace_range("ClipDecode"), \
+                        self.timer.measure("decode"):
                     list(ex.map(one, [
                         (buf[s], int(fi), int(start))
                         for s, (fi, start) in enumerate(grp)
@@ -708,11 +791,22 @@ class VideoClipLoader(_ClipLoaderBase):
             else:
                 staged = flat  # jit stages the transfer with the call
             if self.pipeline is None:
-                out = (
-                    staged
-                    if self.sharding is not None or self.device is not None
-                    else jax.device_put(flat)
-                )
+                if self.sharding is not None or self.device is not None:
+                    out = staged
+                else:
+                    # jit identity, NOT device_put: (a) CPU-jax
+                    # device_put may zero-copy-ALIAS the ring slot's
+                    # host memory (the yielded batch would mutate when
+                    # the slot is recycled — same hazard pool.py
+                    # defends against); a jit call always hands back an
+                    # owned buffer; (b) on TPU, feeding host numpy
+                    # straight into a jitted call stages the transfer
+                    # faster than a separate device_put (measured,
+                    # CLAUDE.md perf rules).
+                    ident = getattr(self, "_ident_jit", None)
+                    if ident is None:
+                        ident = self._ident_jit = jax.jit(lambda x: x)
+                    out = ident(flat)
             elif self._augmented:
                 idx = self._dispatch_index
                 self._dispatch_index += 1

@@ -546,3 +546,68 @@ VPF_API int vpf_codec_caps(int codec_id, int is_encoder, VpfCodecCaps* out) {
   }
   return VPF_OK;
 }
+
+/* Sequential clip read, fully native: demux → decode → pack `n_want`
+ * frames into dst (stride-aware) without a Python round trip per frame.
+ * The per-frame ctypes path costs ~1.7 ms/frame of pure interpreter
+ * overhead at 1080p (measured r5: VideoClipLoader decode stage
+ * 4.1 ms/frame vs the C++ pool's 2.4); clip loaders call this for the
+ * sequential body of every clip.
+ *
+ * `skip_first` frames are decoded and discarded before the first kept
+ * frame; after each kept frame, (stride-1) more are discarded. Uses the
+ * same Decoder/Demuxer handles and primitives as the Python path, so
+ * interleaving with per-frame Python calls (e.g. the seek priming loop)
+ * stays consistent. Returns frames KEPT (>= 0; < n_want means EOF), or
+ * a negative VPF_ERR_* code. */
+extern "C" VPF_API int vpf_demuxer_demux(void*, const uint8_t**, size_t*,
+                                         VpfPacketData*, const uint8_t**,
+                                         size_t*);
+
+VPF_API long vpf_read_frames_seq(void* dmx_h, void* dec_h, int fmt,
+                                 uint8_t* dst, size_t frame_bytes,
+                                 long n_want, long stride,
+                                 long skip_first) {
+  auto* d = static_cast<Decoder*>(dec_h);
+  if (!dmx_h || !d || !dst || n_want < 0 || stride < 1 || skip_first < 0)
+    return (long)vpf_set_error(VPF_ERR, "vpf_read_frames_seq: bad args");
+  long kept = 0;
+  long until_keep = skip_first;  // frames to discard before next keep
+  bool demux_eof = false;
+  while (kept < n_want) {
+    if (!d->ready.empty()) {
+      d->take_frame();  // buffered frame from an earlier packet
+    } else {
+      int r;
+      if (!demux_eof) {
+        const uint8_t* data = nullptr;
+        size_t size = 0;
+        VpfPacketData pkt{};
+        r = vpf_demuxer_demux(dmx_h, &data, &size, &pkt, nullptr, nullptr);
+        if (r == VPF_NEED_MORE || r == VPF_ERR_EOF) {
+          // the demuxer signals EOF as NEED_MORE (demuxer.py returns
+          // None on it) — switch to the decoder EOS drain
+          demux_eof = true;
+          continue;
+        }
+        if (r != VPF_OK) return (long)r;
+        r = d->decode(data, size, &pkt);
+      } else {
+        r = d->decode(nullptr, 0, nullptr);  // EOS drain
+      }
+      if (r == VPF_NEED_MORE) continue;
+      if (r == VPF_ERR_EOF) break;  // fully drained before n_want
+      if (r != VPF_OK) return (long)r;
+    }
+    if (until_keep > 0) {
+      until_keep--;
+      continue;
+    }
+    int cr = d->copy_packed(fmt, dst + (size_t)kept * frame_bytes,
+                            frame_bytes);
+    if (cr != VPF_OK) return (long)cr;
+    kept++;
+    until_keep = stride - 1;
+  }
+  return kept;
+}
