@@ -147,9 +147,13 @@ def test_early_stop_on_watcher_grade_run():
     # bar reached but the latest run IS the peak (still ramping): continue
     assert b.keep_sampling(5, 100.0, 220.0, 350.0, 100.0, 400.0,
                            clear_fps=340.0, last_fps=350.0)
-    # bar reached before 5 runs: continue (ramp may still be climbing)
-    assert b.keep_sampling(3, 100.0, 220.0, 350.0, 100.0, 400.0,
+    # bar reached before 3 runs: continue (ramp may still be climbing)
+    assert b.keep_sampling(2, 100.0, 220.0, 350.0, 100.0, 400.0,
                            clear_fps=340.0, last_fps=300.0)
+    # at 3 runs with the bar reached and ramp over: bank it (the link's
+    # burst bucket drains ~0.8 GB per extra run)
+    assert not b.keep_sampling(3, 100.0, 220.0, 350.0, 100.0, 400.0,
+                               clear_fps=340.0, last_fps=300.0)
     # bar not reached: the early stop never fires
     assert b.keep_sampling(6, 100.0, 220.0, 300.0, 100.0, 400.0,
                            clear_fps=340.0, last_fps=200.0)
