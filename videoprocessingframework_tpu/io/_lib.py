@@ -270,6 +270,7 @@ def load() -> C.CDLL:
     )
     sig("vpf_pool_release_batch", None, [C.c_void_p])
     sig("vpf_pool_pause", None, [C.c_void_p, C.c_int])
+    sig("vpf_pool_worker_priority", None, [C.c_void_p, C.c_int])
     sig("vpf_pool_frames_decoded", C.c_long, [C.c_void_p])
     sig("vpf_pool_frames_dropped", C.c_long, [C.c_void_p])
     sig("vpf_pool_drop_reason", C.c_char_p, [C.c_void_p])

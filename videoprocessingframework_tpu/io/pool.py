@@ -273,6 +273,15 @@ class NativeDecodePool:
         depth = max(1, min(depth, max(1, int(getattr(self, "_n_buffers", 4)) - 1)))
         if transfer_priority is None:
             transfer_priority = (os.cpu_count() or 1) == 1
+        # worker priority follows the mode: SCHED_IDLE (the spawn
+        # default) suits the serialized bracket (decode is paused during
+        # transfers and owns the core during acquire waits), but in the
+        # OVERLAPPED mode it starves decode instead — the consumer
+        # thread rarely blocks (measured r5: acquire 90 ms/batch idle
+        # vs 4 ms at normal priority). Flip to fair scheduling there.
+        self._lib.vpf_pool_worker_priority(
+            self._h, 1 if transfer_priority else 0
+        )
         if planar_views is None:
             planar_views = self.plane_major or (
                 postproc is not None
