@@ -716,7 +716,12 @@ class VideoClipLoader(_ClipLoaderBase):
         groups = [samples[i: i + B] for i in range(0, len(samples), B)]
 
         if self.workers <= 1:
-            cache: dict = {}
+            # persistent across epochs: re-opening every source per epoch
+            # costs a demuxer+decoder session each (~10-30 ms/file) and
+            # loses the sequential no-seek fast path at epoch boundaries
+            cache = getattr(self, "_reader_cache", None)
+            if cache is None:
+                cache = self._reader_cache = {}
             for grp in groups:
                 if not free:  # all buffers in flight: caller bug
                     raise RuntimeError("batch buffer ring exhausted")
