@@ -182,14 +182,24 @@ def keep_sampling(i: int, elapsed: float, budget_s: float, best_fps: float,
 
 def weather_diagnosis(best_fps: float, decode_only_fps: float):
     """(state, note): 'collapsed' when every E2E run landed under 25% of
-    the same-capture host decode ceiling — the tunnel, not the pipeline.
-    The headline field contract is unchanged; this rides in `extra`."""
+    the same-capture host decode ceiling, 'degraded' under 60% — the
+    tunnel, not the pipeline (committed good-weather captures sustain
+    0.77-0.91 of the ceiling; a capture that never cleared 0.6 sampled
+    only throttled link windows). The headline field contract is
+    unchanged; this rides in `extra`."""
     if decode_only_fps and best_fps < 0.25 * decode_only_fps:
         return "collapsed", (
             "all E2E runs < 25% of the same-capture host decode ceiling: "
             "the tunnel link collapsed during this capture; "
             "decode_only_fps / kernel_only_fps / loader metrics are "
             "weather-independent and reflect the pipeline's capability"
+        )
+    if decode_only_fps and best_fps < 0.60 * decode_only_fps:
+        return "degraded", (
+            "best E2E run landed between 25% and 60% of the same-capture "
+            "host decode ceiling: the link spent this capture throttled "
+            "(burst bucket drained / raw-rate dip); committed good-weather "
+            "captures sustain 0.77-0.91 — see docs/bench_captures/best.json"
         )
     return "ok", None
 

@@ -136,6 +136,9 @@ def test_weather_diagnosis_fields():
     assert state == "collapsed" and "decode_only_fps" in note
     state, note = b.weather_diagnosis(400.0, 460.0)
     assert state == "ok" and note is None
+    # between 25% and 60% of the ceiling: throttled link, not collapse
+    state, note = b.weather_diagnosis(150.0, 400.0)
+    assert state == "degraded" and "throttled" in note
     # no ceiling measured -> never claim collapse
     assert b.weather_diagnosis(1.0, 0.0)[0] == "ok"
 
