@@ -533,9 +533,17 @@ def _fidelity_child(npz_path: str) -> int:
             out_size=(224, 224), method="lanczos", output="normalized",
         )
         jax.block_until_ready(pre_norm(*resnet_planes))
+    # chains must be LONG (device time ≫ tunnel jitter on the scalar
+    # fetch): lo=10/hi=30 measured the SAME code at 10.4k and 52.4k fps
+    # in two captures — a Δ of only ~64 ms device time under ~50 ms
+    # jitter. 50/250 puts ~640 ms between the two timed programs
+    # (~0.8 s device per hi run at batch 32 — affordable); the smoke
+    # stand-in keeps short chains (1-core CPU host, minutes-class
+    # otherwise).
+    rn_lo, rn_hi = (10, 30) if smoke else (50, 250)
     resnet_fps, _ = device_slope_fps(
         lambda y, u, v, p: model.apply(p, pre_norm(y, u, v), train=False),
-        resnet_planes, lo_n=10, hi_n=30,
+        resnet_planes, lo_n=rn_lo, hi_n=rn_hi,
         extra_args=(variables,),
     )
     emit({"resnet_device_fps": round(resnet_fps, 1)})
