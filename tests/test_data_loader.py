@@ -517,6 +517,71 @@ def test_augment_rejects_pallas_and_split(corpus):
                         augment=_aug_spec())
 
 
+def _mk_raw_h264(path, w, h, nf):
+    """Raw Annex-B elementary stream (NO container): libav cannot seek
+    it (no index), which exercises the loader's emulated-seek paths."""
+    from videoprocessingframework_tpu.io import VideoEncoder
+
+    # B-frames ON: a refused seek must leave the decode session intact
+    # (decoder reset before a failed demuxer seek strands it mid-GOP —
+    # every inter frame until the next IDR loses its references)
+    enc = VideoEncoder({"codec": "h264", "preset": "P2", "s": f"{w}x{h}",
+                        "fps": "30", "gop": "8", "bitrate": "2M"})
+    rng = np.random.default_rng(7)
+    stream = bytearray()
+    for i in range(nf):
+        y = rng.integers(0, 256, (h, w), np.uint8)
+        uv = np.full((h // 2, w), 100 + i, np.uint8)
+        out = enc.encode(np.concatenate([y.ravel(), uv.ravel()]))
+        if out is not None:
+            stream += out[0].tobytes()
+    for pkt, _ in enc.flush():
+        stream += pkt.tobytes()
+    path.write_bytes(bytes(stream))
+
+
+def test_unseekable_stream_multi_epoch_and_shuffle(tmp_path):
+    """Raw elementary streams refuse av_seek_frame; the loader must
+    emulate: forward gaps decode-and-discard, rewinds reopen the
+    session. Regression for the r5 persistent-reader-cache change —
+    epoch 2 over an unseekable source crashed with 'Seek isn't
+    supported for this input' (the bench loader metric silently
+    vanished to exactly this)."""
+    w, h, nf = 320, 240, 32
+    p = tmp_path / "raw.h264"
+    _mk_raw_h264(p, w, h, nf)
+
+    rd = VideoReader(str(p))
+    rd.decoder.output_format = PixelFormat.YUV420
+    all_f = np.stack([f.data.reshape(h * 3 // 2, w).copy()
+                      for f in rd.frames()])
+    assert len(all_f) == nf
+
+    # sequential, two epochs: the epoch-1 rewind goes through _reopen
+    ld = VideoClipLoader([str(p)], clip_len=4, batch_size=2,
+                         output="packed", shuffle=False, workers=0,
+                         lengths=[nf])
+    for epoch in (0, 1):
+        got = np.concatenate(
+            [np.asarray(b) for b in ld.epoch(epoch)], axis=0
+        )
+        starts = ld.sampler.epoch(epoch)[:, 1]
+        for clip, st in zip(got, starts):
+            assert np.array_equal(clip, all_f[st: st + 4]), (
+                f"epoch {epoch} clip @{st} mismatch"
+            )
+    assert ld.frame_stats["seeks"] >= 1  # the rewind was an emulated seek
+
+    # shuffled: random starts force forward-gap skips AND rewinds
+    ld2 = VideoClipLoader([str(p)], clip_len=4, batch_size=2,
+                          output="packed", shuffle=True, seed=3,
+                          workers=0, lengths=[nf])
+    got = np.concatenate([np.asarray(b) for b in ld2.epoch(0)], axis=0)
+    starts = ld2.sampler.epoch(0)[:, 1]
+    for clip, st in zip(got, starts):
+        assert np.array_equal(clip, all_f[st: st + 4]), f"clip @{st}"
+
+
 def test_data_package_import_stays_light():
     """`import videoprocessingframework_tpu.data` must not pull in the
     ops package (jax-heavy kernels; the env's sitecustomize already

@@ -232,6 +232,22 @@ class _ClipReader:
         self.reader = VideoReader(path, threads=threads)
         self.reader.decoder.output_format = out_format
         self.path = path
+        self.out_format = out_format
+        self.threads = threads
+        self.next_idx = 0
+
+    def _reopen(self) -> None:
+        """Fresh demux+decode session at frame 0 — the rewind path for
+        UNSEEKABLE inputs (raw Annex-B elementary streams have no
+        container index, so libav refuses av_seek_frame). Persistent
+        reader sessions (kept across epochs since r5) made rewinds
+        reachable: epoch N+1 revisits windows behind ``next_idx``."""
+        from ..io.decoder import VideoReader
+
+        self.reader.decoder.close()
+        self.reader.demuxer.close()
+        self.reader = VideoReader(self.path, threads=self.threads)
+        self.reader.decoder.output_format = self.out_format
         self.next_idx = 0
 
     def read_clip(self, start: int, clip_len: int, stride: int,
@@ -250,27 +266,44 @@ class _ClipReader:
         accounting: ``skipped`` counts frames decoded-and-discarded
         (stride gaps + the GOP replay a random seek pays — the dominant
         cost the stage table exists to expose)."""
+        from ..core.exceptions import (
+            CuvidParserException,
+            HwResetException,
+        )
         from ..core.packet import SeekContext
 
         t = 0
         seeks = 0
         skipped = 0
+        pre_skip = 0
         if start != self.next_idx:
             ctx = SeekContext(seek_frame=int(start))
             seeks = 1
-            f = self.reader.decode(seek_ctx=ctx, out=out[0])
-            if f is None:
-                raise RuntimeError(
-                    f"{self.path}: seek to frame {start} hit EOF"
-                )
-            # frames the PREV_KEY_FRAME seek decoded AND discarded to
-            # reach the target (the GOP replay cost)
-            skipped += max(0, int(ctx.num_frames_decoded) - 1)
-            self.next_idx = start + 1
-            t = 1
+            try:
+                f = self.reader.decode(seek_ctx=ctx, out=out[0])
+            except (HwResetException, CuvidParserException):
+                raise  # real decode/parse failures, not a seek refusal
+            except RuntimeError:
+                # unseekable input (raw elementary stream: no container
+                # index, av_seek_frame refuses): emulate the seek
+                # sequentially — forward gaps decode-and-discard from
+                # here; rewinds reopen the session first
+                if start < self.next_idx:
+                    self._reopen()
+                pre_skip = start - self.next_idx
+            else:
+                if f is None:
+                    raise RuntimeError(
+                        f"{self.path}: seek to frame {start} hit EOF"
+                    )
+                # frames the PREV_KEY_FRAME seek decoded AND discarded
+                # to reach the target (the GOP replay cost)
+                skipped += max(0, int(ctx.num_frames_decoded) - 1)
+                self.next_idx = start + 1
+                t = 1
         n_want = clip_len - t
         if n_want > 0:
-            skip_first = (stride - 1) if t else 0
+            skip_first = (stride - 1) if t else pre_skip
             kept = self._read_seq(out[t:], n_want, stride, skip_first)
             if kept < n_want:
                 raise RuntimeError(

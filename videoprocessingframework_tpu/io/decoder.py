@@ -382,11 +382,17 @@ class VideoReader:
                 raise RuntimeError(
                     "Decoder can only seek to closest previous key frame"
                 )
-            # flush decoder without EOS, then seek the demuxer
-            self.decoder.reset()
+            # seek the demuxer FIRST (it may refuse — raw elementary
+            # streams have no index), then flush the decoder without
+            # EOS: a refused seek must leave the session intact so
+            # callers can fall back to sequential emulation
+            # (data/loader.py _ClipReader.read_clip) — resetting before
+            # a failed seek strands a flushed decoder mid-GOP (missing
+            # reference pictures on every packet until the next IDR)
             res = demuxer.seek(seek_ctx)
             if res is None:
                 return None
+            self.decoder.reset()
             if seek_ctx.is_by_number:
                 target_pts = demuxer.ts_from_frame_number(seek_ctx.seek_frame)
             else:
