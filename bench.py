@@ -1245,9 +1245,17 @@ def main() -> int:
                 result["extra"]["loader_frames_per_s"] = round(
                     clips_s * 8, 1
                 )
-                _checkpoint(result)
-        except Exception:
-            pass
+            else:
+                # a missing metric must be VISIBLE (the r5 unseekable-
+                # rewind regression erased it silently for two captures)
+                result["extra"]["loader_error"] = (
+                    f"rc={lp.returncode}: "
+                    + (lp.stderr or "").strip()[-300:]
+                )
+            _checkpoint(result)
+        except Exception as e:
+            result["extra"]["loader_error"] = repr(e)[:300]
+            _checkpoint(result)
     if ncpu > 1:
         try:
             agg_fps, _, _ = transcode_metrics(
